@@ -1,0 +1,97 @@
+"""Text-analysis functions for training-data curation at scale.
+
+Beyond-reference operators (BASELINE.json scale extensions): language ID,
+quality scoring, token counting, document fingerprinting. All pure Column
+expressions so they run JVM-side over 100 TB without Python in the loop,
+and every one is SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import ALL_STOPWORDS, tokenize
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-inlineable; a real deployment would swap
+# in fastText — the operator contract (text -> lang code) stays the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "et"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "pt": ("o", "os", "um", "uma", "das", "dos", "em", "para", "com", "nao"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: tokens after the canonical
+    tokenizer; a real BPE would be a Pandas UDF, same contract)."""
+    return F.size(tokenize(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(F.coalesce(text, F.lit("")))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alnum/non-space characters — quality signal."""
+    t = F.coalesce(text, F.lit(""))
+    stripped = F.regexp_replace(t, r"[^\sa-zA-Z0-9]", "")
+    return F.when(F.length(t) > 0, (F.length(t) - F.length(stripped)) / F.length(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are stopwords — low values suggest keyword
+    spam / non-prose; used as a quality gate."""
+    toks = tokenize(text)
+    stop_arr = F.array(*[F.lit(s) for s in ALL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokenize(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards prose-like stopword
+    density, penalizes punctuation noise and extreme word lengths.
+    Deterministic, documented formula shared with the oracle SQL."""
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    mwl = mean_word_length(text)
+    length_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        (F.least(sw * 4, F.lit(1.0)) * 0.4 + (1.0 - F.least(pr * 5, F.lit(1.0))) * 0.3 + length_ok * 0.3),
+        6,
+    )
+
+
+def detect_language(text: Column) -> Column:
+    """Marker-word language ID: score = count of tokens in each language's
+    marker list; argmax wins, ties broken by language code order, 'und'
+    when no marker hits."""
+    toks = tokenize(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reversed sorted order so that on equal scores the
+    # alphabetically-first language wins (matches oracle max_by semantics
+    # with (score, -ord) tie-break expressed as strict > comparison).
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        markers = LANG_MARKERS[lang]
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        is_better = (score > best_score) | ((score == best_score) & (score > 0) & (F.lit(lang) < best_lang))
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dedup document fingerprint: md5 of the canonical token join —
+    whitespace/punctuation/case-insensitive identity."""
+    return F.md5(F.array_join(tokenize(text), " "))

@@ -1,0 +1,81 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S7).
+
+The reference reads/writes CSV files and RDS model blobs
+(``01_extract_features.R:463-464``, ``02_build_models.R:770-772``); this
+engine standardizes on parquet (columnar, predicate-pushdown-able,
+splittable) and keeps CSV as a compatibility reader. Multi-file scan +
+union (S3: ``01_extract_features.R:423-431``) is a glob path — Spark's
+multi-file scan makes the explicit union disappear.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    nanosecond longs under ``nanosAsLong``; we convert back to proper
+    timestamps (µs truncation, matching DuckDB's ns→µs behavior).
+    Footer-only read, driver-side, cached."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (column pruning + predicate
+    pushdown are Catalyst's job — callers just select/filter)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # defensively set per-session: the caller's session (e.g. the
+        # driver's) may not carry this; it is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos_cols:
+        # integer div (not float: 1e18 ns exceeds double's 2^53 exactness)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    """Register each table as a temp view so operators can be written in
+    SQL where that is clearer (Catalyst produces the same plan)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan (S1/S2/S3). Explicit schema preferred; header fallback for
+    ad-hoc use. A glob path (``.../chunk_*.csv``) covers the reference's
+    list.files+bind_rows consolidation (S3)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink (S4). ``partition_by`` covers the reference's
+    dynamic-name sink (S6, ``04_cluster_refiner.R:686-693``) idiomatically:
+    partition columns instead of filename templating."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

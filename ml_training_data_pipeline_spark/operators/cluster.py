@@ -1,0 +1,90 @@
+"""K-means clustering operators (SURVEY.md §2.8 M1/M2, §2.5 A1/A2/A4).
+
+The reference's kmeans-object-with-mutable-fields
+(``02_build_models.R:775-787``) becomes two authoritative DataFrames:
+
+    assignments(doc_id, cluster_id)           — one row per doc
+    centroids(cluster_id, term, weight) long  — SQL-checkable coordinates
+    cluster_summary(cluster_id, size, withinss)
+
+All derived, never mutated in place; refine steps produce new tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ClusterResult:
+    model: KMeansModel
+    assignments: DataFrame  # (doc_id, cluster_id)
+    features: DataFrame     # (doc_id, features) — input vectors, for recompute
+
+
+def fit_kmeans(
+    features: DataFrame,
+    k: int = 15,
+    seed: int = 123,
+    features_col: str = "features",
+    id_col: str = "doc_id",
+) -> ClusterResult:
+    """M1 — apply_clustering(features, k=15) with seed 123
+    (02_build_models.R:183-190)."""
+    km = KMeans(k=k, seed=seed, featuresCol=features_col, predictionCol="cluster_id")
+    model = km.fit(features)
+    assigned = model.transform(features).select(id_col, "cluster_id")
+    return ClusterResult(model=model, assignments=assigned, features=features.select(id_col, features_col))
+
+
+def predict(model: KMeansModel, features: DataFrame) -> DataFrame:
+    """M2 — nearest-centroid serving classification
+    (stats::predict(kmeans_model), README.md:517-520)."""
+    return model.transform(features)
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    """A1 — table(new_clusters) (02_build_models.R:432-433)."""
+    return assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
+
+
+def centroids_long(features: DataFrame, assignments: DataFrame, features_col: str = "features") -> DataFrame:
+    """A2 — colMeans per cluster (02_build_models.R:402-421) in long
+    format (cluster_id, idx, weight). posexplode of the dense form +
+    partial-aggregated mean; single-doc clusters fall out naturally (mean
+    of one row), unlike the reference's special case."""
+    arr = features.select("doc_id", vector_to_array(F.col(features_col)).alias("arr"))
+    exploded = arr.join(assignments, "doc_id").select(
+        "cluster_id", F.posexplode("arr").alias("idx", "val")
+    )
+    return exploded.groupBy("cluster_id", "idx").agg(F.avg("val").alias("weight"))
+
+
+def withinss(features: DataFrame, assignments: DataFrame, centroids: DataFrame, features_col: str = "features") -> DataFrame:
+    """A4 — within-cluster sum of squares (02_build_models.R:437-444):
+    sum over docs of squared distance to their centroid, per cluster.
+    Long-format element-wise join keeps it shuffle-bounded at any scale."""
+    arr = (
+        features.select("doc_id", vector_to_array(F.col(features_col)).alias("arr"))
+        .join(assignments, "doc_id")
+        .select("doc_id", "cluster_id", F.posexplode("arr").alias("idx", "val"))
+    )
+    joined = arr.join(centroids, ["cluster_id", "idx"])
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.sum((F.col("val") - F.col("weight")) ** 2).alias("withinss"))
+    )
+
+
+def cluster_summary(features: DataFrame, assignments: DataFrame, features_col: str = "features") -> DataFrame:
+    """The kmeans-object summary fields as a table:
+    (cluster_id, size, withinss)."""
+    cents = centroids_long(features, assignments, features_col)
+    return cluster_sizes(assignments).join(
+        withinss(features, assignments, cents, features_col), "cluster_id", "left"
+    )

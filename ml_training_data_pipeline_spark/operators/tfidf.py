@@ -1,0 +1,173 @@
+"""TF-IDF document-feature matrix in long format (SURVEY.md §2.4, V1-V6).
+
+The reference builds a sparse doc×term matrix with quanteda
+(``02_build_models.R:161-180``: tokens(ngrams=1:3) → dfm → dfm_tfidf →
+top-2000 reduction). This engine's scalable representation is the exploded
+long format ``(doc_id, term, weight)`` — a shuffle-friendly, columnar,
+100-TB-safe layout — plus helpers to assemble ``SparseVector`` columns for
+MLlib when an estimator needs them (see operators/vectorize.py).
+
+TF-IDF formula (stated once, mirrored exactly in the oracle SQL):
+
+    tf(d, t)  = count of t in d's token array
+    df(t)     = number of docs containing t at least once
+    N         = number of docs with >= 1 token
+    weight    = tf * ln(N / df)
+
+(quanteda's default is log10 with no smoothing, MLlib's IDF is
+ln((N+1)/(df+1)) — per SURVEY §2.4 V3 we replicate *semantics*, and define
+our own constant explicitly rather than chase either library.)
+
+Scale notes: one shuffle for the (doc,term) count, one for df(t); the
+df join is a plain equi-join on ``term`` that AQE turns into a broadcast
+when the vocabulary is small (top-2000 vocab ⇒ always broadcast). No
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams_up_to, remove_stopwords, tokenize
+
+
+def _token_array(
+    text_col: str, *, ngram_max: int = 1, stopwords: tuple[str, ...] | None = None
+) -> Column:
+    toks: Column = tokenize(F.col(text_col))
+    if stopwords:
+        toks = remove_stopwords(toks, stopwords)
+    if ngram_max > 1:
+        toks = ngrams_up_to(toks, ngram_max)
+    return toks
+
+
+def doc_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram_max: int = 1,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(doc_id, term) exploded token table. V1: ngram_max=3 reproduces the
+    reference's quanteda tokens(ngrams=1:3) (02_build_models.R:162)."""
+    base = _token_array(text_col, ngram_max=1, stopwords=stopwords)
+    # explode(array(toks)) is a Generate barrier: it materializes the token
+    # array ONCE per row as a real attribute. Without it, CollapseProject
+    # inlines the tokenize subtree into every n-gram lambda and the
+    # generated (whole-stage codegen) Java blows up super-linearly —
+    # observed 270s vs 7s on the same data.
+    tok_rows = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(base)).alias("_toks")
+    )
+    grams = F.col("_toks") if ngram_max == 1 else ngrams_up_to(F.col("_toks"), ngram_max)
+    return (
+        tok_rows.where(F.size("_toks") > 0)
+        .select("doc_id", F.explode(grams).alias("term"))
+    )
+
+
+def term_counts(tokens_long: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — A7's count(document, word)
+    (02_build_models.R:147-149). Partial aggregation (map-side combine)
+    happens automatically for the count."""
+    return tokens_long.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def tfidf_long(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram_max: int = 1,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(doc_id, term, tf, weight) — V2+V3, the dfm_tfidf equivalent
+    (02_build_models.R:163-165). weight = tf * ln(N/df), rounded to 6
+    decimals so Spark and the DuckDB oracle hash identically."""
+    tokens = doc_tokens(docs, text_col, id_col, ngram_max=ngram_max, stopwords=stopwords)
+    counts = term_counts(tokens)
+    # N is a scalar: one cheap count action on the source (at 100 TB this
+    # is a metadata-cheap scan), so the main plan stays a single lineage —
+    # otherwise Catalyst re-derives the counts subtree for the N aggregate
+    # and the df join (3× the explode work, no shared scan).
+    # same token expression (pre-ngram: ngrams of a non-empty array always
+    # include its unigrams, so the doc set is identical)
+    base_toks = _token_array(text_col, ngram_max=1, stopwords=stopwords)
+    n_docs = docs.where(F.col(text_col).isNotNull()).where(F.size(base_toks) > 0).count()
+    # df(t) as a window over term: one shuffle, no second table, no join.
+    w = Window.partitionBy("term")
+    return counts.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.count("*").over(w)), 6
+        ).alias("weight"),
+    )
+
+
+def top_vocabulary(tfidf: DataFrame, top_n: int = 2000) -> DataFrame:
+    """V4 — reduce_dfm(top_n=2000) (02_build_models.R:174-180): rank terms
+    by total TF-IDF mass, keep the top N. Deterministic tie-break on term.
+    Returns (term, total_weight, rank)."""
+    totals = tfidf.groupBy("term").agg(F.round(F.sum("weight"), 6).alias("total_weight"))
+    w = Window.orderBy(F.desc("total_weight"), F.asc("term"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )
+
+
+def reduce_to_vocabulary(tfidf: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Project the long DFM onto a vocabulary (V4 second half / V7
+    dfm_match, README.md:519). Broadcast join — vocab is small by
+    construction."""
+    return tfidf.join(F.broadcast(vocab.select("term")), "term").select(tfidf.columns)
+
+
+def doc_top_terms(tfidf: DataFrame, k: int = 10) -> DataFrame:
+    """V6 — per-doc top-k terms by TF-IDF (extract_summary,
+    02_build_models.R:141-158; defined-but-dead in the reference, live
+    here). Window top-k: the canonical ranking workload (T2/T3 family)."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        tfidf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "weight", "rank")
+    )
+
+
+def cluster_term_scores(
+    tfidf: DataFrame, assignments: DataFrame, top_n: int = 30
+) -> DataFrame:
+    """T3/A3 — top-n terms per cluster by summed TF-IDF
+    (extract_cluster_term_scores,
+    02_build_models_with_auto_lables._optimised_clusters.R:557-597).
+
+    assignments: (doc_id, cluster_id). The join shuffles on doc_id (or
+    broadcasts the assignments when small); the sum gets map-side partial
+    aggregation; the top-k is a window over cluster_id.
+    Returns (cluster_id, term, score, rank).
+    """
+    scored = (
+        tfidf.join(assignments.select("doc_id", "cluster_id"), "doc_id")
+        .groupBy("cluster_id", "term")
+        .agg(F.round(F.sum("weight"), 6).alias("score"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )
+
+
+def cluster_keywords(cluster_terms: DataFrame, sep: str = ", ") -> DataFrame:
+    """T2's keyword-string form (cluster, keywords) (02_build_models.R:212-216):
+    collapse ranked terms into one comma-joined string per cluster."""
+    return (
+        cluster_terms.groupBy("cluster_id")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("rank", "term"))).getField("term"), sep).alias("keywords"))
+    )

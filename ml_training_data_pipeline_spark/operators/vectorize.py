@@ -1,0 +1,59 @@
+"""SparseVector assembly for MLlib estimators (SURVEY.md §1.1 abstraction 2).
+
+The reference's quanteda dfm → dgCMatrix conversion
+(``02_build_models.R:161-180``, ``04_cluster_refiner.R:26-30``) becomes a
+fitted ``CountVectorizer → IDF`` pipeline producing a ``SparseVector``
+column. The fitted models ARE the vocabulary contract: applying them to new
+text is the reference's ``dfm_match`` (V7, ``README.md:519``).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import IDF, CountVectorizer
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ALL_STOPWORDS, remove_stopwords, tokenize
+
+
+def tokens_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    stopwords: tuple[str, ...] | None = ALL_STOPWORDS,
+) -> DataFrame:
+    """(doc_id, tokens) with empty docs dropped (P4,
+    04_cluster_refiner.R:33-35)."""
+    toks: Column = tokenize(F.col(text_col))
+    if stopwords:
+        toks = remove_stopwords(toks, stopwords)
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+        .where(F.size("tokens") > 0)
+    )
+
+
+def fit_tfidf_vectorizer(tokens: DataFrame, vocab_size: int = 2000, min_df: int = 1) -> PipelineModel:
+    """V2+V3+V4 in MLlib form: CountVectorizer(vocabSize) → IDF. vocabSize
+    caps the feature space exactly like reduce_dfm(top_n=2000)
+    (02_build_models.R:174-180) — CountVectorizer keeps the top-N terms by
+    document frequency. Returns the fitted PipelineModel (the vocabulary
+    contract for serving, V7)."""
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=vocab_size, minDF=float(min_df))
+    idf = IDF(inputCol="tf", outputCol="features")
+    return Pipeline(stages=[cv, idf]).fit(tokens)
+
+
+def vectorize(tokens: DataFrame, model: PipelineModel) -> DataFrame:
+    """Apply the fitted vocabulary to (new) documents — dfm_match (V7,
+    README.md:517-520). Returns (doc_id, tokens, tf, features)."""
+    return model.transform(tokens)
+
+
+def vocabulary(model: PipelineModel) -> list[str]:
+    """term ↔ index contract, mirroring the reference's colnames
+    (02_build_models.R:196-197)."""
+    return list(model.stages[0].vocabulary)

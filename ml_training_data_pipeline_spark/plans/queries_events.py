@@ -1,0 +1,115 @@
+"""Event-stream queries (SURVEY.md §2.10 engine note + scale extensions).
+
+The reference has no streaming surface — its chunked batch loop
+(``01_extract_features.R:338-341``) is the only incremental notion. This
+engine adds the standard event-time workloads a training-data pipeline
+needs (tumbling-window aggregation, sessionization); the Structured
+Streaming variants live in streaming/enrich.py and share these operators'
+semantics (batch/stream parity is the point of Structured Streaming).
+
+Window semantics are defined on epoch seconds (``floor(epoch/300)``) so
+the DuckDB oracle states the identical bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import query
+
+
+# --- W1: tumbling-window aggregation -------------------------------------------
+# 5-minute buckets per event_type: count, decimal-exact sum, distinct users.
+@query(
+    "w1_tumbling_window_agg",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("double") / 300) * 300).cast("long")
+    return (
+        e.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --- W2: sessionization (gap > 30 min starts a new session) ----------------------
+# lag + cumulative-sum-of-boundaries — the batch form of session_window.
+@query(
+    "w2_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch(ts) AS ets,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ets
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ets,
+             CASE WHEN prev_ets IS NULL OR ets - prev_ets > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ets, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def w2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ets = F.col("ts").cast("double")
+    flagged = (
+        e.select("user_id", "event_id", ets.alias("ets"), F.lag(ets).over(w).alias("prev_ets"))
+        .withColumn(
+            "is_new",
+            F.when(F.col("prev_ets").isNull() | (F.col("ets") - F.col("prev_ets") > 1800), 1).otherwise(0),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ets", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w2))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# --- W3: event funnel / conditional aggregation ----------------------------------
+# Per-user event_type mix — pivot-shaped conditional counts.
+@query(
+    "w3_conditional_agg_funnel",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           count(*) AS n_total,
+           CAST(max(epoch(ts)) - min(epoch(ts)) AS DOUBLE) AS active_span_sec
+    FROM events GROUP BY user_id
+    """,
+)
+def w3_conditional_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ets = F.col("ts").cast("double")
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("n_signup"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.count("*").alias("n_total"),
+        (F.max(ets) - F.min(ets)).alias("active_span_sec"),
+    )

@@ -1,0 +1,321 @@
+"""Relational operator queries (SURVEY.md §2.2, §2.5-2.7): scans,
+projections, filters, aggregates, sorts/top-k, joins, unions.
+
+Each mirrors a cited reference operator; all are DuckDB-oracle-checkable.
+Float aggregates are decimal-summed then cast to double so parallel
+summation order can't perturb the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import query
+
+
+# --- S1/P1: column-pruned scan with pushed-down filter -------------------
+# Reference: read.csv %>% select(doc_id, PublicDescription)
+# (01_extract_features.R:463-464). The .explain check: PushedFilters on
+# lang, ReadSchema limited to 3 columns.
+@query(
+    "s1_scan_projection",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+
+
+# --- P2/F9: derived-column projection (combined_features) -----------------
+# Reference: mutate(combined_features = paste(...)) (02_build_models.R:17-20)
+@query(
+    "p2_derived_concat",
+    oracle="""
+    SELECT o_orderkey,
+           concat_ws(' ', o_orderstatus, o_orderpriority) AS combined_features
+    FROM orders
+    """,
+)
+def p2_derived_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.concat_ws(" ", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("combined_features"),
+    )
+
+
+# --- P4/P7: non-empty-document predicate ----------------------------------
+# Reference: drop zero-mass docs (04_cluster_refiner.R:33-35) + empty-prompt
+# guard (01_extract_features.R:85-88).
+@query(
+    "p4_filter_nonempty",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+)
+def p4_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text").isNotNull() & (F.trim("text") != "")).select("doc_id", "n_chars")
+
+
+# --- P6/A1: group count + size guard (HAVING) ------------------------------
+# Reference: skip clusters with < 10 docs (02_build_models.R:504-507);
+# cluster sizes via table() (02_build_models.R:432-433).
+@query(
+    "p6_group_count_having",
+    oracle="""
+    SELECT lang, count(*) AS n_docs FROM documents
+    GROUP BY lang HAVING count(*) >= 10
+    """,
+)
+def p6_group_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count("*").alias("n_docs")).where(F.col("n_docs") >= 10)
+
+
+# --- P3: deterministic row sampling ---------------------------------------
+# Reference: sample_n(input_data, 100) (01_extract_features.R:469-471).
+# Made oracle-checkable by sampling on a hash of the key instead of a
+# engine-specific RNG: md5-bucket sampling is the 100-TB-safe idiom anyway
+# (stable across retries and engines).
+@query(
+    "p3_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def p3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").select("doc_id", "lang")
+
+
+# --- A6: distinct ----------------------------------------------------------
+# Reference: unique(...) (02_build_models.R:81,307).
+@query(
+    "a6_distinct",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+# --- A9: max high-watermark -------------------------------------------------
+# Reference: max_cluster_id + 1 for new subcluster IDs (02_build_models.R:304,367-371).
+@query(
+    "a9_max_watermark",
+    oracle="""
+    SELECT max(o_orderkey) AS max_key, max(o_orderkey) + 1 AS next_key FROM orders
+    """,
+)
+def a9_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_orderkey").alias("max_key"), (F.max("o_orderkey") + 1).alias("next_key")
+    )
+
+
+# --- T1: global sort + deterministic limit ---------------------------------
+# Reference: arrange(desc(coherence)) (02_build_models.R:851). Top-100
+# orders by price; row_number tie-break on key so the row set is total-ordered.
+@query(
+    "t1_sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 100
+    """,
+)
+def t1_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- T2-family: top-k per group via window ---------------------------------
+# Reference: per-cluster top terms by centroid order (02_build_models.R:194-219)
+# — the canonical partitioned ranking workload, here on orders-per-customer.
+@query(
+    "t2_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def t2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# --- J1: broadcast label-lookup join (fan-out to rows) ----------------------
+# Reference: cluster→label lookup fanned out to docs (02_build_models.R:759-761).
+# customer→nation→region is the same shape: small dims broadcast.
+@query(
+    "j1_broadcast_lookup_join",
+    oracle="""
+    SELECT r.r_name AS region_name, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --- J2: renumber via dense_rank --------------------------------------------
+# Reference: renumber_clusters (02_build_models.R:380-389) — compact old IDs
+# to 1..K preserving order.
+@query(
+    "j2_dense_rank_renumber",
+    oracle="""
+    SELECT lang AS old_id, dense_rank() OVER (ORDER BY lang) AS new_id
+    FROM (SELECT DISTINCT lang FROM documents)
+    """,
+)
+def j2_dense_rank_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("lang")
+    return (
+        docs.select("lang").distinct()
+        .select(F.col("lang").alias("old_id"), F.dense_rank().over(w).alias("new_id"))
+    )
+
+
+# --- J-semi/anti: orders with/without lineitems (beyond-reference join kinds)
+@query(
+    "j5_semi_anti_join",
+    oracle="""
+    SELECT 'with_lines' AS kind, count(*) AS n FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'without_lines' AS kind, count(*) AS n FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def j5_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").agg(F.count("*").alias("n")).select(
+        F.lit("with_lines").alias("kind"), "n"
+    )
+    anti = o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").agg(F.count("*").alias("n")).select(
+        F.lit("without_lines").alias("kind"), "n"
+    )
+    return semi.unionByName(anti)
+
+
+# --- U1: union all -----------------------------------------------------------
+# Reference: bind_rows(all_chunks) (01_extract_features.R:431).
+@query(
+    "u1_union_all",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+      SELECT event_type FROM events WHERE value >= 150
+      UNION ALL
+      SELECT event_type FROM events WHERE value < 50
+    ) GROUP BY event_type
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hi = e.where(F.col("value") >= 150).select("event_type")
+    lo = e.where(F.col("value") < 50).select("event_type")
+    return hi.unionByName(lo).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# --- Q1: TPC-H-Q1-shaped heavy aggregate (the bench headline) ----------------
+# 8 aggregates over lineitem grouped on 2 columns; decimal-summed for exact
+# cross-engine match, partial (map-side) aggregation for scale.
+@query(
+    "h1_lineitem_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def h1_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- H2: star-schema join + agg (revenue per nation) -------------------------
+@query(
+    "h2_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def h2_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+    )

@@ -1,0 +1,294 @@
+"""Text-function and TF-IDF queries (SURVEY.md §2.3-2.4 + text-analysis
+scale extensions). All oracle-checkable: the tokenizer/TF-IDF formulas are
+stated once in oracle_fragments.py and mirrored by functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import analysis
+from ..functions.text import (
+    ALL_STOPWORDS,
+    clean_text,
+    remove_stopwords,
+    tokenize,
+)
+from ..io.sources import load_table
+from ..operators.tfidf import (
+    doc_tokens,
+    doc_top_terms,
+    term_counts,
+    tfidf_long,
+    top_vocabulary,
+)
+from .oracle_fragments import (
+    ngram_cte,
+    stopword_list_sql,
+    tfidf_cte,
+    toks_cte,
+    unigram_cte,
+)
+from .registry import query
+
+
+# --- F1-F7: clean_text composite --------------------------------------------
+# Reference: 02_build_models.R:25-41 (lower, contractions, punct, numbers,
+# whitespace). The oracle restates the identical regexp chain.
+_CONTRACTION_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower(text),"
+    " 'won''t', 'will not', 'g'),"
+    " 'can''t', 'cannot', 'g'),"
+    " 'n''t', ' not', 'g'),"
+    " '''re', ' are', 'g'),"
+    " '''ve', ' have', 'g'),"
+    " '''ll', ' will', 'g'),"
+    " '''d', ' would', 'g'),"
+    " 'it''s', 'it is', 'g'),"
+    " '''s', '', 'g')"
+)
+
+@query(
+    "f1_clean_text",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             {_CONTRACTION_SQL},
+             '[^\\sa-zA-Z0-9]', '', 'g'),
+             '[0-9]+', '', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned_text
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def f1_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", clean_text(F.col("text")).alias("cleaned_text")
+    )
+
+
+# --- F8: regex field extraction ----------------------------------------------
+# Reference: str_extract lookarounds for Domain/Level_1/Level_2
+# (01_extract_features.R:277-279) — capture groups; here over events.props
+# JSON-ish strings, plus NULL-on-no-match semantics.
+@query(
+    "f8_regex_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def f8_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.nullif(F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1), F.lit("")).cast("int").alias("k_value"),
+    )
+
+
+# --- V1/V2/A7: token explosion + per-doc term counts -------------------------
+# Reference: quanteda::dfm counts (02_build_models.R:163); count(document, word)
+# (02_build_models.R:147-149).
+@query(
+    "v2_term_counts",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()}
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    """,
+)
+def v2_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return term_counts(doc_tokens(docs))
+
+
+# --- V3: TF-IDF long format (unigram) ----------------------------------------
+# Reference: dfm_tfidf (02_build_models.R:165); formula defined in
+# operators/tfidf.py and oracle_fragments.py identically.
+@query(
+    "v3_tfidf_unigram",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()}, {tfidf_cte()}
+    SELECT doc_id, term, tf, weight FROM tfidf
+    """,
+)
+def v3_tfidf_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_long(docs)
+
+
+# --- V1+V3: TF-IDF over 1-3-grams --------------------------------------------
+# Reference: tokens(ngrams=1:3) → dfm_tfidf (02_build_models.R:162-165).
+@query(
+    "v1_tfidf_ngram",
+    oracle=f"""
+    WITH {toks_cte()}, {ngram_cte(3)}, {tfidf_cte()}
+    SELECT doc_id, term, tf, weight FROM tfidf
+    """,
+)
+def v1_tfidf_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_long(docs, ngram_max=3)
+
+
+# --- V4: vocabulary reduction (top-N terms by TF-IDF mass) --------------------
+# Reference: reduce_dfm(top_n=2000) (02_build_models.R:174-180).
+@query(
+    "v4_vocab_top2000",
+    oracle=f"""
+    WITH {toks_cte()}, {ngram_cte(3)}, {tfidf_cte()},
+    totals AS (
+      SELECT term, round(sum(weight), 6) AS total_weight FROM tfidf GROUP BY term
+    )
+    SELECT term, total_weight, rank FROM (
+      SELECT term, total_weight,
+             row_number() OVER (ORDER BY total_weight DESC, term ASC) AS rank
+      FROM totals
+    ) WHERE rank <= 2000
+    """,
+)
+def v4_vocab_top2000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return top_vocabulary(tfidf_long(docs, ngram_max=3), top_n=2000)
+
+
+# --- V6/T-family: per-doc top-k TF-IDF terms ----------------------------------
+# Reference: extract_summary top-10 by tf_idf (02_build_models.R:141-158).
+@query(
+    "v6_doc_top_terms",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()}, {tfidf_cte()}
+    SELECT doc_id, term, weight, rank FROM (
+      SELECT doc_id, term, weight,
+             row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rank
+      FROM tfidf
+    ) WHERE rank <= 10
+    """,
+)
+def v6_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_top_terms(tfidf_long(docs), k=10)
+
+
+# --- F6: stopword removal (duplicate-preserving) -------------------------------
+# Reference: tm::removeWords + custom noise words (02_build_models.R:35-36).
+@query(
+    "f6_stopword_removal",
+    oracle=f"""
+    WITH {toks_cte()}
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> NOT list_contains({stopword_list_sql()}, x))) AS n_content_tokens
+    FROM toks
+    """,
+)
+def f6_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(remove_stopwords(toks, ALL_STOPWORDS)).alias("n_content_tokens"),
+    )
+
+
+# === Text-analysis scale extensions (BASELINE.json) ===========================
+
+# --- X1: token/char counting ---------------------------------------------------
+@query(
+    "x1_token_stats",
+    oracle=f"""
+    WITH {toks_cte()}
+    SELECT t.doc_id, len(t.toks) AS n_tokens, length(d.text) AS n_chars_raw
+    FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+    """,
+)
+def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        analysis.token_count(F.col("text")).alias("n_tokens"),
+        analysis.char_count(F.col("text")).alias("n_chars_raw"),
+    )
+
+
+# --- X2: quality scoring ---------------------------------------------------------
+# length/punct/stopword ratios — the curation quality gate.
+@query(
+    "x2_quality_scores",
+    oracle=f"""
+    WITH {toks_cte()},
+    stats AS (
+      SELECT t.doc_id, d.text, t.toks,
+             length(d.text) AS n_chars,
+             length(regexp_replace(d.text, '[^\\sa-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             len(t.toks) AS n_toks,
+             len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
+             list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars
+      FROM toks t JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+      round(CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum_chars AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+      round(CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END, 6) AS stopword_ratio,
+      round(CASE WHEN n_toks > 0 THEN CAST(tok_chars AS DOUBLE) / n_toks ELSE 0.0 END, 6) AS mean_word_len,
+      round(
+        least(CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END * 4, 1.0) * 0.4
+        + (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum_chars AS DOUBLE) / n_chars ELSE 0.0 END * 5, 1.0)) * 0.3
+        + (CASE WHEN n_toks > 0 AND CAST(tok_chars AS DOUBLE) / n_toks BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+      6) AS quality_score
+    FROM stats
+    """,
+)
+def x2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(analysis.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(analysis.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(analysis.mean_word_length(t), 6).alias("mean_word_len"),
+        analysis.quality_score(t).alias("quality_score"),
+    )
+
+
+# --- X3: language identification ---------------------------------------------
+# Marker-word heuristic; argmax with alphabetical tie-break, 'und' on zero.
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(analysis.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in analysis.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{markers}], x))) AS s_{lang}"
+        )
+    langs = sorted(analysis.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH {toks_cte()},
+    scores AS (SELECT doc_id, {', '.join(score_cols)} FROM toks)
+    SELECT doc_id, {case} AS lang_detected FROM scores
+    """
+
+
+@query("x3_language_id", oracle=_langid_oracle())
+def x3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select("doc_id", analysis.detect_language(F.col("text")).alias("lang_detected"))
+
+
+# --- X4: document fingerprint ---------------------------------------------------
+@query(
+    "x4_fingerprint",
+    oracle=f"""
+    WITH {toks_cte()}
+    SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks
+    """,
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
