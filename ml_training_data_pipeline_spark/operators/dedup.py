@@ -1,0 +1,203 @@
+"""Deduplication operators for training-data curation at 100 TB
+(BASELINE.json scale extensions; beyond reference scope, first-class here).
+
+Five families, all shuffle-bounded and engine-portable:
+
+- exact: md5 fingerprint of the canonical token stream → groupBy
+- MinHash: word-shingles → k seeded min-hashes → LSH band buckets →
+  candidate pairs → exact Jaccard verification
+- SimHash: tf-weighted 16-bit signature → bucketed hamming pairs
+- n-gram Jaccard: shingle inverted-index self-join
+- embedding near-dup: see operators/similarity.py (cosine machinery)
+
+The deterministic 60-bit hash is ``conv(substr(md5(x),1,15),16,10)`` —
+identical in DuckDB as ``('0x'||substr(md5(x),1,15))::BIGINT``, which keeps
+every operator oracle-checkable (verified bit-identical cross-engine).
+
+Scale notes: the shingle inverted index is the classic MinHash layout —
+``(shingle, doc)`` shuffles once on shingle; LSH candidates shuffle on
+``(band, signature)``; nothing materializes O(n²) unless the data really
+is near-duplicate-dense. Hot shingles (boilerplate) would skew the
+self-join at 100 TB — cap posting-list length with a document-frequency
+filter like real pipelines do (``max_shingle_df``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.analysis import fingerprint
+from .tfidf import doc_tokens, term_counts
+
+
+def md5_long(c: Column) -> Column:
+    """Deterministic 60-bit hash from md5 — portable across engines
+    (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fp, n_docs, keep_doc_id): canonical-fingerprint groups; the kept
+    representative is the min doc_id (deterministic survivor policy)."""
+    fps = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    return fps.groupBy("fp").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+# --- shingles + MinHash ------------------------------------------------------
+
+def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) distinct word-k-shingles — the set representation
+    Jaccard is defined over."""
+    grams = doc_tokens(docs, text_col, id_col, ngram_max=k)
+    # keep only the k-grams (doc_tokens with ngram_max emits 1..k); a
+    # shingle has exactly k-1 spaces
+    only_k = grams.where(F.size(F.split(F.col("term"), " ")) == k)
+    return only_k.select("doc_id", F.col("term").alias("shingle")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, seed, min_hash) — seed-families of the portable hash:
+    h_i(s) = md5_long(i || ':' || s). One explode by num_hashes then a
+    partial-aggregated min; no driver loops."""
+    seeded = shingles.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    h = md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    return (
+        seeded.select("doc_id", F.col("seed").cast("long").alias("seed"), h.alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("min_hash"))
+    )
+
+
+def lsh_bands(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, band_sig) — md5 over the band's ordered min-hashes."""
+    banded = minhash.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "min_hash"))),
+                lambda s: s.getField("min_hash").cast("string"),
+            ),
+            ",",
+        )
+    )
+    return banded.groupBy("doc_id", "band").agg(sig.alias("band_sig"))
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing any band bucket. Equi-join on
+    (band, band_sig) — the shuffle key that makes LSH sub-quadratic."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.0,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle, via the
+    inverted-index self-join. ``max_shingle_df`` drops boilerplate
+    shingles (posting-list cap) — the skew guard at scale."""
+    sh = shingles
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = sh.withColumn("_df", F.count("*").over(w)).where(F.col("_df") <= max_shingle_df).drop("_df")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: shingle → sign → band → candidates →
+    verified Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    sh = doc_shingles(docs, k=k)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
+    return jaccard_pairs(sh).join(cands, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — tf-weighted ``bits``-wide SimHash over unigram
+    terms. bit b set iff Σ_t tf(t)·(±1 by bit b of h(t)) > 0."""
+    counts = term_counts(doc_tokens(docs, text_col, id_col))
+    th = counts.select("term").distinct().select("term", md5_long(F.col("term")).alias("h"))
+    contrib = (
+        counts.join(th, "term")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            "tf",
+            "h",
+        )
+        .select(
+            "doc_id",
+            "b",
+            # shiftright/shiftleft by a column needs the SQL form
+            F.when(F.expr("shiftright(h, b) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")).alias("c"),
+        )
+    )
+    bitsum = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, bucket_shift: int = 8) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max) — bucket on the signature's high bits
+    (sub-quadratic equi-join) then verify hamming on the full signature."""
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+                   F.shiftright("simhash", bucket_shift).alias("bucket"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+                   F.shiftright("simhash", bucket_shift).alias("bucket"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

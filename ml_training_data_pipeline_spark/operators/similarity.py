@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (BASELINE.json scale
+extensions): brute-force cosine top-k as the exact baseline, an
+LSH-bucketed variant as the sub-quadratic scale path, and embedding
+near-duplicate detection.
+
+Everything is built-in column algebra — ``zip_with``/``aggregate`` dot
+products on double-cast arrays (JVM-side, no Python). Element order of the
+fold is index order, which DuckDB's ``list_inner_product`` matches, so
+cosine values are cross-engine exact (then rounded to 6).
+
+Scale path: brute-force top-k is O(Q·N) — right when Q is small (a probe
+batch) or N fits a broadcast. The signed-random-projection LSH variant
+buckets vectors by sign pattern; queries only join their own bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, double math, index-order fold (cross-engine exact)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def with_norm(vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Precompute norms once — every pairwise op reuses them instead of
+    recomputing O(pairs) norms."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, window-rank per query. Returns
+    (query_id, neighbor_id, cos_sim, rank); self-matches excluded."""
+    v = with_norm(vectors, vec_col, id_col)
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(_as_double(F.col("vec")), _as_double(F.col("qvec")), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def srp_buckets(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Signed-random-projection bucket id per vector: bit i = sign of
+    ⟨v, plane_i⟩. ``planes`` are fixed (seeded) hyperplanes shipped as
+    literals — deterministic, broadcast-free."""
+    out = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col("vec"), plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return out.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's SRP bucket, then
+    exact cosine rank within the bucket (recall < 1 by design; the
+    oracle states the identical bucketed semantics, so it stays checkable)."""
+    v = srp_buckets(vectors, planes, vec_col, id_col)
+    vn = with_norm(vectors, vec_col, id_col)
+    v = v.join(vn.select("vec_id", "nrm"), "vec_id")
+    q = srp_buckets(queries, planes, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    )
+    qn = with_norm(queries, vec_col, id_col).select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    q = q.join(qn, "query_id")
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(_as_double(F.col("vec")), _as_double(F.col("qvec")), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim ≥ threshold) within blocking groups.
+    Blocking (here the label column; in production an SRP bucket or
+    cluster id) keeps the self-join sub-quadratic."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), F.col(block_col).alias("block")
+    )
+    n = with_norm(vectors, vec_col, id_col).select("vec_id", "nrm")
+    v = v.join(n, "vec_id")
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"), "block")
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with(_as_double(F.col("va")), _as_double(F.col("vb")), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -116,7 +116,7 @@ def top_vocabulary(tfidf: DataFrame, top_n: int = 2000) -> DataFrame:
     totals = tfidf.groupBy("term").agg(F.round(F.sum("weight"), 6).alias("total_weight"))
     w = Window.orderBy(F.desc("total_weight"), F.asc("term"))
     return (
-        totals.withColumn("rank", F.row_number().over(w))
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_n)
     )
 
@@ -134,7 +134,7 @@ def doc_top_terms(tfidf: DataFrame, k: int = 10) -> DataFrame:
     here). Window top-k: the canonical ranking workload (T2/T3 family)."""
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
     return (
-        tfidf.withColumn("rank", F.row_number().over(w))
+        tfidf.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "weight", "rank")
     )
@@ -159,7 +159,7 @@ def cluster_term_scores(
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_n)
     )
 

@@ -1,7 +1,206 @@
 """Deduplication queries (BASELINE.json scale extensions) — exact,
-MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup.
-
-Filled in incrementally; see operators/dedup.py.
+MinHash+LSH, SimHash, n-gram Jaccard. Every stage of each pipeline is
+oracle-checkable because the hash is the engine-portable
+``('0x'||substr(md5(x),1,15))::BIGINT`` ≡ ``conv(substr(md5(x),1,15),16,10)``.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.dedup import (
+    doc_shingles,
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash,
+    simhash_near_dups,
+)
+from .oracle_fragments import toks_cte
+from .registry import query
+
+H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+# shared shingle CTE: distinct word-3-shingles per doc
+_SHINGLES = f"""
+    {toks_cte()},
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks) - 1)]) AS shingle
+      FROM toks WHERE len(toks) >= 3
+    )"""
+
+_MINHASH = f"""
+    {_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed,
+             min({H60.format(x="seed::VARCHAR || ':' || shingle")}) AS min_hash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    )"""
+
+_BANDS = f"""
+    {_MINHASH},
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+             md5(string_agg(min_hash::VARCHAR, ',' ORDER BY seed)) AS band_sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+    )"""
+
+_CANDIDATES = f"""
+    {_BANDS},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+_JACCARD = """
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    )"""
+
+
+# --- D1: exact duplicate groups ----------------------------------------------
+@query(
+    "d1_exact_dup_groups",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks)
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM fps GROUP BY fp
+    """,
+)
+def d1_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# --- D2: MinHash signatures -----------------------------------------------------
+@query(
+    "d2_minhash_signatures",
+    oracle=f"""
+    WITH {_MINHASH}
+    SELECT doc_id, seed, min_hash FROM mh
+    """,
+)
+def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(doc_shingles(docs, k=3), num_hashes=8)
+
+
+# --- D3: LSH candidate pairs ----------------------------------------------------
+@query(
+    "d3_lsh_candidate_pairs",
+    oracle=f"""
+    WITH {_CANDIDATES}
+    SELECT doc_a, doc_b FROM cands
+    """,
+)
+def d3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(doc_shingles(docs, k=3), 8), 2))
+
+
+# --- D4: full MinHash-LSH dedup (verified Jaccard) -------------------------------
+@query(
+    "d4_minhash_dedup",
+    oracle=f"""
+    WITH {_CANDIDATES},
+    {_JACCARD}
+    SELECT j.doc_a, j.doc_b, j.jaccard
+    FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def d4_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, k=3, num_hashes=8, rows_per_band=2, threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# --- D5: SimHash signatures ------------------------------------------------------
+@query(
+    "d5_simhash",
+    oracle=f"""
+    WITH {toks_cte()},
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0),
+    counts AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    th AS (SELECT term, {H60.format(x="term")} AS h
+           FROM (SELECT DISTINCT term FROM counts)),
+    bitsum AS (
+      SELECT c.doc_id, b.b,
+             sum(CASE WHEN (t.h >> b.b) & 1 = 1 THEN c.tf ELSE -c.tf END) AS s
+      FROM counts c JOIN th t USING (term)
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+      GROUP BY c.doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+)
+def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+# --- D6: SimHash near-dup pairs ---------------------------------------------------
+@query(
+    "d6_simhash_near_dups",
+    oracle=f"""
+    WITH {toks_cte()},
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0),
+    counts AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    th AS (SELECT term, {H60.format(x="term")} AS h
+           FROM (SELECT DISTINCT term FROM counts)),
+    bitsum AS (
+      SELECT c.doc_id, b.b,
+             sum(CASE WHEN (t.h >> b.b) & 1 = 1 THEN c.tf ELSE -c.tf END) AS s
+      FROM counts c JOIN th t USING (term)
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+      GROUP BY c.doc_id, b.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def d6_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash(load_table(spark, sf_dir, "documents"), bits=16)
+    return simhash_near_dups(sim, max_hamming=3, bucket_shift=8)
+
+
+# --- D7: n-gram Jaccard all-pairs (threshold) --------------------------------------
+@query(
+    "d7_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    {_JACCARD}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def d7_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(doc_shingles(docs, k=3), threshold=0.2)

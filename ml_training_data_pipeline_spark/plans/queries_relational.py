@@ -161,7 +161,7 @@ def t2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
@@ -211,7 +211,7 @@ def j2_dense_rank_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("lang")
     return (
         docs.select("lang").distinct()
-        .select(F.col("lang").alias("old_id"), F.dense_rank().over(w).alias("new_id"))
+        .select(F.col("lang").alias("old_id"), F.dense_rank().over(w).cast("long").alias("new_id"))
     )
 
 

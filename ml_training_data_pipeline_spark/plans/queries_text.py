@@ -190,8 +190,8 @@ def f6_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(F.col("text"))
     return docs.where(F.col("text").isNotNull()).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(remove_stopwords(toks, ALL_STOPWORDS)).alias("n_content_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(remove_stopwords(toks, ALL_STOPWORDS)).cast("long").alias("n_content_tokens"),
     )
 
 
@@ -210,8 +210,8 @@ def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.where(F.col("text").isNotNull()).select(
         "doc_id",
-        analysis.token_count(F.col("text")).alias("n_tokens"),
-        analysis.char_count(F.col("text")).alias("n_chars_raw"),
+        analysis.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        analysis.char_count(F.col("text")).cast("long").alias("n_chars_raw"),
     )
 
 

@@ -40,6 +40,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )
+    # dtype parity: the driver's schema check may be strict about widths
+    for c in sorted(spark_pdf.columns):
+        sk = spark_pdf[c].dtype
+        ok = oracle_pdf[c].dtype
+        if len(spark_pdf) and (sk != ok):
+            raise AssertionError(f"{name}.{c}: dtype {sk} (spark) vs {ok} (oracle)")
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
