@@ -1,6 +1,114 @@
-"""Estimator-backed (🔶) queries: K-means fit/predict, LDA split, the
-refine pipeline, mocked-LLM enrichment. Rows-only driver checks (no
-oracle SQL) with deterministic seeds; invariants are tested in tests/.
+"""Estimator-backed (🔶) queries: K-means fit/predict, LDA topics, the
+coherence-gated refine pipeline. Deterministic seeds (kmeans 123, LDA 1234
+— the reference's own, 02_build_models.R:185; 04_cluster_refiner.R:183);
+no oracle SQL (driver records rows-only checks), invariants are asserted
+in tests/test_refine.py.
 """
 
 from __future__ import annotations
+
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.cluster import cluster_sizes, fit_kmeans
+from ..operators.refine import RefineConfig, refine
+from ..operators.tfidf import tfidf_long
+from ..operators.vectorize import fit_tfidf_vectorizer, tokens_frame, vectorize, vocabulary
+from .registry import query
+
+
+def _embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("doc_id"),
+        array_to_vector(F.col("embedding")).alias("features"),
+    )
+
+
+# --- M1: K-means fit → assignments ------------------------------------------
+# Reference: apply_clustering(k=15, seed=123) (02_build_models.R:183-190);
+# k=10 here to match the embeddings' generative label count.
+@query("m1_kmeans_assignments")
+def m1_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _embedding_vectors(spark, sf_dir)
+    res = fit_kmeans(vecs, k=10, seed=123)
+    return res.assignments.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+# --- M1+A1: cluster sizes ------------------------------------------------------
+@query("m2_kmeans_cluster_sizes")
+def m2_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _embedding_vectors(spark, sf_dir)
+    res = fit_kmeans(vecs, k=10, seed=123)
+    return cluster_sizes(res.assignments)
+
+
+# --- M2: serving-time predict (dfm_match + nearest centroid) --------------------
+# Reference prediction recipe: README.md:510-520 — apply the FITTED
+# vocabulary to new text, classify by nearest centroid.
+@query("m3_kmeans_predict_new_docs")
+def m3_kmeans_predict_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = tokens_frame(docs.where(F.col("doc_id") % 2 == 0))
+    serve = tokens_frame(docs.where(F.col("doc_id") % 2 == 1))
+    vec_model = fit_tfidf_vectorizer(train, vocab_size=500)
+    res = fit_kmeans(vectorize(train, vec_model), k=5, seed=123)
+    served = res.model.transform(vectorize(serve, vec_model))  # V7: fitted vocab on new docs
+    return served.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+
+
+# --- M3: LDA topics with vocabulary terms ---------------------------------------
+# Reference: FitLdaModel / topicmodels::LDA (02_build_models.R:335-343),
+# seed 1234; top-7 terms per topic via describeTopics.
+@query("m4_lda_topic_terms")
+def m4_lda_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import LDA
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = tokens_frame(docs)
+    vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
+    tf = vectorize(tokens, vec_model).select("doc_id", "tf")
+    lda = LDA(k=5, seed=1234, maxIter=20, featuresCol="tf", optimizer="em")
+    model = lda.fit(tf)
+    vocab = vocabulary(vec_model)
+    vocab_df = tf.sparkSession.createDataFrame(
+        list(enumerate(vocab)), schema="term_idx int, term string"
+    )
+    topics = model.describeTopics(7).select(
+        "topic", F.posexplode(F.col("termIndices")).alias("rank0", "term_idx")
+    )
+    return (
+        topics.join(F.broadcast(vocab_df), "term_idx")
+        .select(
+            F.col("topic").cast("long").alias("topic"),
+            "term",
+            (F.col("rank0") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
+# --- M6/M11: coherence-gated refine pipeline -------------------------------------
+# Reference: optimize_clusters_with_coherence (02_opt:831-911). Initial
+# KMeans k=6 on TF-IDF vectors, split threshold forces LDA splits on the
+# synthetic corpus, merge 0.9, renumbered output summary.
+@query("m5_refine_pipeline")
+def m5_refine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = tokens_frame(docs)
+    vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
+    vecs = vectorize(tokens, vec_model)
+    res = fit_kmeans(vecs, k=6, seed=123)
+    tfidf = tfidf_long(docs)
+    cfg = RefineConfig(
+        coherence_threshold=0.05,
+        k_range=(2,),
+        min_docs=10,
+        merge_threshold=0.9,
+        lda_search_iter=5,
+        lda_final_iter=10,
+        max_split_clusters=2,
+    )
+    refined = refine(vecs.select("doc_id", "tf"), tfidf, res.assignments, cfg)
+    return refined.groupBy("cluster_id").agg(F.count("*").alias("size"))
