@@ -11,11 +11,42 @@ multi-file scan makes the explicit union disappear.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 from functools import lru_cache
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_shipped_apps: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Pandas-UDF/mapInPandas closures pickle by reference to this module, so
+    workers must be able to import it — true on a 1000-executor cluster
+    (spark-submit --py-files) and equally true in local mode when the
+    driver's cwd isn't the repo root. Zips the package once per process,
+    registers once per SparkContext."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped_apps:
+        return
+    import ml_training_data_pipeline_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"mtdp_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _shipped_apps.add(app_id)
 
 
 @lru_cache(maxsize=256)
@@ -35,6 +66,7 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one testdata table (column pruning + predicate
     pushdown are Catalyst's job — callers just select/filter)."""
+    ensure_package_shipped(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:

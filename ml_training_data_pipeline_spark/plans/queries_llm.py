@@ -1,0 +1,143 @@
+"""Mocked-LLM enrichment queries (M8/M9/M10 + F8 + EP1). The mock client
+is a pure function of the prompt (md5-indexed vocabulary picks), so the
+DuckDB oracle restates it exactly and the WHOLE enrichment path —
+prompting, completion, regex field extraction, combined_features, label
+join — is value-checked, not just rows-counted. The live HTTP client
+swaps in via env config without touching any of this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.llm import (
+    CLUSTER_LABELS,
+    DOMAINS,
+    LABEL_PROMPT_PREFIX,
+    LEVEL_1,
+    LEVEL_2,
+    PRIMARY_SECTORS,
+    SECONDARY_SECTORS,
+    SECTOR_PROMPT_PREFIX,
+    TOPIC_PROMPT_PREFIX,
+    enrich_documents,
+    label_prompt,
+    llm_complete,
+)
+from ..io.sources import load_table
+from ..operators.tfidf import cluster_term_scores, tfidf_long
+from .oracle_fragments import tfidf_cte, toks_cte, unigram_cte
+from .registry import query
+
+
+def _arr(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _h60(expr: str) -> str:
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+# mock completion formulas (DuckDB restatement of MockLLMClient)
+_TH = _h60(f"'{TOPIC_PROMPT_PREFIX}' || text")
+_SH = _h60(f"'{SECTOR_PROMPT_PREFIX}' || text")
+
+_TOPIC_RESP = (
+    f"'Domain: ' || {_arr(DOMAINS)}[({_TH} % 8) + 1]"
+    f" || ' Level 1: ' || {_arr(LEVEL_1)}[(({_TH} >> 8) % 8) + 1]"
+    f" || ' Level 2: ' || {_arr(LEVEL_2)}[(({_TH} >> 16) % 8) + 1]"
+)
+_SECTOR_RESP = (
+    f"'Primary_Sector: ' || {_arr(PRIMARY_SECTORS)}[({_SH} % 6) + 1]"
+    f" || ' Secondary_Sector: ' || {_arr(SECONDARY_SECTORS)}[(({_SH} >> 8) % 6) + 1]"
+)
+
+
+# --- L1: full enrichment stage (EP1: M8+M9+F8+P2+P7) ---------------------------
+@query(
+    "l1_enrich_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN NULL ELSE text END AS text
+      FROM documents
+    ),
+    resp AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL ELSE {_TOPIC_RESP} END AS topic_response,
+             CASE WHEN text IS NULL THEN NULL ELSE {_SECTOR_RESP} END AS sector_response
+      FROM base
+    ),
+    fields AS (
+      SELECT doc_id, topic_response,
+             NULLIF(trim(regexp_extract(topic_response, 'Domain: (.*?) Level 1:', 1)), '') AS Domain,
+             NULLIF(trim(regexp_extract(topic_response, 'Level 1: (.*?) Level 2:', 1)), '') AS Level_1,
+             NULLIF(trim(regexp_extract(topic_response, 'Level 2: (.*)$', 1)), '') AS Level_2,
+             NULLIF(trim(regexp_extract(sector_response, 'Primary_Sector: (.*?) Secondary_Sector:', 1)), '') AS Primary_Sector,
+             NULLIF(trim(regexp_extract(sector_response, 'Secondary_Sector: (.*)$', 1)), '') AS Secondary_Sector
+      FROM resp
+    )
+    SELECT doc_id, topic_response, Domain, Level_1, Level_2,
+           Primary_Sector, Secondary_Sector,
+           concat_ws(' ', Domain, Level_1, Level_2, Primary_Sector, Secondary_Sector) AS combined_features
+    FROM fields
+    """,
+)
+def l1_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_documents(load_table(spark, sf_dir, "documents"))
+
+
+# --- L2: cluster labeling (M10 + J1) --------------------------------------------
+# Reference: label_clusters_with_gpt from top-terms keywords
+# (02_build_models.R:697-761); cluster proxy = lang; label map broadcast-
+# joined back onto documents.
+@query(
+    "l2_cluster_labels",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()}, {tfidf_cte()},
+    assigned AS (
+      SELECT t.doc_id, t.term, t.weight, d.lang AS cluster_id
+      FROM tfidf t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    scored AS (
+      SELECT cluster_id, term, round(sum(weight), 6) AS score
+      FROM assigned GROUP BY cluster_id, term
+    ),
+    topterms AS (
+      SELECT cluster_id, term, rank FROM (
+        SELECT cluster_id, term, score,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    kw AS (
+      SELECT cluster_id, string_agg(term, ', ' ORDER BY rank) AS keywords
+      FROM topterms GROUP BY cluster_id
+    ),
+    labels AS (
+      SELECT cluster_id, keywords,
+             {_arr(CLUSTER_LABELS)}[({_h60(f"'{LABEL_PROMPT_PREFIX}' || keywords")} % 6) + 1] AS label
+      FROM kw
+    ),
+    sizes AS (SELECT lang AS cluster_id, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT l.cluster_id, l.keywords, l.label, s.n_docs
+    FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+    """,
+)
+def l2_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assignments = docs.select("doc_id", F.col("lang").alias("cluster_id"))
+    topterms = cluster_term_scores(tfidf_long(docs), assignments, top_n=5)
+    kw = topterms.groupBy("cluster_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                lambda s: s.getField("term"),
+            ),
+            ", ",
+        ).alias("keywords")
+    )
+    labeled = kw.withColumn("label", llm_complete(label_prompt(F.col("keywords"))))
+    sizes = docs.groupBy(F.col("lang").alias("cluster_id")).agg(F.count("*").alias("n_docs"))
+    return labeled.join(sizes, "cluster_id").select("cluster_id", "keywords", "label", "n_docs")

@@ -1,0 +1,101 @@
+"""Structured Streaming queries, driven to completion over bounded file
+streams (memory sink + processAllAvailable) so the driver can check them
+like any batch query. st1/st2 are oracle-checked against the SAME SQL
+semantics as their batch twins (w1/w2) — batch/stream parity made
+literal. st3 reuses the mocked-LLM enrichment oracle (l1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.enrich import (
+    run_bounded,
+    stream_table,
+    streaming_enrich,
+    streaming_sessionize,
+)
+from .queries_llm import l1_enrich_documents
+from .registry import ORACLE_SQL, query
+
+
+# --- ST1: watermarked tumbling windows on a stream -------------------------------
+# Same bucketing as w1 (epoch-aligned 5-minute windows) ⇒ same oracle shape.
+@query(
+    "st1_stream_window_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_bounded(agg, "st1_out")
+
+
+# --- ST2: native session windows on a stream -------------------------------------
+# Gap-based sessions (30 min) — the streaming twin of w2's lag/cumsum; the
+# oracle restates sessionization relationally and summarizes per user.
+@query(
+    "st2_stream_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch(ts) AS ets,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ets
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ets,
+             CASE WHEN prev_ets IS NULL OR ets - prev_ets > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ets,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ets, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, round(min(ets), 6) AS session_start_sec, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def st2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    sessions = streaming_sessionize(events, gap="30 minutes")
+    out = run_bounded(sessions, "st2_out")
+    return out.select(
+        "user_id",
+        F.round(F.col("session_start").cast("double"), 6).alias("session_start_sec"),
+        "n_events",
+    )
+
+
+# --- ST3: streaming enrichment (EP1 on a stream) ---------------------------------
+# Stateless plan ⇒ identical results to the batch run; same oracle as l1.
+@query("st3_stream_enrich")
+def st3_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = stream_table(spark, sf_dir, "documents")
+    return run_bounded(streaming_enrich(docs), "st3_out")
+
+
+# st3's oracle is l1's, verbatim (batch/stream parity)
+ORACLE_SQL["st3_stream_enrich"] = ORACLE_SQL["l1_enrich_documents"]

@@ -44,3 +44,6 @@ def _load_all() -> None:
     from . import queries_events  # noqa: F401
     from . import queries_cluster  # noqa: F401
     from . import queries_ml  # noqa: F401
+    from . import queries_llm  # noqa: F401
+    from . import queries_stream  # noqa: F401
+    from . import queries_multimodal  # noqa: F401

@@ -1,0 +1,101 @@
+"""Structured Streaming surface (SURVEY.md §2.10 engine note).
+
+The reference has no streaming — its chunked batch loop
+(``01_extract_features.R:338-341,479-491``) is the only incremental
+notion. Structured Streaming is its idiomatic upgrade: the SAME stateless
+operators (enrichment, cleaning, quality scoring) run unchanged on a
+stream, because batch/stream parity is the point of the DataFrame API.
+
+Everything here is exercised in tests with bounded file streams + memory
+sinks (``processAllAvailable``), matching how a real deployment would
+swap in Kafka sources without touching operator code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-stream source over one testdata table. Schema comes from the
+    batch reader (including the nanos→timestamp conversion), then the
+    stream replays the same files."""
+    batch = load_table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # file-stream sources take a directory; glob-filter to this table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    # re-apply nanos conversion on the stream (same contract as load_table)
+    from ..io.sources import _nanos_timestamp_cols
+
+    for col in _nanos_timestamp_cols(path):
+        stream = stream.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _ = batch  # schema provenance only
+    return stream
+
+
+def streaming_enrich(docs_stream: DataFrame) -> DataFrame:
+    """EP1 as a stream: the enrichment plan is stateless, so the batch
+    operator applies verbatim (S8/M8/M9 via the same mockable client)."""
+    from ..functions.llm import enrich_documents
+
+    return enrich_documents(docs_stream)
+
+
+def streaming_window_counts(events_stream: DataFrame, *, window: str = "5 minutes",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """W1 as a stream: watermarked tumbling-window aggregation — the
+    late-data-safe form of the batch epoch-bucket query."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """W2 as a stream: native session_window (gap-based), the streaming
+    twin of the batch lag/cumsum sessionization."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+
+
+def run_bounded(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a bounded file stream to completion through a memory sink and
+    return the materialized result — the deterministic smoke harness."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan
