@@ -152,6 +152,11 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH dedup: shingle → sign → band → candidates →
     verified Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    # NOTE: deliberately NOT .cache()d — caching the shingle table hides
+    # its stats from AQE and turned the downstream self-join plan 18×
+    # slower (132s vs 7s at sf0.1). Recomputing the narrow shingle lineage
+    # per consumer is cheaper than losing adaptive planning; at 100 TB the
+    # right lever is a max_shingle_df cap, not caching.
     sh = doc_shingles(docs, k=k)
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
     return jaccard_pairs(sh).join(cands, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)

@@ -1,0 +1,195 @@
+"""Coverage for the remaining SURVEY §2 rows: multi-file CSV scan+union
+(S3/S4), inline literal tables (S7), threshold predicates (P8), argmax
+per group (A8's relational face), vocabulary intersection (U2), and the
+beyond-reference grouping extensions (rollup) Spark gives for free.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.tfidf import doc_tokens
+from .registry import query
+
+
+# --- S3+S4: CSV sink → glob multi-file scan → implicit union ---------------------
+# Reference: per-chunk write.csv then list.files+bind_rows consolidation
+# (01_extract_features.R:423-436,487-488). Spark: partitioned CSV write,
+# glob read — the union disappears into the multi-file scan.
+@query(
+    "s3_csv_chunk_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s3_csv_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_chunks_{os.path.basename(sf_dir)}")
+    # chunked sink (S4): 4 part-files, the reference's chunk_*.csv
+    docs.repartition(4).write.mode("overwrite").option("header", "true").csv(out_dir)
+    back = (
+        spark.read.option("header", "true")
+        .schema("doc_id long, lang string, n_chars long")
+        .csv(os.path.join(out_dir, "part-*.csv"))  # S3: glob scan = union
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# --- S7: inline literal table (the reference's test corpora) ---------------------
+# Reference: tibble(PublicDescription=c(...)) (01_extract_features.R:520-526).
+_FIXTURE = [
+    (1, "energy battery power electric charging"),
+    (2, "energy storage renewable power battery"),
+    (3, "finance investment risk banking money"),
+    (4, "stock markets economic growth inflation"),
+    (5, "healthcare hospital treatment diagnosis"),
+    (6, "medicine health doctor therapy"),
+]
+
+
+@query(
+    "s7_inline_table",
+    oracle="""
+    WITH fixture(doc_id, text) AS (VALUES
+      (1, 'energy battery power electric charging'),
+      (2, 'energy storage renewable power battery'),
+      (3, 'finance investment risk banking money'),
+      (4, 'stock markets economic growth inflation'),
+      (5, 'healthcare hospital treatment diagnosis'),
+      (6, 'medicine health doctor therapy')
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fixture)
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY term HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def s7_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fixture = spark.createDataFrame(_FIXTURE, schema="doc_id int, text string")
+    toks = doc_tokens(fixture)
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > 1)
+    )
+
+
+# --- P8/F10: threshold predicates + conditional scalar ---------------------------
+# Reference: coherence < threshold → split; sim > 0.9 → merge
+# (02_build_models.R:544-547; 02_opt:871-874); ifelse conditional
+# (01_extract_features.R:277-279).
+@query(
+    "p8_threshold_bands",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 150 THEN 'high'
+                WHEN value >= 50 THEN 'mid'
+                ELSE 'low' END AS band,
+           CASE WHEN value >= 150 THEN value ELSE NULL END AS high_value
+    FROM events
+    """,
+)
+def p8_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") >= 150, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.when(F.col("value") >= 150, F.col("value")).alias("high_value"),
+    )
+
+
+# --- A8 (relational face): argmax per group via ranked window --------------------
+# Reference: which.max over a distribution (02_build_models.R:363) — here
+# "each user's dominant event_type", deterministic tie-break.
+@query(
+    "w4_argmax_per_group",
+    oracle="""
+    SELECT user_id, event_type AS dominant_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def w4_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_type"), "n")
+    )
+
+
+# --- U2: vocabulary intersection --------------------------------------------------
+# Reference: intersect(dtm_vocab, lda_vocab) (04_cluster_refiner.R:195-207).
+@query(
+    "u2_vocab_intersection",
+    oracle="""
+    WITH en_terms AS (
+      SELECT DISTINCT unnest(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
+        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents d WHERE d.lang = 'en' AND d.text IS NOT NULL
+    ),
+    es_terms AS (
+      SELECT DISTINCT unnest(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
+        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents d WHERE d.lang = 'es' AND d.text IS NOT NULL
+    )
+    SELECT a.term FROM en_terms a JOIN es_terms b ON a.term = b.term
+    WHERE a.term <> ''
+    """,
+)
+def u2_vocab_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = doc_tokens(docs.where(F.col("lang") == "en")).select("term").distinct()
+    es = doc_tokens(docs.where(F.col("lang") == "es")).select("term").distinct()
+    return en.join(es, "term")
+
+
+# --- G1: rollup (beyond reference — free from Spark, §2.5 note) ------------------
+@query(
+    "g1_rollup_totals",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def g1_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(F.count("*").alias("n_docs"))
+
+
+# --- X5: corpus profile (exact distincts; approx variants are rows-only) ---------
+@query(
+    "x5_corpus_profile",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def x5_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

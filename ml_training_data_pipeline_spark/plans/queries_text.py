@@ -195,6 +195,51 @@ def f6_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- V5: POS-filtered keyword extraction ---------------------------------------
+# Reference: extract_cleaned_text — clean → udpipe_annotate → keep
+# NOUN/VERB → unique → comma-join (02_build_models.R:69-85; worker-local
+# model load 02_test.R:44-58). Spark: mapInPandas with a lazy per-executor
+# tagger; the deterministic heuristic tagger is a pure token→tag map, so
+# the SAME rules are stated here as an ordered CASE expression.
+def pos_keep_sql() -> str:
+    """keep iff tag ∈ {NOUN, VERB}: pass the OTHER gate, and match neither
+    the ADV nor the ADJ suffix rule (ADJ outranks VERB in the tagger, and
+    VERB vs NOUN both survive the filter, so VERB_SUFFIXES doesn't appear).
+    Asserted equivalent to the Python tagger in tests/test_pos_keywords.py."""
+    from ..operators.pos_keywords import ADJ_SUFFIXES, ADV_SUFFIXES, CLOSED_CLASS
+
+    closed = ", ".join(f"'{w}'" for w in sorted(CLOSED_CLASS))
+
+    def any_suffix(sufs: tuple[str, ...]) -> str:
+        return " OR ".join(f"x LIKE '%{s}'" for s in sufs)
+
+    return (
+        f"NOT list_contains([{closed}], x) AND length(x) >= 3 "
+        f"AND regexp_matches(x, '^[a-z]+$') "
+        f"AND NOT ({any_suffix(ADV_SUFFIXES)}) "
+        f"AND NOT ({any_suffix(ADJ_SUFFIXES)})"
+    )
+
+
+def _pos_keywords_oracle() -> str:
+    keep = pos_keep_sql()
+    return f"""
+    WITH {toks_cte()}
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_filter(toks, x -> {keep}))), ', ') AS keywords
+    FROM toks
+    """
+
+
+@query("v5_pos_keywords", oracle=_pos_keywords_oracle())
+def v5_pos_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pos_keywords import extract_pos_keywords
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return extract_pos_keywords(docs)
+
+
 # === Text-analysis scale extensions (BASELINE.json) ===========================
 
 # --- X1: token/char counting ---------------------------------------------------

@@ -47,3 +47,4 @@ def _load_all() -> None:
     from . import queries_llm  # noqa: F401
     from . import queries_stream  # noqa: F401
     from . import queries_multimodal  # noqa: F401
+    from . import queries_misc  # noqa: F401
