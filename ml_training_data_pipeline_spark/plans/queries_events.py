@@ -91,6 +91,30 @@ def w2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F11: JSON decode as a column op ---------------------------------------------
+# Reference: jsonlite::toJSON / httr parsed content (01_extract_features.R:43,53)
+# — there JSON lives on the LLM transport path; here the engine exposes
+# from_json as a first-class column op over events.props, oracle-checked.
+@query(
+    "f11_json_decode",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f11_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.avg(k).alias("avg_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
 # --- W3: event funnel / conditional aggregation ----------------------------------
 # Per-user event_type mix — pivot-shaped conditional counts.
 @query(

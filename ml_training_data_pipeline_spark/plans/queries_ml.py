@@ -89,6 +89,51 @@ def m4_lda_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S5/S6: model persistence round-trip ------------------------------------------
+# Reference: saveRDS(kmeans_model)/readRDS with dynamic filenames
+# f(num_clusters, date) (02_build_models.R:770-772; 04_cluster_refiner.R:679-700,
+# 729-731). Spark: KMeansModel.save + assignments/centroids as parquet; the
+# reload path proves EP3's "operators work off persisted state" contract.
+@query("s5_model_roundtrip")
+def s5_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.ml.clustering import KMeansModel
+
+    from ..io.sources import write_parquet
+    from ..operators.cluster import cluster_summary
+
+    vecs = _embedding_vectors(spark, sf_dir)
+    res = fit_kmeans(vecs, k=10, seed=123)
+    k = res.model.getK()
+    # S6 dynamic-name sink: path templated on model params (the reference
+    # templates on num_clusters + date; date omitted — nondeterminism is
+    # banned on the correctness path)
+    base = os.path.join(tempfile.gettempdir(), f"mtdp_kmeans_{k}clusters_{os.path.basename(sf_dir)}")
+    res.model.write().overwrite().save(os.path.join(base, "model"))
+    write_parquet(res.assignments, os.path.join(base, "assignments"))
+    write_parquet(cluster_summary(res.features, res.assignments), os.path.join(base, "summary"))
+
+    # reload everything and serve from persisted state (M2 on a loaded model)
+    reloaded = KMeansModel.load(os.path.join(base, "model"))
+    assignments = spark.read.parquet(os.path.join(base, "assignments"))
+    summary = spark.read.parquet(os.path.join(base, "summary"))
+    repredicted = reloaded.transform(vecs).select(
+        "doc_id", F.col("cluster_id").alias("re_cluster_id")
+    )
+    # persisted assignment must equal the reloaded model's prediction
+    return (
+        assignments.join(repredicted, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.sum(F.when(F.col("cluster_id") == F.col("re_cluster_id"), 0).otherwise(1)).alias("n_mismatch"),
+        )
+        .join(summary.select("cluster_id", F.round("withinss", 6).alias("withinss")), "cluster_id")
+    )
+
+
 # --- M6/M11: coherence-gated refine pipeline -------------------------------------
 # Reference: optimize_clusters_with_coherence (02_opt:831-911). Initial
 # KMeans k=6 on TF-IDF vectors, split threshold forces LDA splits on the
