@@ -101,39 +101,62 @@ class MockLLMClient:
 
 class HTTPLLMClient:
     """Live chat-completion client (S8): JSON POST, bearer auth, bounded
-    retries — config-injected endpoint, never used on the correctness
+    retries with exponential backoff, and **bounded-concurrency** batch
+    completion — config-injected endpoint, never used on the correctness
     path. Mirrors the reference's request shape
-    (01_extract_features.R:40-53)."""
+    (01_extract_features.R:40-53) and its worker-pool parallelism with
+    chunked retry (plan(multisession, workers=availableCores()),
+    01_extract_features.R:312,338-341): each Arrow batch fans out over a
+    thread pool capped at ``max_concurrency`` per executor process, so
+    total in-flight requests are bounded by executors × cap regardless of
+    batch size."""
 
     def __init__(self, endpoint: str, api_key: str, model: str = "gpt-3.5-turbo-instruct",
-                 max_tokens: int = 150, retries: int = 3):
+                 max_tokens: int = 150, retries: int = 3, max_concurrency: int = 8,
+                 backoff_base: float = 0.5):
         self.endpoint = endpoint
         self.api_key = api_key
         self.model = model
         self.max_tokens = max_tokens
         self.retries = retries
+        self.max_concurrency = max(1, int(max_concurrency))
+        self.backoff_base = backoff_base
 
-    def complete(self, prompt: str) -> str:
-        body = json.dumps(
-            {"model": self.model, "prompt": prompt, "max_tokens": self.max_tokens}
-        ).encode()
+    def _post(self, body: bytes) -> str:
         req = urllib.request.Request(
             self.endpoint,
             data=body,
             headers={"Authorization": f"Bearer {self.api_key}", "Content-Type": "application/json"},
         )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            payload = json.loads(resp.read())
+        return payload["choices"][0]["text"].strip()
+
+    def complete(self, prompt: str) -> str:
+        import time
+
+        body = json.dumps(
+            {"model": self.model, "prompt": prompt, "max_tokens": self.max_tokens}
+        ).encode()
         last_err: Exception | None = None
-        for _ in range(self.retries):
+        for attempt in range(self.retries):
             try:
-                with urllib.request.urlopen(req, timeout=60) as resp:
-                    payload = json.loads(resp.read())
-                return payload["choices"][0]["text"].strip()
+                return self._post(body)
             except Exception as e:  # noqa: BLE001 — retry any transport error
                 last_err = e
+                if attempt + 1 < self.retries:
+                    time.sleep(self.backoff_base * (2**attempt))
         raise RuntimeError(f"LLM request failed after {self.retries} retries") from last_err
 
     def complete_batch(self, prompts: Iterable[str]) -> list[str]:
-        return [self.complete(p) for p in prompts]
+        from concurrent.futures import ThreadPoolExecutor
+
+        prompt_list = list(prompts)
+        if not prompt_list:
+            return []
+        workers = min(self.max_concurrency, len(prompt_list))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(self.complete, prompt_list))
 
 
 _executor_client = None
@@ -146,7 +169,11 @@ def _get_client():
     if _executor_client is None:
         endpoint = os.environ.get("LLM_ENDPOINT")
         if endpoint:
-            _executor_client = HTTPLLMClient(endpoint, os.environ.get("LLM_API_KEY", ""))
+            _executor_client = HTTPLLMClient(
+                endpoint,
+                os.environ.get("LLM_API_KEY", ""),
+                max_concurrency=int(os.environ.get("LLM_MAX_CONCURRENCY", "8")),
+            )
         else:
             _executor_client = MockLLMClient()
     return _executor_client
@@ -155,10 +182,13 @@ def _get_client():
 @F.pandas_udf(T.StringType())
 def _complete_udf(prompts: pd.Series) -> pd.Series:
     client = _get_client()
-    # NULL prompt → NULL completion (P7 guard, 01_extract_features.R:85-88)
-    return pd.Series(
-        [None if p is None else client.complete(p) for p in prompts.tolist()]
-    )
+    # NULL prompt → NULL completion (P7 guard, 01_extract_features.R:85-88);
+    # non-null prompts go through complete_batch so the live client's
+    # bounded-concurrency pool actually engages per Arrow batch.
+    plist = prompts.tolist()
+    present = [p for p in plist if p is not None]
+    completions = iter(client.complete_batch(present))
+    return pd.Series([None if p is None else next(completions) for p in plist])
 
 
 def llm_complete(prompt: Column) -> Column:

@@ -68,12 +68,22 @@ def centroid_cosine_pairs(centroids: DataFrame) -> DataFrame:
     )
 
 
-def merge_components(pairs: DataFrame, threshold: float) -> DataFrame:
+def merge_components(
+    pairs: DataFrame, threshold: float, groups: DataFrame | None = None
+) -> DataFrame:
     """M7's merge map with proper transitive closure: groups whose cosine
     exceeds ``threshold`` merge; every group maps to the minimum id of its
     connected component (the reference's one-pass fold at
     02_build_models_with_auto_lables._optimised_clusters.R:868-877
     approximates this; we do it exactly).
+
+    ``groups`` is the authoritative group universe (one ``grp`` column) —
+    pass the centroids/assignments frame's group list. A group sharing no
+    nonzero index with any other produces no cosine pair at all, so
+    deriving nodes from ``pairs`` alone would silently drop it from the
+    mapping; with ``groups`` it correctly maps to itself. Falls back to
+    pair-derived nodes when omitted (legacy behavior, only safe on dense
+    data).
 
     k is small (cluster count), so closure runs driver-side over the
     collected edge list — documented exception to the no-collect rule.
@@ -83,7 +93,10 @@ def merge_components(pairs: DataFrame, threshold: float) -> DataFrame:
         (r["grp_a"], r["grp_b"])
         for r in pairs.where(F.col("cos_sim") > threshold).select("grp_a", "grp_b").collect()
     ]
-    nodes = {r["grp"] for df in (pairs.select(F.col("grp_a").alias("grp")), pairs.select(F.col("grp_b").alias("grp"))) for r in df.distinct().collect()}
+    if groups is not None:
+        nodes = {r["grp"] for r in groups.select("grp").distinct().collect()}
+    else:
+        nodes = {r["grp"] for df in (pairs.select(F.col("grp_a").alias("grp")), pairs.select(F.col("grp_b").alias("grp"))) for r in df.distinct().collect()}
     parent = {n: n for n in nodes}
 
     def find(x):

@@ -111,23 +111,47 @@ def jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.0,
     max_shingle_df: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle, via the
     inverted-index self-join. ``max_shingle_df`` drops boilerplate
-    shingles (posting-list cap) — the skew guard at scale."""
+    shingles (posting-list cap) — the skew guard at scale.
+
+    ``candidates`` (doc_a, doc_b) scopes the whole computation to a
+    pre-filtered pair set (LSH output): docs appearing in no candidate
+    pair are semi-joined away BEFORE the inverted-index self-join, and
+    non-candidate pairs are semi-joined away BELOW the intersection
+    aggregation — so the O(Σ df²) pair blowup never materializes for
+    pairs LSH already pruned. Per-doc sizes are still full shingle-set
+    sizes (the doc filter drops whole docs, never individual shingles),
+    so jaccard values are identical to the unscoped computation.
+    """
     sh = shingles
     if max_shingle_df is not None:
         w = Window.partitionBy("shingle")
         sh = sh.withColumn("_df", F.count("*").over(w)).where(F.col("_df") <= max_shingle_df).drop("_df")
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    pair_rows = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    if candidates is not None:
+        # semi-join on the pair key BELOW the aggregation: only candidate
+        # pairs are counted (AQE broadcasts the small candidate side).
+        pair_rows = pair_rows.join(
+            candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        )
+    inter = pair_rows.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     out = (
@@ -159,7 +183,9 @@ def minhash_dedup(
     # right lever is a max_shingle_df cap, not caching.
     sh = doc_shingles(docs, k=k)
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
-    return jaccard_pairs(sh).join(cands, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)
+    # candidate-scoped verification: LSH prunes the quadratic shingle
+    # self-join, not just the final result (see jaccard_pairs docstring).
+    return jaccard_pairs(sh, candidates=cands).where(F.col("jaccard") >= threshold)
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -69,26 +69,43 @@ class HeuristicTagger:
         return "NOUN"
 
 
-def load_tagger() -> HeuristicTagger:
+class SpacyTagger:
+    """Statistical tagger adapter: wraps a loaded spaCy pipeline behind
+    the same ``tag(token) -> upos`` contract as HeuristicTagger (the
+    reference loads a real UDPipe model per worker, 02_test.R:44-58)."""
+
+    def __init__(self, nlp) -> None:
+        self._nlp = nlp
+
+    def tag(self, token: str) -> str:
+        doc = self._nlp(token)
+        return doc[0].pos_ if len(doc) else "OTHER"
+
+
+def load_tagger():
     """Per-executor tagger factory (the 02_test.R:44-58 worker-load
-    pattern). Tries a real statistical tagger first; this container has
-    none, so the deterministic heuristic is the active implementation.
-    Deployments: ``pip install spacy`` on executors and this function
-    starts returning the real model — no plan change."""
-    try:  # pragma: no cover - spacy absent in this container
-        import spacy  # noqa: F401
+    pattern). The deterministic heuristic is the default — it is what the
+    DuckDB oracle states in SQL, so the correctness path never depends on
+    an installed model. Deployments opt into the statistical tagger by
+    installing spaCy on executors AND setting ``MTDP_POS_MODEL`` to a
+    spaCy model name; any load failure falls back to the heuristic."""
+    import os
 
-        raise NotImplementedError(
-            "wire spacy.load('en_core_web_sm') here; keep .tag(token)->str"
-        )
-    except ImportError:
-        return HeuristicTagger()
+    model_name = os.environ.get("MTDP_POS_MODEL")
+    if model_name:
+        try:
+            import spacy
+
+            return SpacyTagger(spacy.load(model_name))
+        except Exception:  # noqa: BLE001 — missing lib/model → heuristic
+            return HeuristicTagger()
+    return HeuristicTagger()
 
 
-_TAGGER: HeuristicTagger | None = None
+_TAGGER: HeuristicTagger | SpacyTagger | None = None
 
 
-def _tagger() -> HeuristicTagger:
+def _tagger() -> HeuristicTagger | SpacyTagger:
     global _TAGGER
     if _TAGGER is None:
         _TAGGER = load_tagger()

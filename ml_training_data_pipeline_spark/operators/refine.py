@@ -16,8 +16,11 @@ coherence) so the loop is bounded; everything inside stays distributed.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.ml.clustering import LDA
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, Window
@@ -47,6 +50,11 @@ class RefineConfig:
     # scale guard beyond the reference: bound the per-round split fan-out
     # (lowest-coherence clusters first); None = split every candidate.
     max_split_clusters: int | None = None
+    # size cutover (SURVEY §4 item 2 / §7 risks): clusters at or below
+    # this many docs fit locally inside applyInPandas (all candidates in
+    # parallel on executors); larger ones fall back to distributed MLlib
+    # LDA jobs, which are serial per cluster but shard internally.
+    local_fit_max_docs: int = 20000
 
 
 def renumber_clusters(assignments: DataFrame) -> DataFrame:
@@ -97,6 +105,125 @@ def lda_topic_assignments(tf_vectors: DataFrame, k: int, seed: int, max_iter: in
     )
 
 
+def _probe_seed(seed: int, cluster_id: int, k: int) -> int:
+    """Deterministic per-(cluster, k) seed for the probe/final fits."""
+    return (seed * 1_000_003 + int(cluster_id) * 101 + k) % (2**31 - 1)
+
+
+def _em_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded numpy EM topic model over a small dense doc-term count
+    matrix: multinomial-mixture EM with the reference's priors as
+    smoothing (alpha=0.1, beta=0.01, 02_build_models.R:520). Returns
+    (theta n×k, phi k×d). Deterministic for a given seed — the pure-numpy
+    stand-in for FitLdaModel when sklearn is absent."""
+    rng = np.random.default_rng(seed)
+    n, _ = X.shape
+    resp = rng.dirichlet(np.ones(k), size=n)
+    for _ in range(max(1, iters)):
+        phi = resp.T @ X + 0.01
+        phi /= phi.sum(axis=1, keepdims=True)
+        pi = resp.sum(axis=0) + 0.1
+        pi /= pi.sum()
+        logp = X @ np.log(phi).T + np.log(pi)
+        logp -= logp.max(axis=1, keepdims=True)
+        resp = np.exp(logp)
+        resp /= resp.sum(axis=1, keepdims=True)
+    return resp, phi
+
+
+def _fit_local_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Local topic fit: seeded sklearn LDA when the executor image has it,
+    else the numpy EM twin. Both deterministic per (seed, shape)."""
+    try:
+        from sklearn.decomposition import LatentDirichletAllocation
+    except ImportError:
+        return _em_topics(X, k, seed, iters)
+    lda = LatentDirichletAllocation(
+        n_components=k, random_state=seed, max_iter=max(1, iters),
+        doc_topic_prior=0.1, topic_word_prior=0.01,
+    )
+    theta = lda.fit_transform(X)
+    phi = lda.components_ / lda.components_.sum(axis=1, keepdims=True)
+    return theta, phi
+
+
+def _local_prob_coherence(
+    binary: np.ndarray, phi: np.ndarray, terms: np.ndarray, top_m: int
+) -> float:
+    """Numpy twin of operators/coherence.prob_coherence on the cluster's
+    OWN sub-DTM: D(w) and N are cluster-local (02_build_models.R:543-547
+    scores CalcProbCoherence(phi, cluster_data) — not the full corpus).
+    Mean over topics, NaN-skipped (mean(..., na.rm=TRUE))."""
+    n = binary.shape[0]
+    topic_means = []
+    for t in range(phi.shape[0]):
+        row = phi[t]
+        order = sorted(range(len(terms)), key=lambda i: (-row[i], terms[i]))[:top_m]
+        cols = binary[:, order]
+        dfs = cols.sum(axis=0).astype(float)
+        pair_scores = []
+        m = len(order)
+        for i in range(m):
+            if dfs[i] == 0:
+                continue
+            for j in range(i + 1, m):
+                d_ij = float(np.sum(cols[:, i] & cols[:, j]))
+                pair_scores.append(d_ij / dfs[i] - dfs[j] / n)
+        if pair_scores:
+            topic_means.append(float(np.mean(pair_scores)))
+    return float(np.mean(topic_means)) if topic_means else float("nan")
+
+
+def _make_group_splitter(cfg: RefineConfig):
+    """applyInPandas group function: one candidate cluster per group, the
+    whole adaptive-k search + gate + final fit runs locally on the
+    executor (SURVEY §2.9 grouped fitting / §4 item 2; the reference's
+    per-cluster loop body, 02_build_models.R:499-560). Emits
+    (doc_id, cluster_id): original id when the cluster is coherent or
+    unsplittable, minted ids (base_id + topic rank) when split."""
+    k_range, top_m = tuple(cfg.k_range), cfg.top_m
+    threshold, seed = cfg.coherence_threshold, cfg.seed
+    search_iter, final_iter, min_docs = cfg.lda_search_iter, cfg.lda_final_iter, cfg.min_docs
+
+    def split_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        base = int(pdf["base_id"].iloc[0])
+        docs = np.sort(pdf["doc_id"].unique())
+        terms = np.sort(pdf["term"].unique())
+        unchanged = pd.DataFrame({"doc_id": docs, "cluster_id": np.full(len(docs), cid)})
+        n, d = len(docs), len(terms)
+        # reference guards: nrow < min_docs or ncol < 5 → skip
+        # (02_build_models.R:504-507)
+        ks = [k for k in k_range if k < n]
+        if n < min_docs or d < 5 or not ks:
+            return unchanged
+        di = {v: i for i, v in enumerate(docs)}
+        ti = {v: i for i, v in enumerate(terms)}
+        X = np.zeros((n, d))
+        X[pdf["doc_id"].map(di), pdf["term"].map(ti)] = pdf["tf"].astype(float)
+        binary = X > 0
+        best_k, best_score = None, -math.inf
+        for k in ks:
+            _, phi = _fit_local_topics(X, k, _probe_seed(seed, cid, k), search_iter)
+            score = _local_prob_coherence(binary, phi, terms, top_m)
+            if not math.isnan(score) and score > best_score:
+                best_k, best_score = k, score
+        if best_k is None:
+            return unchanged
+        # coherent-cluster gate: best probe coherence ≥ threshold → the
+        # cluster stays whole (02_build_models.R:543-547)
+        if best_score >= threshold:
+            return unchanged
+        theta, _ = _fit_local_topics(X, best_k, _probe_seed(seed, cid, best_k), final_iter)
+        topics = theta.argmax(axis=1)  # which.max: first-max tie-break
+        rank = {t: i for i, t in enumerate(sorted(set(int(t) for t in topics)))}
+        return pd.DataFrame(
+            {"doc_id": docs, "cluster_id": [base + rank[int(t)] for t in topics]}
+        )
+
+    return split_group
+
+
 def split_low_coherence_clusters(
     tf_vectors: DataFrame,
     tfidf: DataFrame,
@@ -105,10 +232,21 @@ def split_low_coherence_clusters(
     cfg: RefineConfig,
 ) -> tuple[DataFrame, list[int]]:
     """M6 — split_clusters_with_lda_adaptive (02_build_models.R:487-564):
-    for each cluster with coherence < threshold and ≥ min_docs, search
-    k ∈ k_range for the best mean topic coherence (cheap-probe iters),
-    refit at the winner (final iters), and mint new cluster ids above the
-    current max (A9). Returns (new_assignments, split_cluster_ids)."""
+    candidate clusters (coherence < threshold, ≥ min_docs — the refiner's
+    work-pruning gate, 04_cluster_refiner.R:330-349) each search
+    k ∈ k_range for the best mean topic coherence on their OWN sub-DTM
+    (cheap-probe iters); a cluster whose best probe coherence clears the
+    threshold stays whole (02_build_models.R:543-547); the rest refit at
+    the winning k (final iters) and mint new cluster ids above the
+    current max (A9).
+
+    Execution: candidates at or below ``cfg.local_fit_max_docs`` docs run
+    IN PARALLEL as one ``groupBy(cluster_id).applyInPandas`` stage —
+    every per-cluster fit is an executor-local numpy/sklearn job, no
+    driver-blocking chain. Larger candidates (rare by construction) fall
+    back to distributed MLlib LDA jobs. One anti-join ∪ union applies all
+    minted assignments at once. Returns (new_assignments,
+    split_cluster_ids) — ids whose docs actually moved."""
     binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
     coh = cluster_coherence(tfidf, assignments, n_docs, cfg.top_m, binary=binary)
     sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
@@ -116,18 +254,45 @@ def split_low_coherence_clusters(
         coh.join(sizes, "cluster_id")
         .where((F.col("coherence") < cfg.coherence_threshold) & (F.col("size") >= cfg.min_docs))
         .orderBy(F.asc("coherence"), F.asc("cluster_id"))
-        .select("cluster_id")
+        .select("cluster_id", "size")
     )
     if cfg.max_split_clusters is not None:
         cand_df = cand_df.limit(cfg.max_split_clusters)
-    candidates = [int(r["cluster_id"]) for r in cand_df.collect()]
-    if not candidates:
+    # cluster-count-sized collect (documented exception): the candidate
+    # list drives job structure, not data movement.
+    cand_sizes = {int(r["cluster_id"]): int(r["size"]) for r in cand_df.collect()}
+    if not cand_sizes:
         binary.unpersist()
         return assignments, []
-    max_id = assignments.agg(F.max("cluster_id")).first()[0]
+    assignments = assignments.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    max_id = int(assignments.agg(F.max("cluster_id")).first()[0])
+    max_k = max(cfg.k_range)
+    small = sorted(c for c, s in cand_sizes.items() if s <= cfg.local_fit_max_docs)
+    big = sorted(c for c in cand_sizes if c not in set(small))
     out = assignments
-    next_id = int(max_id)
-    for cid in sorted(candidates):
+    spark = assignments.sparkSession
+
+    if small:
+        # deterministic non-overlapping id blocks: candidate i gets
+        # [max_id + 1 + i*max_k, ... + max_k) — renumber compacts later.
+        bases = spark.createDataFrame(
+            [(c, max_id + 1 + i * max_k) for i, c in enumerate(small)],
+            schema="cluster_id long, base_id long",
+        )
+        member_counts = (
+            tfidf.select("doc_id", "term", "tf")
+            .join(assignments, "doc_id")
+            .join(F.broadcast(bases), "cluster_id")
+        )
+        grouped = member_counts.groupBy("cluster_id").applyInPandas(
+            _make_group_splitter(cfg), schema="doc_id long, cluster_id long"
+        )
+        out = out.join(grouped.select("doc_id"), "doc_id", "left_anti").unionByName(grouped)
+
+    next_id = max_id + 1 + len(small) * max_k
+    for cid in big:
         members = assignments.where(F.col("cluster_id") == cid).select("doc_id")
         sub = tf_vectors.join(members, "doc_id").cache()
         n_sub = sub.count()
@@ -135,32 +300,46 @@ def split_low_coherence_clusters(
             sub.unpersist()
             continue
         ks = [k for k in cfg.k_range if k < n_sub]
-        best_k, best_score = None, None
-        if len(ks) == 1:
-            best_k = ks[0]  # no search needed — skip the probe fits
-        else:
-            for k in ks:
-                probe = lda_topic_assignments(sub, k, cfg.seed, cfg.lda_search_iter)
-                probe_assign = probe.select("doc_id", F.col("topic").alias("cluster_id"))
-                probe_coh = cluster_coherence(
-                    tfidf.join(members, "doc_id"), probe_assign, n_docs, cfg.top_m, binary=binary
-                )
-                score_row = probe_coh.agg(F.avg("coherence")).first()
-                score = score_row[0] if score_row and score_row[0] is not None else float("-inf")
-                if best_score is None or score > best_score:
-                    best_k, best_score = k, score
-        if best_k is None:
+        # cluster-local probe scoring: D(w)/N from the cluster's own
+        # sub-DTM (02_build_models.R:543-547)
+        local_binary = binary.join(members, "doc_id").cache()
+        best_k, best_score = None, float("-inf")
+        for k in ks:
+            probe = lda_topic_assignments(sub, k, _probe_seed(cfg.seed, cid, k), cfg.lda_search_iter)
+            probe_assign = probe.select("doc_id", F.col("topic").alias("cluster_id"))
+            probe_coh = cluster_coherence(
+                tfidf.join(members, "doc_id"), probe_assign, n_sub, cfg.top_m,
+                binary=local_binary,
+            )
+            score_row = probe_coh.agg(F.avg("coherence")).first()
+            score = score_row[0] if score_row and score_row[0] is not None else float("-inf")
+            if score > best_score:
+                best_k, best_score = k, score
+        local_binary.unpersist()
+        if best_k is None or best_score >= cfg.coherence_threshold:
             sub.unpersist()
             continue
-        final = lda_topic_assignments(sub, best_k, cfg.seed, cfg.lda_final_iter)
+        final = lda_topic_assignments(sub, best_k, _probe_seed(cfg.seed, cid, best_k), cfg.lda_final_iter)
         minted = final.select(
-            "doc_id", (F.lit(next_id) + F.col("topic") + 1).alias("cluster_id")
+            "doc_id", (F.lit(next_id) + F.col("topic")).cast("long").alias("cluster_id")
         )
         next_id += best_k
         out = out.join(minted.select("doc_id"), "doc_id", "left_anti").unionByName(minted)
         sub.unpersist()
+
+    # materialize once (refine() re-checkpoints after renumber), then
+    # derive which candidates actually split from the assignment diff.
+    out = out.localCheckpoint(eager=True)
+    changed = (
+        assignments.alias("old")
+        .join(out.alias("new"), "doc_id")
+        .where(F.col("old.cluster_id") != F.col("new.cluster_id"))
+        .select(F.col("old.cluster_id").alias("cluster_id"))
+        .distinct()
+    )
+    split_ids = sorted(int(r["cluster_id"]) for r in changed.collect())
     binary.unpersist()
-    return out, sorted(candidates)
+    return out, split_ids
 
 
 def merge_similar_clusters(
@@ -182,7 +361,7 @@ def merge_similar_clusters(
         .select("grp", "idx", (F.col("s") / F.col("n")).alias("centroid"))
     )
     pairs = centroid_cosine_pairs(cents)
-    mapping = merge_components(pairs, threshold)
+    mapping = merge_components(pairs, threshold, groups=cents)
     return (
         assignments.join(
             F.broadcast(mapping.select(F.col("grp").alias("cluster_id"), "new_grp")),

@@ -114,11 +114,16 @@ def top_vocabulary(tfidf: DataFrame, top_n: int = 2000) -> DataFrame:
     by total TF-IDF mass, keep the top N. Deterministic tie-break on term.
     Returns (term, total_weight, rank)."""
     totals = tfidf.groupBy("term").agg(F.round(F.sum("weight"), 6).alias("total_weight"))
-    w = Window.orderBy(F.desc("total_weight"), F.asc("term"))
-    return (
-        totals.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= top_n)
-    )
+    # orderBy().limit() compiles to TakeOrderedAndProject: every partition
+    # keeps its local top-N and only N rows ever cross the network — unlike
+    # a no-partition row_number window, which funnels the whole vocabulary
+    # through one partition. rank is derived afterwards on the ≤top_n-row
+    # result; the constant partition key keeps that tiny window off
+    # WindowExec's single-partition warning path (it IS one partition, but
+    # of at most top_n rows by construction).
+    top = totals.orderBy(F.desc("total_weight"), F.asc("term")).limit(top_n)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("total_weight"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def reduce_to_vocabulary(tfidf: DataFrame, vocab: DataFrame) -> DataFrame:

@@ -156,8 +156,12 @@ def c4_centroid_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c5_merge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = centroid_cosine_pairs(group_centroids(explode_vectors(emb)))
-    return merge_components(pairs, threshold=0.0)
+    cents = group_centroids(explode_vectors(emb))
+    pairs = centroid_cosine_pairs(cents)
+    # node universe from the centroids frame, not from pairs — a group with
+    # disjoint support would otherwise fall out of the mapping (the oracle's
+    # `nodes AS (SELECT DISTINCT grp FROM cent)` enumerates all groups).
+    return merge_components(pairs, threshold=0.0, groups=cents)
 
 
 # --- C6: probabilistic coherence (M5/A5) ----------------------------------------

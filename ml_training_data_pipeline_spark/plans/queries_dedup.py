@@ -204,3 +204,39 @@ def d6_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d7_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(doc_shingles(docs, k=3), threshold=0.2)
+
+
+# --- D8: Jaccard with a posting-list (shingle-df) cap -------------------------------
+# The 100-TB skew guard in action: boilerplate shingles shared by > 20 docs
+# are dropped BEFORE the inverted-index self-join, bounding every posting
+# list. Per-doc sizes are recomputed on the capped shingle set on both
+# sides, so the (approximate-by-design) jaccard values agree exactly.
+@query(
+    "d8_jaccard_capped",
+    oracle=f"""
+    WITH {_SHINGLES},
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= 20
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def d8_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(doc_shingles(docs, k=3), threshold=0.2, max_shingle_df=20)

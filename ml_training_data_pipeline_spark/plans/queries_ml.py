@@ -157,3 +157,114 @@ def m5_refine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refined = refine(vecs.select("doc_id", "tf"), tfidf, res.assignments, cfg)
     return refined.groupBy("cluster_id").agg(F.count("*").alias("size"))
+
+
+def _phase1_cfg() -> RefineConfig:
+    return RefineConfig(
+        coherence_threshold=0.05,
+        k_range=(2,),
+        min_docs=10,
+        merge_threshold=0.9,
+        lda_search_iter=5,
+        lda_final_iter=10,
+        max_split_clusters=2,
+    )
+
+
+def phase1_summary(
+    tf_vectors: DataFrame, tfidf: DataFrame, assignments: DataFrame, cfg: RefineConfig
+) -> DataFrame:
+    """The refine/relabel core of runPhase1Pipeline
+    (04_cluster_refiner.R:726-774): coherence → conditional split/merge →
+    re-extract terms → label → the (cluster_id, documents, coherence,
+    label) summary (summarise_cluster_coherence, 02_build_models.R:842-851).
+    Shared by ep3 (persisted-state inputs) and its in-memory parity test."""
+    from ..functions.llm import label_prompt, llm_complete
+    from ..operators.refine import cluster_coherence, renumber_clusters
+    from ..operators.tfidf import cluster_term_scores
+
+    n_docs = tfidf.select("doc_id").distinct().count()
+    # the reference refines only when any cluster is below threshold AND
+    # break_clusters is set (04_cluster_refiner.R:741-752)
+    n_low = (
+        cluster_coherence(tfidf, assignments, n_docs, cfg.top_m)
+        .where(F.col("coherence") < cfg.coherence_threshold)
+        .count()
+    )
+    refined = (
+        refine(tf_vectors, tfidf, assignments, cfg)
+        if n_low > 0
+        else renumber_clusters(assignments)
+    )
+    coh = cluster_coherence(tfidf, refined, n_docs, cfg.top_m)
+    topterms = cluster_term_scores(tfidf, refined, top_n=5)
+    kw = topterms.groupBy("cluster_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                lambda s: s.getField("term"),
+            ),
+            ", ",
+        ).alias("keywords")
+    )
+    labels = kw.select("cluster_id", llm_complete(label_prompt(F.col("keywords"))).alias("label"))
+    sizes = refined.groupBy("cluster_id").agg(F.count("*").alias("documents"))
+    return (
+        sizes.join(coh, "cluster_id", "left")
+        .join(labels, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "documents",
+            F.round("coherence", 6).alias("coherence"),
+            "label",
+        )
+        .orderBy(F.desc("coherence"), F.asc("cluster_id"))
+    )
+
+
+# --- M13/EP3: phase-1 refine pipeline off PERSISTED state -------------------------
+# Reference: runPhase1Pipeline (04_cluster_refiner.R:726-774) — readRDS
+# kmeans + tfidf and read the dataset fresh, refine, relabel, save with
+# dynamic names (04:679-700). Proves every refine operator works off
+# reloaded parquet/model state, not only within one lineage.
+@query("ep3_phase1_pipeline")
+def ep3_phase1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.clustering import KMeansModel
+
+    from ..io.sources import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = tokens_frame(docs)
+    vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
+    vecs = vectorize(tokens, vec_model)
+    res = fit_kmeans(vecs, k=6, seed=123)
+    tfidf = tfidf_long(docs)
+
+    # persist the phase-0 artifacts (the saveRDS step, 02:770-772)
+    base = os.path.join(tempfile.gettempdir(), f"mtdp_phase1_{os.path.basename(sf_dir)}")
+    res.model.write().overwrite().save(os.path.join(base, "kmeans"))
+    vec_model.write().overwrite().save(os.path.join(base, "vectorizer"))
+    write_parquet(res.assignments, os.path.join(base, "assignments"))
+    write_parquet(tfidf, os.path.join(base, "tfidf"))
+
+    # fresh lineage off persisted state ONLY (04:729-731): reload models +
+    # tables; re-read the documents table like the reference re-reads the CSV
+    kmeans_model = KMeansModel.load(os.path.join(base, "kmeans"))
+    vec_reloaded = PipelineModel.load(os.path.join(base, "vectorizer"))
+    assignments0 = spark.read.parquet(os.path.join(base, "assignments"))
+    tfidf0 = spark.read.parquet(os.path.join(base, "tfidf"))
+    tf_vectors = vectorize(
+        tokens_frame(load_table(spark, sf_dir, "documents")), vec_reloaded
+    ).select("doc_id", "tf")
+
+    summary = phase1_summary(tf_vectors, tfidf0, assignments0, _phase1_cfg())
+
+    # S6 dynamic-name sink: filename = f(num_clusters) (04:686-693; date
+    # omitted — nondeterminism is banned on the correctness path)
+    k = kmeans_model.getK()
+    write_parquet(summary, os.path.join(base, f"summary_{k}clusters"))
+    return summary

@@ -135,10 +135,11 @@ def a9_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t1_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # TakeOrderedAndProject (parallel per-partition top-k + merge), not a
+    # no-partition row_number window that would single-partition the table.
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 100)
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -312,9 +313,12 @@ def h2_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    # customer scales with SF — no broadcast hint (AQE picks the strategy
+    # from runtime stats; at 100 TB a forced customer broadcast is an OOM).
+    # nation is fixed 25 rows: always broadcast.
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
