@@ -54,12 +54,21 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) distinct word-k-shingles — the set representation
-    Jaccard is defined over."""
-    grams = doc_tokens(docs, text_col, id_col, ngram_max=k)
-    # keep only the k-grams (doc_tokens with ngram_max emits 1..k); a
-    # shingle has exactly k-1 spaces
-    only_k = grams.where(F.size(F.split(F.col("term"), " ")) == k)
-    return only_k.select("doc_id", F.col("term").alias("shingle")).distinct()
+    Jaccard is defined over. Builds ONLY the k-grams (a 1..k-gram build
+    plus post-filter explodes ~k× the rows for the same result). The
+    explode(array(tokens)) Generate barrier mirrors doc_tokens: it
+    materializes the token array once per row so whole-stage codegen
+    doesn't inline the tokenize subtree into every n-gram lambda."""
+    from ..functions.text import ngrams, tokenize
+
+    tok_rows = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(tokenize(F.col(text_col)))).alias("_toks")
+    )
+    return (
+        tok_rows.where(F.size("_toks") >= k)
+        .select("doc_id", F.explode(ngrams(F.col("_toks"), k)).alias("shingle"))
+        .distinct()
+    )
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:

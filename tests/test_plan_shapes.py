@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (parallel top-k, pruned scans, candidate-scoped dedup joins)
+asserted on `.explain` output so they can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from ml_training_data_pipeline_spark.plans import registry
+from tests.conftest import SF_DIR
+
+registry._load_all()
+
+
+def explain_str(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_global_topk_is_take_ordered(spark):
+    # t1/v4: no-partition row_number would single-partition the relation;
+    # the plan must use TakeOrderedAndProject instead.
+    for name in ("t1_sort_topk", "v4_vocab_top2000"):
+        plan = explain_str(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name} lost its parallel top-k:\n{plan}"
+
+
+def test_v4_rank_window_is_bounded(spark):
+    # the only window in v4 sits ABOVE the limit (≤ top_n rows) and is
+    # explicitly partitioned, so no unbounded single-partition funnel.
+    plan = explain_str(spark, "v4_vocab_top2000")
+    assert "Window" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), (
+        "window must consume the limited result (formatted plans list "
+        "operators leaves-last, so the limit prints after the window above it)"
+    )
+
+
+def test_d4_candidates_prune_below_aggregation(spark):
+    # the LSH candidate semi-joins must sit BELOW the intersection
+    # aggregation: the plan needs LeftSemi joins feeding the count agg,
+    # not a post-aggregation filter.
+    plan = explain_str(spark, "d4_minhash_dedup")
+    assert "LeftSemi" in plan, f"candidate semi-join missing:\n{plan}"
+
+
+def test_s1_scan_is_pruned_and_pushed(spark):
+    plan = explain_str(spark, "s1_scan_projection")
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ReadSchema must carry only the projected + filtered columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "n_chars", "lang"}, cols
+
+
+def test_h2_customer_join_not_forced_broadcast(spark):
+    # the optimized logical plan must not carry a broadcast hint on the
+    # SF-scaled customer side (nation's hint is fine); AQE decides at run
+    # time from real sizes.
+    df = registry.QUERIES["h2_revenue_per_nation"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("UnspecifiedFrame") == 0  # sanity: parseable plan
+    # exactly one explicit broadcast hint survives analysis (nation)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 1, analyzed
+
+
+@pytest.mark.parametrize("name", ["v1_tfidf_ngram", "x2_quality_scores", "f1_clean_text"])
+def test_text_hot_paths_have_no_python_udf(spark, name):
+    # text analytics stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    # stages in the plan (v5/l1 are the documented pandas_udf exceptions).
+    plan = explain_str(spark, name)
+    assert "EvalPython" not in plan, f"{name} dropped to Python:\n{plan}"
