@@ -143,6 +143,85 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
+def ivf_assignments(
+    vectors: DataFrame,
+    nlist: int = 16,
+    seed: int = 123,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF index build (the classic inverted-file ANN layout): a coarse
+    KMeans quantizer partitions the corpus into ``nlist`` cells. Index
+    construction is a distributed fit + transform; the cell id becomes
+    the join/shuffle key for probing. Returns (cell centers, assigned
+    frame (vec_id, vec, cell))."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("features", array_to_vector(F.col("vec")))
+    model = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "vec", F.col("cell").cast("int").alias("cell")
+    )
+    return [list(map(float, c)) for c in model.clusterCenters()], assigned
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: int = 123,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k (SURVEY's scale path beside SRP-LSH): each query
+    probes its ``nprobe`` nearest cells and ranks exact cosine only
+    within them — candidate volume is nprobe/nlist of the corpus, and
+    the probe is an equi-join on cell (sub-quadratic, shuffle-bounded).
+    ``nprobe == nlist`` degenerates to exact brute force (the recall
+    knob is explicit). Returns (query_id, neighbor_id, cos_sim, rank)."""
+    centers, assigned = ivf_assignments(vectors, nlist, seed, vec_col, id_col)
+    spark = vectors.sparkSession
+    centers_df = spark.createDataFrame(
+        list(enumerate(centers)), schema="cell int, center array<double>"
+    )
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("vec")).alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # Q × nlist probe ranking — tiny (query batch × cell count)
+    qd = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id", "qvec", "qnrm", "cell",
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        qd.withColumn("p", F.row_number().over(wq))
+        .where(F.col("p") <= nprobe)
+        .select("query_id", "qvec", "qnrm", "cell")
+    )
+    vn = assigned.join(with_norm(vectors, vec_col, id_col).select("vec_id", "nrm"), "vec_id")
+    scored = (
+        vn.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,

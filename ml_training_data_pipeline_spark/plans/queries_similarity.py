@@ -15,6 +15,7 @@ from ..io.sources import load_table
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dups,
+    ivf_topk,
     lsh_topk,
     srp_buckets,
 )
@@ -120,3 +121,17 @@ def n3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n4_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.35, block_col="label")
+
+
+# --- N5: IVF ANN top-k (coarse-quantizer inverted file) --------------------------
+# The second scale path SURVEY names beside SRP-LSH: KMeans cells as the
+# inverted file, nprobe nearest cells probed per query, exact cosine only
+# within them. Estimator-backed (cell centers aren't SQL-expressible) →
+# rows-only driver check; recall/exactness invariants live in
+# tests/test_similarity_ivf.py (nprobe=nlist ≡ brute force).
+@query("n5_ann_ivf_topk")
+def n5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), nlist=16, nprobe=4, k=5, seed=123
+    )

@@ -99,3 +99,31 @@ def st3_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # st3's oracle is l1's, verbatim (batch/stream parity)
 ORACLE_SQL["st3_stream_enrich"] = ORACLE_SQL["l1_enrich_documents"]
+
+
+# --- ST4: custom stateful operator (applyInPandasWithState) ----------------------
+# Per-user running profile held in explicit group state. The state merge
+# is commutative (set-union / sum / min) and the post-aggregation takes
+# the per-key maxima of the monotone counters, so the result equals the
+# batch GROUP BY regardless of micro-batch boundaries — which is what
+# makes a STATEFUL streaming operator oracle-checkable at all.
+@query(
+    "st4_stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_event_types,
+           count(*) AS n_events,
+           min(event_id) AS first_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def st4_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.enrich import streaming_user_stats
+
+    events = stream_table(spark, sf_dir, "events")
+    out = run_bounded(streaming_user_stats(events), "st4_out", output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_event_types").alias("n_event_types"),
+        F.max("n_events").alias("n_events"),
+        F.min("first_event_id").alias("first_event_id"),
+    )

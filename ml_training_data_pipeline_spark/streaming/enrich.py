@@ -79,12 +79,53 @@ def streaming_sessionize(events_stream: DataFrame, gap: str = "30 minutes") -> D
     )
 
 
-def run_bounded(stream_df: DataFrame, query_name: str) -> DataFrame:
+def streaming_user_stats(events_stream: DataFrame) -> DataFrame:
+    """§2.10 custom stateful operator via ``applyInPandasWithState``:
+    per-user running profile (distinct event types, event count, first
+    event id) held in explicit group state across micro-batches — the
+    stateful-streaming form of a groupBy profile, and the pattern a
+    streaming dedup/quality gate builds on. Every state merge is
+    commutative (set-union, sum, min), so emitted values are independent
+    of arrival order — what keeps the operator oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_event_types long, n_events long, first_event_id long"
+    state_schema = "types array<string>, n long, first_id long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            types, n, first = set(state.get[0]), int(state.get[1]), int(state.get[2])
+        else:
+            types, n, first = set(), 0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            types.update(str(t) for t in pdf["event_type"])
+            mn = int(pdf["event_id"].min())
+            first = mn if first is None else min(first, mn)
+        state.update((sorted(types), n, first))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_event_types": [len(types)],
+                "n_events": [n],
+                "first_event_id": [first],
+            }
+        )
+
+    return events_stream.select("user_id", "event_type", "event_id").groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str | None = None) -> DataFrame:
     """Drive a bounded file stream to completion through a memory sink and
     return the materialized result — the deterministic smoke harness."""
     spark = stream_df.sparkSession
     q = (
-        stream_df.writeStream.outputMode("complete" if _has_aggregation(stream_df) else "append")
+        stream_df.writeStream.outputMode(
+            output_mode or ("complete" if _has_aggregation(stream_df) else "append")
+        )
         .format("memory")
         .queryName(query_name)
         .start()

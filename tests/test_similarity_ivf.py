@@ -1,0 +1,55 @@
+"""IVF ANN invariants: probing every cell reproduces exact brute force;
+partial probing keeps recall high on the clustered synthetic embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_training_data_pipeline_spark.io.sources import load_table
+from ml_training_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_full_probe_equals_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, nlist=4, nprobe=4, k=5, seed=123)
+    assert _pairs(full) == _pairs(exact)
+    # cosine values identical too, not just the id sets
+    ev = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    fv = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in full.collect()}
+    assert ev == fv
+
+
+def test_partial_probe_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = _pairs(brute_force_topk(emb, queries, k=5))
+    approx = _pairs(ivf_topk(emb, queries, nlist=8, nprobe=3, k=5, seed=123))
+    recall = len(approx & exact) / len(exact)
+    # embeddings are generated around label centroids → cells align with
+    # labels and most true neighbors share the query's probed cells
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_ivf_rank_contract(spark, emb):
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 3), nlist=4, nprobe=2, k=5, seed=123)
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
+    for _, grp in pdf.groupby("query_id"):
+        ranks = sorted(grp["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert (grp.sort_values("rank")["cos_sim"].diff().dropna() <= 1e-12).all()
