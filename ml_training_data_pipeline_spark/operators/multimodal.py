@@ -55,6 +55,46 @@ def fake_decode_stats(content: bytes) -> tuple[int, int, float, float]:
     return h0, h1, (h0 % 1000) / 1000.0, (h1 % 1000) / 1000.0
 
 
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """The real resize hook — like ``decode_image``, it requires a codec
+    library on the executors (PIL/opencv); the surrounding mapInPandas
+    plumbing is codec-agnostic and unchanged when this body is filled."""
+    raise NotImplementedError(
+        "image resizing requires a media codec library on the executors; "
+        "wire PIL.Image.resize/cv2.resize here"
+    )
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 3) -> DataFrame:
+    """Frame sampling over opaque media blobs: split ``content`` into
+    fixed-size byte frames and keep every ``every_n``-th (a video
+    frame-sampler's plumbing — table-out mapInPandas, multiple rows per
+    input, Arrow-batched). The frame boundary logic is real; a video
+    deployment swaps byte-slicing for a demuxer behind the same
+    signature. Emits (media_id, frame_idx, frame_fp, n_frame_bytes);
+    fingerprints are md5 (engine-portable, so the driver's tables —
+    ASCII text-as-bytes — stay value-checkable in the DuckDB oracle)."""
+    import hashlib as _hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_fp": [], "n_frame_bytes": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_n):
+                    fb = b[idx * frame_size : (idx + 1) * frame_size]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_fp"].append(_hashlib.md5(fb).hexdigest())
+                    out["n_frame_bytes"].append(len(fb))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, schema="media_id long, frame_idx long, frame_fp string, n_frame_bytes long"
+    )
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: per-partition Arrow batches, lazy
     per-executor codec init (the 02_test.R:44-58 worker-load pattern —

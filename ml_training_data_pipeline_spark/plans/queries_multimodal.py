@@ -30,3 +30,29 @@ from .registry import query
 def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_media_features(media)
+
+
+# --- MM2: frame sampling (table-out mapInPandas over binary blobs) ---------------
+# 64-byte frames, every 3rd kept. The oracle slices VARCHAR because the
+# driver's documents are pure ASCII (verified: octet_length(encode(text))
+# == length(text) for every row), so char slicing ≡ byte slicing and
+# DuckDB's md5(VARCHAR) hashes the same bytes the operator hashes.
+@query(
+    "mm2_frame_samples",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id AS media_id, text,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS frame_idx
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT media_id, frame_idx,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_fp,
+           octet_length(encode(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))) AS n_frame_bytes
+    FROM frames WHERE frame_idx % 3 = 0
+    """,
+)
+def mm2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_size=64, every_n=3)
