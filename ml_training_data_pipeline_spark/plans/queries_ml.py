@@ -183,6 +183,10 @@ def phase1_summary(
     from ..operators.refine import cluster_coherence, renumber_clusters
     from ..operators.tfidf import cluster_term_scores
 
+    # the long DFM feeds the gate coherence, the refine loop, the final
+    # coherence, and term extraction — cache it once instead of re-running
+    # the scan/tokenize lineage per consumer
+    tfidf = tfidf.cache()
     n_docs = tfidf.select("doc_id").distinct().count()
     # the reference refines only when any cluster is below threshold AND
     # break_clusters is set (04_cluster_refiner.R:741-752)
