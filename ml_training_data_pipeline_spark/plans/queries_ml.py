@@ -226,6 +226,32 @@ def phase1_summary(
     )
 
 
+# --- EP2: the model-build entry point, top-to-bottom ------------------------------
+# Reference: 02_build_models.R §3 flow — clean text → UDPipe POS keyword
+# extraction (the DFM is built FROM the keyword text, 02:107-115,161-166)
+# → n-gram TF-IDF → top-2000 vocabulary → K-means(seed 123) → coherence-
+# gated adaptive split + cosine merge → labels → QA summary
+# (02_build_models.R:842-851). One composite query per entry point: EP1=l1,
+# EP2=this, EP3=ep3.
+@query("ep2_build_models")
+def ep2_build_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pos_keywords import extract_pos_keywords
+    from ..operators.tfidf import reduce_to_vocabulary, top_vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    # V5: the reference feeds the POS-keyword text into the DFM build
+    kw = extract_pos_keywords(docs)
+    tfidf = tfidf_long(kw, text_col="keywords", ngram_max=3)
+    reduced = reduce_to_vocabulary(tfidf, top_vocabulary(tfidf, top_n=2000))
+    tokens = tokens_frame(kw, text_col="keywords")
+    vec_model = fit_tfidf_vectorizer(tokens, vocab_size=2000)
+    vecs = vectorize(tokens, vec_model)
+    res = fit_kmeans(vecs, k=15, seed=123)  # M1: k=15, seed 123 (02:183-190)
+    return phase1_summary(
+        vecs.select("doc_id", "tf"), reduced, res.assignments, _phase1_cfg()
+    )
+
+
 # --- M13/EP3: phase-1 refine pipeline off PERSISTED state -------------------------
 # Reference: runPhase1Pipeline (04_cluster_refiner.R:726-774) — readRDS
 # kmeans + tfidf and read the dataset fresh, refine, relabel, save with

@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "m1_kmeans_assignments", "m2_kmeans_cluster_sizes",
     "m3_kmeans_predict_new_docs", "m4_lda_topic_terms",
     "s5_model_roundtrip", "m5_refine_pipeline", "ep3_phase1_pipeline",
+    "ep2_build_models",
     # (c) headline + core coverage
     "h1_lineitem_pricing_summary", "v1_tfidf_ngram", "v2_term_counts",
     "v3_tfidf_unigram", "v5_pos_keywords", "v6_doc_top_terms",

@@ -207,3 +207,20 @@ def test_ep3_matches_in_memory_run(spark):
     assert sorted(map(tuple, persisted), key=lambda t: t[0]) == sorted(
         map(tuple, in_memory), key=lambda t: t[0]
     )
+
+
+def test_ep2_build_models_invariants(spark):
+    """EP2 composite: hard-clustering summary over the POS-keyword DFM —
+    every doc with keywords lands in exactly one labeled cluster."""
+    from ml_training_data_pipeline_spark.functions.llm import CLUSTER_LABELS
+    from ml_training_data_pipeline_spark.plans.queries_ml import ep2_build_models
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = ep2_build_models(spark, sf_dir).collect()
+    assert out, "summary must be non-empty"
+    assert {c for r in out for c in (r["label"],)} <= set(CLUSTER_LABELS)
+    sizes = [r["documents"] for r in out]
+    assert all(s > 0 for s in sizes)
+    # cluster ids are the compact renumbered 1..K
+    ids = sorted(r["cluster_id"] for r in out)
+    assert ids == list(range(1, len(ids) + 1))
