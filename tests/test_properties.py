@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure-Python operator cores:
+the numpy EM topic model, the local coherence twin, the heuristic POS
+tagger, and the deterministic mock LLM. No SparkSession needed — these are
+the functions that run inside executors, so their invariants must hold for
+arbitrary inputs, not just fixture data."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ml_training_data_pipeline_spark.functions.llm import (
+    CLUSTER_LABELS,
+    DOMAINS,
+    LEVEL_1,
+    LEVEL_2,
+    MockLLMClient,
+    label_prompt,
+    topic_prompt,
+)
+from ml_training_data_pipeline_spark.operators.pos_keywords import HeuristicTagger
+from ml_training_data_pipeline_spark.operators.refine import (
+    _em_topics,
+    _local_prob_coherence,
+    _probe_seed,
+)
+
+count_matrices = st.integers(2, 10).flatmap(
+    lambda n: st.integers(3, 8).flatmap(
+        lambda d: st.lists(
+            st.lists(st.integers(0, 5), min_size=d, max_size=d),
+            min_size=n,
+            max_size=n,
+        ).map(lambda rows: np.array(rows, dtype=float))
+    )
+)
+
+
+@settings(deadline=None, max_examples=40)
+@given(X=count_matrices, k=st.integers(2, 4), seed=st.integers(0, 2**31 - 1))
+def test_em_topics_deterministic_and_normalized(X, k, seed):
+    theta1, phi1 = _em_topics(X, k, seed, iters=5)
+    theta2, phi2 = _em_topics(X, k, seed, iters=5)
+    assert np.allclose(theta1, theta2) and np.allclose(phi1, phi2)
+    assert theta1.shape == (X.shape[0], k) and phi1.shape == (k, X.shape[1])
+    assert np.all(theta1 >= 0) and np.all(phi1 > 0)
+    assert np.allclose(theta1.sum(axis=1), 1.0)
+    assert np.allclose(phi1.sum(axis=1), 1.0)
+
+
+@settings(deadline=None, max_examples=40)
+@given(X=count_matrices, seed=st.integers(0, 2**31 - 1))
+def test_local_coherence_bounded(X, seed):
+    rng = np.random.default_rng(seed)
+    d = X.shape[1]
+    phi = rng.dirichlet(np.ones(d), size=2)  # 2 arbitrary topics
+    terms = np.array([f"t{i}" for i in range(d)])
+    got = _local_prob_coherence(X > 0, phi, terms, top_m=3)
+    # score(i,j) = D_ij/D_i − D_j/N with D_ij ≤ D_i and 0 < D_j ≤ N
+    assert np.isnan(got) or -1.0 <= got <= 1.0
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    seed=st.integers(0, 10**6),
+    cid=st.integers(0, 10**6),
+    k=st.integers(2, 10),
+)
+def test_probe_seed_in_numpy_range(seed, cid, k):
+    s = _probe_seed(seed, cid, k)
+    assert 0 <= s < 2**31 - 1
+    assert s == _probe_seed(seed, cid, k)
+
+
+@settings(deadline=None, max_examples=100)
+@given(token=st.text(max_size=20))
+def test_heuristic_tagger_total_and_deterministic(token):
+    tagger = HeuristicTagger()
+    tag = tagger.tag(token)
+    assert tag in {"OTHER", "ADV", "ADJ", "VERB", "NOUN"}
+    assert tag == tagger.tag(token)
+
+
+@settings(deadline=None, max_examples=100)
+@given(text=st.text(min_size=1, max_size=80).filter(lambda s: s.strip()))
+def test_mock_llm_topic_response_parses(text):
+    client = MockLLMClient()
+    prompt = f"Extract Domain, Level 1 and Level 2 for: {text}"
+    resp = client.complete(prompt)
+    assert resp == client.complete(prompt)  # deterministic
+    m = re.fullmatch(r"Domain: (.+) Level 1: (.+) Level 2: (.+)", resp)
+    assert m, resp
+    assert m.group(1) in DOMAINS
+    assert m.group(2) in LEVEL_1
+    assert m.group(3) in LEVEL_2
+
+
+@settings(deadline=None, max_examples=50)
+@given(kw=st.text(min_size=1, max_size=40).filter(lambda s: s.strip()))
+def test_mock_llm_label_from_vocabulary(kw):
+    client = MockLLMClient()
+    assert client.complete(f"Suggest a short label for keywords: {kw}") in CLUSTER_LABELS
+
+
+def test_prompt_builders_are_column_expressions(spark):
+    # prompt builders must stay Column-typed (JVM-side concat, no UDF)
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    assert isinstance(topic_prompt(F.lit("x")), Column)
+    assert isinstance(label_prompt(F.lit("x")), Column)
