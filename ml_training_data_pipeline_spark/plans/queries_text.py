@@ -337,3 +337,84 @@ def x3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- CUR1: end-to-end corpus curation (the 100-TB pipeline's daily job) ----------
+# Composes the curation gates a training-data pipeline actually runs over
+# raw documents, in one plan: exact-dedup survivorship (X4/D1 fingerprint,
+# min-doc_id survivor), detected-language gate (X3), token-count bounds
+# (X1) and composite quality threshold (X2). Every stage is the same
+# column algebra the standalone queries check, so the whole composite
+# stays value-checkable.
+def _curation_oracle() -> str:
+    langs = sorted(analysis.LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in analysis.LANG_MARKERS[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    lang_case = (
+        "CASE WHEN " + greatest + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+    quality = (
+        "least(CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END * 4, 1.0) * 0.4"
+        " + (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum_chars AS DOUBLE) / n_chars ELSE 0.0 END * 5, 1.0)) * 0.3"
+        " + (CASE WHEN n_toks > 0 AND CAST(tok_chars AS DOUBLE) / n_toks BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3"
+    )
+    return f"""
+    WITH {toks_cte()},
+    stats AS (
+      SELECT t.doc_id, t.toks,
+             length(d.text) AS n_chars,
+             length(regexp_replace(d.text, '[^\\sa-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             len(t.toks) AS n_toks,
+             len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
+             list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars,
+             md5(array_to_string(t.toks, ' ')) AS fp,
+             {score_cols}
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    gated AS (
+      SELECT doc_id, n_toks,
+             round({quality}, 6) AS quality_score,
+             {lang_case} AS lang_detected,
+             min(doc_id) OVER (PARTITION BY fp) AS keep_id
+      FROM stats
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens, quality_score
+    FROM gated
+    WHERE doc_id = keep_id AND lang_detected = 'en'
+      AND n_toks BETWEEN 5 AND 1000 AND quality_score >= 0.5
+    """
+
+
+@query("cur1_corpus_curation", oracle=_curation_oracle())
+def cur1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        analysis.token_count(t).cast("long").alias("n_tokens"),
+        analysis.quality_score(t).alias("quality_score"),
+        analysis.detect_language(t).alias("lang_detected"),
+        analysis.fingerprint(t).alias("fp"),
+    )
+    # dedup survivorship: min doc_id per fingerprint (partitioned window —
+    # shuffles once on fp, the same key an exact-dedup groupBy would use)
+    w = Window.partitionBy("fp")
+    return (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("lang_detected") == "en")
+            & F.col("n_tokens").between(5, 1000)
+            & (F.col("quality_score") >= 0.5)
+        )
+        .select("doc_id", "n_tokens", "quality_score")
+    )
