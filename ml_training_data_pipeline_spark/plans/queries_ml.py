@@ -69,7 +69,10 @@ def m4_lda_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokens = tokens_frame(docs)
     vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
-    tf = vectorize(tokens, vec_model).select("doc_id", "tf")
+    # cache: the EM optimizer walks the corpus every iteration — an
+    # uncached tokenize/vectorize lineage would re-execute ~maxIter times
+    # (measured 44s vs 2.4s at sf0.01)
+    tf = vectorize(tokens, vec_model).select("doc_id", "tf").cache()
     lda = LDA(k=5, seed=1234, maxIter=20, featuresCol="tf", optimizer="em")
     model = lda.fit(tf)
     vocab = vocabulary(vec_model)
