@@ -93,10 +93,17 @@ def tfidf_long(
     # is a metadata-cheap scan), so the main plan stays a single lineage —
     # otherwise Catalyst re-derives the counts subtree for the N aggregate
     # and the df join (3× the explode work, no shared scan).
-    # same token expression (pre-ngram: ngrams of a non-empty array always
-    # include its unigrams, so the doc set is identical)
-    base_toks = _token_array(text_col, ngram_max=1, stopwords=stopwords)
-    n_docs = docs.where(F.col(text_col).isNotNull()).where(F.size(base_toks) > 0).count()
+    # Without a stopword filter, "doc has ≥1 token" ⇔ "text contains ≥1
+    # ASCII alnum char" (the tokenizer keeps exactly [a-z0-9] runs), so
+    # the count scans with a single rlike instead of full tokenization.
+    # With stopwords the full token expression is required (an all-stopword
+    # doc has alnum chars but zero tokens).
+    nonempty = docs.where(F.col(text_col).isNotNull())
+    if stopwords:
+        base_toks = _token_array(text_col, ngram_max=1, stopwords=stopwords)
+        n_docs = nonempty.where(F.size(base_toks) > 0).count()
+    else:
+        n_docs = nonempty.where(F.col(text_col).rlike("[a-zA-Z0-9]")).count()
     # df(t) as a window over term: one shuffle, no second table, no join.
     w = Window.partitionBy("term")
     return counts.select(
