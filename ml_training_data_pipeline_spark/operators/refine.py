@@ -53,8 +53,11 @@ class RefineConfig:
     # size cutover (SURVEY §4 item 2 / §7 risks): clusters at or below
     # this many docs fit locally inside applyInPandas (all candidates in
     # parallel on executors); larger ones fall back to distributed MLlib
-    # LDA jobs, which are serial per cluster but shard internally.
-    local_fit_max_docs: int = 20000
+    # LDA jobs, which are serial per cluster but shard internally. The
+    # local fit densifies the cluster's sub-DTM: 5000 docs × ~2000 terms
+    # × 8B ≈ 80 MB per group — safely inside an executor's task memory;
+    # raise only with a correspondingly larger executor heap.
+    local_fit_max_docs: int = 5000
 
 
 def renumber_clusters(assignments: DataFrame) -> DataFrame:
