@@ -104,15 +104,19 @@ def tfidf_long(
         n_docs = nonempty.where(F.size(base_toks) > 0).count()
     else:
         n_docs = nonempty.where(F.col(text_col).rlike("[a-zA-Z0-9]")).count()
-    # df(t) as a window over term: one shuffle, no second table, no join.
-    w = Window.partitionBy("term")
-    return counts.select(
+    # df(t) via groupBy + join, not a window over term: the groupBy gets
+    # map-side partial aggregation (the shuffle carries one row per
+    # (partition, term), not per posting), the dft table is vocabulary-
+    # sized so AQE usually broadcasts it, and a boilerplate term that
+    # appears in half the corpus hits AQE's skew-join splitting — a
+    # term-partitioned window would funnel all of that term's rows
+    # through one partition with no mitigation.
+    dft = counts.groupBy("term").agg(F.count("*").alias("df"))
+    return counts.join(dft, "term").select(
         "doc_id",
         "term",
         "tf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.count("*").over(w)), 6
-        ).alias("weight"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("weight"),
     )
 
 
