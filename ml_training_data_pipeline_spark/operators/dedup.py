@@ -24,7 +24,7 @@ filter like real pipelines do (``max_shingle_df``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import fingerprint
@@ -137,8 +137,20 @@ def jaccard_pairs(
     """
     sh = shingles
     if max_shingle_df is not None:
-        w = Window.partitionBy("shingle")
-        sh = sh.withColumn("_df", F.count("*").over(w)).where(F.col("_df") <= max_shingle_df).drop("_df")
+        # drop-list anti-join, not a shingle-partitioned window: the cap
+        # exists precisely because some shingles are hot, and a window
+        # would funnel every posting of the hot shingle through one
+        # partition. The over-cap list is tiny by construction (these ARE
+        # the boilerplate outliers), so it broadcasts and the posting
+        # table is filtered without any shuffle; the detection groupBy is
+        # map-side partial-aggregated.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if candidates is not None:
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
