@@ -127,3 +127,22 @@ def st4_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.min("first_event_id").alias("first_event_id"),
     )
+
+
+# --- ST5: streaming exact dedup (dropDuplicatesWithinWatermark) -------------------
+# The streaming face of the curation dedup gate: state-backed key dedup
+# with a watermark bounding state size (the 100-TB lever — state expires
+# instead of growing forever). Emitting only the key columns makes the
+# result arrival-order-independent: exactly the distinct key set.
+@query(
+    "st5_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_bounded(deduped, "st5_out", output_mode="append")

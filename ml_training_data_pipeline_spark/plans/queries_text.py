@@ -339,6 +339,31 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
 
 
+# --- X6: BPE-ish regex subword counting ------------------------------------------
+# The second token-counting mode beside whitespace (X1): a GPT-2-style
+# pretokenizer pattern — letter runs, digit runs, punctuation runs — as a
+# single regexp_extract_all, engine-portable (no lookarounds, so Java
+# regex and DuckDB's RE2 agree). A real BPE merges within these
+# pretokens; the pretoken count is the standard cheap token-budget proxy.
+_SUBWORD_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@query(
+    "x6_subword_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SUBWORD_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_subwords
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def x6_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_PATTERN), 0)).cast("long").alias("n_subwords"),
+    )
+
+
 # --- CUR1: end-to-end corpus curation (the 100-TB pipeline's daily job) ----------
 # Composes the curation gates a training-data pipeline actually runs over
 # raw documents, in one plan: exact-dedup survivorship (X4/D1 fingerprint,

@@ -54,7 +54,7 @@ PRIORITY: tuple[str, ...] = (
     "t1_sort_topk", "h2_revenue_per_nation", "v4_vocab_top2000",
     "d4_minhash_dedup", "c5_merge_components", "d8_jaccard_capped",
     "n5_ann_ivf_topk", "st4_stream_stateful_user_stats", "mm2_frame_samples",
-    "cur1_corpus_curation",
+    "cur1_corpus_curation", "st5_stream_dedup", "x6_subword_counts",
     # (a cont.) never-checked estimator-backed (rows-only, slower)
     "m1_kmeans_assignments", "m2_kmeans_cluster_sizes",
     "m3_kmeans_predict_new_docs", "m4_lda_topic_terms",

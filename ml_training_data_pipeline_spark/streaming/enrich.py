@@ -79,6 +79,26 @@ def streaming_sessionize(events_stream: DataFrame, gap: str = "30 minutes") -> D
     )
 
 
+def enrich_stream_to_parquet(docs_stream: DataFrame, out_dir: str) -> None:
+    """EP1's chunk-file loop (chunk_*.csv per chunk + consolidation,
+    01_extract_features.R:479-495) upgraded to ``foreachBatch``: each
+    micro-batch runs the SAME batch enrichment operator and appends to
+    one parquet dataset — per-chunk durability (a crashed batch replays)
+    without a manual consolidation step, and the sink can be swapped for
+    any batch writer (JDBC, Delta, ...) that streams don't support
+    natively. Drives the bounded stream to completion."""
+    from ..functions.llm import enrich_documents
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enrich_documents(batch_df).write.mode("append").parquet(out_dir)
+
+    q = docs_stream.writeStream.foreachBatch(write_batch).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_user_stats(events_stream: DataFrame) -> DataFrame:
     """§2.10 custom stateful operator via ``applyInPandasWithState``:
     per-user running profile (distinct event types, event count, first

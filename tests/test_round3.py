@@ -224,3 +224,25 @@ def test_ep2_build_models_invariants(spark):
     # cluster ids are the compact renumbered 1..K
     ids = sorted(r["cluster_id"] for r in out)
     assert ids == list(range(1, len(ids) + 1))
+
+
+def test_foreach_batch_enrichment_matches_batch(spark, tmp_path):
+    """foreachBatch sink parity: streaming micro-batches through the same
+    enrichment operator write exactly the batch result."""
+    from ml_training_data_pipeline_spark.functions.llm import enrich_documents
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.streaming.enrich import (
+        enrich_stream_to_parquet,
+        stream_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "enriched")
+    enrich_stream_to_parquet(stream_table(spark, sf_dir, "documents"), out_dir)
+    streamed = {
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        tuple(r) for r in enrich_documents(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert streamed == batch
