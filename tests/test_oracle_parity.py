@@ -81,3 +81,14 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.schema is not None
     assert len(rows) >= 0
+
+
+def test_registry_priority_is_exhaustive():
+    """Every registered query must appear in the explicit PRIORITY order —
+    the correctness harness checks a prefix of the registry, so a query
+    missing from PRIORITY would silently land outside the checked set."""
+    from ml_training_data_pipeline_spark.plans import registry
+
+    assert set(registry.QUERIES) == set(registry.PRIORITY), (
+        set(registry.QUERIES) ^ set(registry.PRIORITY)
+    )
