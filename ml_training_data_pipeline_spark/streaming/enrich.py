@@ -138,9 +138,18 @@ def streaming_user_stats(events_stream: DataFrame) -> DataFrame:
     )
 
 
+_RUN_SEQ = 0
+
+
 def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str | None = None) -> DataFrame:
     """Drive a bounded file stream to completion through a memory sink and
-    return the materialized result — the deterministic smoke harness."""
+    return the materialized result — the deterministic smoke harness.
+    Sink names get a per-process sequence suffix so re-invoking the same
+    query in one session can't clobber a result another caller still
+    holds a lazy reference to."""
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    query_name = f"{query_name}_{_RUN_SEQ}"
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.outputMode(
