@@ -73,10 +73,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # defensively set per-session: the caller's session (e.g. the
         # driver's) may not carry this; it is runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamp[us] would infer as TIMESTAMP_NTZ in Spark 4,
+    # which rejects cast-to-double and withWatermark; read it as the
+    # session-zone TIMESTAMP the rest of the engine (and the DuckDB oracle's
+    # wall-clock values) expects.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for col in nanos_cols:
         # integer div (not float: 1e18 ns exceeds double's 2^53 exactness)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    df = normalize_ntz(df)
+    return df
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-zone TIMESTAMP (wall-clock
+    preserved). Backstop for sources that bypass the parquet-inference conf."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -27,6 +27,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stream replays the same files."""
     batch = load_table(spark, sf_dir, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # load_table sets inferTimestampNTZ=false on this session, so this
+    # schema carries TIMESTAMP (not NTZ) — required for withWatermark.
     raw_schema = spark.read.parquet(path).schema
     # file-stream sources take a directory; glob-filter to this table
     stream = (
