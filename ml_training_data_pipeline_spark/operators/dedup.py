@@ -6,7 +6,9 @@ Five families, all shuffle-bounded and engine-portable:
 - exact: md5 fingerprint of the canonical token stream → groupBy
 - MinHash: word-shingles → k seeded min-hashes → LSH band buckets →
   candidate pairs → exact Jaccard verification
-- SimHash: tf-weighted 16-bit signature → bucketed hamming pairs
+- SimHash: tf-weighted signature → hamming pairs, either single
+  high-byte bucketing (16-bit legacy) or complete multi-band bucketing
+  (60-bit, bands = max_hamming+1 — the 100-TB path)
 - n-gram Jaccard: shingle inverted-index self-join
 - embedding near-dup: see operators/similarity.py (cosine machinery)
 
@@ -234,6 +236,41 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     bitsum = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
     return bitsum.groupBy("doc_id").agg(
         F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+def simhash_banded_near_dups(
+    sim: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 60
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max) via multi-band bucketing — the scale
+    path. The signature is split into ``bands`` disjoint bit-slices; docs
+    are joined per (band, slice-value). Pigeonhole: a pair differing in at
+    most ``max_hamming`` ≤ bands-1 bits must agree exactly on ≥1 band, so
+    with bands = max_hamming+1 this is COMPLETE (identical result to the
+    all-pairs hamming filter) while each join is an equi-join on a
+    ``bits/bands``-bit key — the same sub-quadratic shape as ``lsh_bands``
+    (and unlike single-high-byte bucketing, it cannot miss pairs that
+    differ in the bucket bits)."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for the completeness guarantee")
+    w = bits // bands
+    mask = (1 << w) - 1
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn("band_key", F.expr(f"shiftright(simhash, band * {w})").bitwiseAND(F.lit(mask)))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

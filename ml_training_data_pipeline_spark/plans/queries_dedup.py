@@ -19,6 +19,7 @@ from ..operators.dedup import (
     minhash_dedup,
     minhash_signatures,
     simhash,
+    simhash_banded_near_dups,
     simhash_near_dups,
 )
 from .oracle_fragments import toks_cte
@@ -190,6 +191,42 @@ def d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d6_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = simhash(load_table(spark, sf_dir, "documents"), bits=16)
     return simhash_near_dups(sim, max_hamming=3, bucket_shift=8)
+
+
+# --- D9: multi-band SimHash near-dups (the 100-TB path) ----------------------------
+# 60-bit signature, 4 bands of 15 bits. bands > max_hamming makes the
+# banded candidate set COMPLETE, so the oracle is the straight all-pairs
+# hamming filter — the driver's hash-match proves the recall guarantee,
+# not just self-consistency with the same bucketing.
+@query(
+    "d9_simhash_banded_near_dups",
+    oracle=f"""
+    WITH {toks_cte()},
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0),
+    counts AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    th AS (SELECT term, {H60.format(x="term")} AS h
+           FROM (SELECT DISTINCT term FROM counts)),
+    bitsum AS (
+      SELECT c.doc_id, b.b,
+             sum(CASE WHEN (t.h >> b.b) & 1 = 1 THEN c.tf ELSE -c.tf END) AS s
+      FROM counts c JOIN th t USING (term)
+      CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+      GROUP BY c.doc_id, b.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def d9_simhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash(load_table(spark, sf_dir, "documents"), bits=60)
+    return simhash_banded_near_dups(sim, max_hamming=3, bands=4, bits=60)
 
 
 # --- D7: n-gram Jaccard all-pairs (threshold) --------------------------------------

@@ -44,39 +44,42 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked through round 2 — cheap ones first
-    "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",
-    "w4_argmax_per_group", "u2_vocab_intersection", "g1_rollup_totals",
-    "x5_corpus_profile", "l1_enrich_documents", "l2_cluster_labels",
-    "st1_stream_window_counts", "st2_stream_sessionize", "st3_stream_enrich",
-    "mm1_media_features",
-    # (b) changed or added this round
-    "t1_sort_topk", "h2_revenue_per_nation", "v4_vocab_top2000",
-    "d4_minhash_dedup", "c5_merge_components", "d8_jaccard_capped",
-    "n5_ann_ivf_topk", "st4_stream_stateful_user_stats", "mm2_frame_samples",
-    "cur1_corpus_curation", "st5_stream_dedup", "x6_subword_counts",
-    # (a cont.) never-checked estimator-backed (rows-only, slower)
-    "m1_kmeans_assignments", "m2_kmeans_cluster_sizes",
-    "m3_kmeans_predict_new_docs", "m4_lda_topic_terms",
-    "s5_model_roundtrip", "m5_refine_pipeline", "ep3_phase1_pipeline",
-    "ep2_build_models",
-    # (c) headline + core coverage
-    "h1_lineitem_pricing_summary", "v1_tfidf_ngram", "v2_term_counts",
-    "v3_tfidf_unigram", "v5_pos_keywords", "v6_doc_top_terms",
-    "c1_cluster_term_scores", "c2_group_centroids", "c3_group_withinss",
-    "c4_centroid_cosine_pairs", "c6_prob_coherence", "c7_quality_summary",
-    "d1_exact_dup_groups", "d2_minhash_signatures", "d3_lsh_candidate_pairs",
-    "d5_simhash", "d6_simhash_near_dups", "d7_jaccard_pairs",
-    "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
-    "n4_embedding_near_dups", "w1_tumbling_window_agg", "w2_sessionization",
-    # beyond the round-1/2 check prefix: unchanged, hash-green in r01+r02
-    "s1_scan_projection", "p2_derived_concat", "p4_filter_nonempty",
-    "p6_group_count_having", "p3_hash_sample", "a6_distinct",
+    # (a) round-5 rotation: the 28 queries whose newest driver row is
+    # r01/r02 (rounds 3-4 checked the same 50-prefix). Fresh rows first.
+    "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
+    "p4_filter_nonempty", "p6_group_count_having", "a6_distinct",
     "a9_max_watermark", "t2_topk_per_group", "j1_broadcast_lookup_join",
     "j2_dense_rank_renumber", "j5_semi_anti_join", "u1_union_all",
-    "f1_clean_text", "f8_regex_extract", "f6_stopword_removal",
-    "x1_token_stats", "x2_quality_scores", "x3_language_id",
-    "x4_fingerprint", "f11_json_decode", "w3_conditional_agg_funnel",
+    "f1_clean_text", "f6_stopword_removal", "f8_regex_extract",
+    "f11_json_decode", "x1_token_stats", "x2_quality_scores",
+    "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg",
+    "w2_sessionization", "w3_conditional_agg_funnel", "d7_jaccard_pairs",
+    "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
+    "n4_embedding_near_dups",
+    # (b) changed this round (timestamp normalization, SimHash banding,
+    # refine parallelism, st4 TTL, ep2 vocabulary unification)
+    "st1_stream_window_counts", "st2_stream_sessionize",
+    "st4_stream_stateful_user_stats", "st5_stream_dedup",
+    "d5_simhash", "d6_simhash_near_dups", "d9_simhash_banded_near_dups",
+    "m5_refine_pipeline", "ep2_build_models", "ep3_phase1_pipeline",
+    # (c) headline fills — keep the bench suite under fresh driver rows
+    "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
+    "v1_tfidf_ngram", "v4_vocab_top2000", "c1_cluster_term_scores",
+    "d4_minhash_dedup", "m2_kmeans_cluster_sizes", "cur1_corpus_curation",
+    "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords",
+    "x5_corpus_profile",
+    # beyond the 50-prefix: all hash-green in r04 (at most one round stale),
+    # still covered locally by tests/test_oracle_parity.py
+    "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",
+    "w4_argmax_per_group", "u2_vocab_intersection", "g1_rollup_totals",
+    "l2_cluster_labels", "st3_stream_enrich", "mm1_media_features",
+    "t1_sort_topk", "c5_merge_components", "d8_jaccard_capped",
+    "n5_ann_ivf_topk", "mm2_frame_samples", "x6_subword_counts",
+    "m1_kmeans_assignments", "m3_kmeans_predict_new_docs",
+    "s5_model_roundtrip", "v2_term_counts", "v3_tfidf_unigram",
+    "v6_doc_top_terms", "c2_group_centroids", "c3_group_withinss",
+    "c4_centroid_cosine_pairs", "c6_prob_coherence", "c7_quality_summary",
+    "d1_exact_dup_groups", "d2_minhash_signatures", "d3_lsh_candidate_pairs",
 )
 
 
