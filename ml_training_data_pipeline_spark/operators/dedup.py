@@ -290,3 +290,58 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, bucket_shift: int = 
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# --- near-dup graph closure -------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component_id) — connected components of the near-dup pair
+    graph: the closure step that turns pairwise near-dups into dedup
+    GROUPS (pair (a,b) + pair (b,c) must collapse to one survivor even
+    when (a,c) was never emitted). component_id = smallest doc_id in the
+    component, which doubles as the canonical-survivor key.
+
+    Smallest-label propagation to fixpoint: each round every node takes
+    the min label over itself and its neighbors — one shuffle per round
+    (join on node + groupBy min), converging in O(component diameter)
+    rounds, checked by an exact per-round convergence count. Near-dup
+    components are dense and tiny (dups of one source doc), so diameter
+    is small by construction; an adversarial million-node chain wants the
+    alternating large-star/small-star contraction instead — same
+    primitive ops, more rounds saved, not needed for dedup graphs.
+    ``localCheckpoint`` per round truncates the iterative lineage (the
+    driver-loop analogue of the reference's in-memory igraph step)."""
+    sym = edges.select(
+        F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select("node").distinct().select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_labels = (
+            sym.join(labels, "node")
+            .select(F.col("nbr").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
+            .where(F.col("label") != F.col("new_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))

@@ -58,6 +58,10 @@ class RefineConfig:
     # × 8B ≈ 80 MB per group — safely inside an executor's task memory;
     # raise only with a correspondingly larger executor heap.
     local_fit_max_docs: int = 5000
+    # concurrent driver threads submitting oversized-candidate MLlib fits
+    # (each fit's stages still shard across the cluster; this just stops
+    # the per-candidate jobs from serializing on the driver).
+    big_fit_parallelism: int = 4
 
 
 def renumber_clusters(assignments: DataFrame) -> DataFrame:
@@ -114,11 +118,14 @@ def _probe_seed(seed: int, cluster_id: int, k: int) -> int:
 
 
 def _em_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded numpy EM topic model over a small dense doc-term count
-    matrix: multinomial-mixture EM with the reference's priors as
-    smoothing (alpha=0.1, beta=0.01, 02_build_models.R:520). Returns
-    (theta n×k, phi k×d). Deterministic for a given seed — the pure-numpy
-    stand-in for FitLdaModel when sklearn is absent."""
+    """Seeded numpy MULTINOMIAL-MIXTURE EM over a small dense doc-term
+    count matrix — NOT an LDA twin: a mixture assigns each doc one topic
+    in the responsibilities, where LDA (the reference's FitLdaModel,
+    02_build_models.R:520, and the sklearn path above) admits per-doc
+    topic mixtures, so split behavior can differ on mixed-topic clusters.
+    Priors kept as smoothing (alpha=0.1, beta=0.01). Returns (theta n×k,
+    phi k×d), deterministic per seed — the last-resort fallback when
+    sklearn is absent (it is present in the target image)."""
     rng = np.random.default_rng(seed)
     n, _ = X.shape
     resp = rng.dirichlet(np.ones(k), size=n)
@@ -247,8 +254,9 @@ def split_low_coherence_clusters(
     IN PARALLEL as one ``groupBy(cluster_id).applyInPandas`` stage —
     every per-cluster fit is an executor-local numpy/sklearn job, no
     driver-blocking chain. Larger candidates (rare by construction) fall
-    back to distributed MLlib LDA jobs. One anti-join ∪ union applies all
-    minted assignments at once. Returns (new_assignments,
+    back to distributed MLlib LDA jobs submitted CONCURRENTLY from a
+    driver thread pool (``cfg.big_fit_parallelism``, FAIR pools). One
+    anti-join ∪ union applies all minted assignments at once. Returns (new_assignments,
     split_cluster_ids) — ids whose docs actually moved."""
     binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
     coh = cluster_coherence(tfidf, assignments, n_docs, cfg.top_m, binary=binary)
@@ -294,41 +302,65 @@ def split_low_coherence_clusters(
         )
         out = out.join(grouped.select("doc_id"), "doc_id", "left_anti").unionByName(grouped)
 
-    next_id = max_id + 1 + len(small) * max_k
-    for cid in big:
+    def fit_big_candidate(cid: int, base_id: int) -> DataFrame | None:
+        """Probe + final MLlib LDA for ONE oversized candidate. Runs on a
+        worker thread: each action here is an independent Spark job, so
+        candidates overlap instead of serializing on the driver (the
+        reference's loop is serial, 02_build_models.R:487-564 — at 100×
+        many >local_fit_max_docs low-coherence clusters would make that
+        the refine wall-clock). A per-thread scheduler pool keeps the
+        concurrent jobs fairly interleaved when FAIR mode is on."""
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"refine-{cid}")
         members = assignments.where(F.col("cluster_id") == cid).select("doc_id")
         sub = tf_vectors.join(members, "doc_id").cache()
-        n_sub = sub.count()
-        if n_sub < cfg.min_docs:
+        try:
+            n_sub = sub.count()
+            if n_sub < cfg.min_docs:
+                return None
+            ks = [k for k in cfg.k_range if k < n_sub]
+            # cluster-local probe scoring: D(w)/N from the cluster's own
+            # sub-DTM (02_build_models.R:543-547)
+            local_binary = binary.join(members, "doc_id").cache()
+            best_k, best_score = None, float("-inf")
+            for k in ks:
+                probe = lda_topic_assignments(sub, k, _probe_seed(cfg.seed, cid, k), cfg.lda_search_iter)
+                probe_assign = probe.select("doc_id", F.col("topic").alias("cluster_id"))
+                probe_coh = cluster_coherence(
+                    tfidf.join(members, "doc_id"), probe_assign, n_sub, cfg.top_m,
+                    binary=local_binary,
+                )
+                score_row = probe_coh.agg(F.avg("coherence")).first()
+                score = score_row[0] if score_row and score_row[0] is not None else float("-inf")
+                if score > best_score:
+                    best_k, best_score = k, score
+            local_binary.unpersist()
+            if best_k is None or best_score >= cfg.coherence_threshold:
+                return None
+            final = lda_topic_assignments(sub, best_k, _probe_seed(cfg.seed, cid, best_k), cfg.lda_final_iter)
+            # argmax materialized inside the thread so unpersist is safe;
+            # result is candidate-sized (doc_id, cluster_id) rows.
+            return final.select(
+                "doc_id", (F.lit(base_id) + F.col("topic")).cast("long").alias("cluster_id")
+            ).localCheckpoint(eager=True)
+        finally:
             sub.unpersist()
-            continue
-        ks = [k for k in cfg.k_range if k < n_sub]
-        # cluster-local probe scoring: D(w)/N from the cluster's own
-        # sub-DTM (02_build_models.R:543-547)
-        local_binary = binary.join(members, "doc_id").cache()
-        best_k, best_score = None, float("-inf")
-        for k in ks:
-            probe = lda_topic_assignments(sub, k, _probe_seed(cfg.seed, cid, k), cfg.lda_search_iter)
-            probe_assign = probe.select("doc_id", F.col("topic").alias("cluster_id"))
-            probe_coh = cluster_coherence(
-                tfidf.join(members, "doc_id"), probe_assign, n_sub, cfg.top_m,
-                binary=local_binary,
-            )
-            score_row = probe_coh.agg(F.avg("coherence")).first()
-            score = score_row[0] if score_row and score_row[0] is not None else float("-inf")
-            if score > best_score:
-                best_k, best_score = k, score
-        local_binary.unpersist()
-        if best_k is None or best_score >= cfg.coherence_threshold:
-            sub.unpersist()
-            continue
-        final = lda_topic_assignments(sub, best_k, _probe_seed(cfg.seed, cid, best_k), cfg.lda_final_iter)
-        minted = final.select(
-            "doc_id", (F.lit(next_id) + F.col("topic")).cast("long").alias("cluster_id")
-        )
-        next_id += best_k
-        out = out.join(minted.select("doc_id"), "doc_id", "left_anti").unionByName(minted)
-        sub.unpersist()
+
+    if big:
+        # deterministic id blocks continue past the small candidates';
+        # ids are provisional either way — renumber compacts after.
+        big_bases = [
+            (cid, max_id + 1 + (len(small) + i) * max_k) for i, cid in enumerate(big)
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(big), cfg.big_fit_parallelism)) as pool:
+            minted_parts = list(pool.map(lambda cb: fit_big_candidate(*cb), big_bases))
+        minted_parts = [m for m in minted_parts if m is not None]
+        if minted_parts:
+            all_minted = minted_parts[0]
+            for m in minted_parts[1:]:
+                all_minted = all_minted.unionByName(m)
+            out = out.join(all_minted.select("doc_id"), "doc_id", "left_anti").unionByName(all_minted)
 
     # materialize once (refine() re-checkpoints after renumber), then
     # derive which candidates actually split from the assignment diff.

@@ -10,7 +10,7 @@ text is the reference's ``dfm_match`` (V7, ``README.md:519``).
 from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.feature import IDF, CountVectorizer
+from pyspark.ml.feature import IDF, CountVectorizer, CountVectorizerModel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +51,30 @@ def vectorize(tokens: DataFrame, model: PipelineModel) -> DataFrame:
     """Apply the fitted vocabulary to (new) documents — dfm_match (V7,
     README.md:517-520). Returns (doc_id, tokens, tf, features)."""
     return model.transform(tokens)
+
+
+def vectorize_dfm(dfm_long: DataFrame, terms: list[str]) -> tuple[PipelineModel, DataFrame]:
+    """Assemble (doc_id, tokens, tf, features) from a LONG-format DFM
+    (doc_id, term, tf) and an EXPLICIT vocabulary — the reference's
+    one-reduced-DFM-for-everything contract (02_build_models.R:174-190):
+    cluster geometry and coherence/term scoring see the same term space,
+    instead of CountVectorizer re-ranking by raw document frequency.
+
+    The vocabulary is pinned via ``CountVectorizerModel.from_vocabulary``
+    (out-of-vocab terms drop, exactly dfm_match); per-doc token arrays are
+    reconstructed with one groupBy (term repeated tf times — arrays are
+    bounded by doc length, not vocab size), and IDF is fitted on the
+    resulting sparse tf. Everything stays JVM-side and sparse. Returns
+    (fitted PipelineModel — the V7 serving contract — and the vectors)."""
+    cvm = CountVectorizerModel.from_vocabulary(list(terms), inputCol="tokens", outputCol="tf")
+    toks = dfm_long.groupBy("doc_id").agg(
+        F.flatten(
+            F.collect_list(F.array_repeat(F.col("term"), F.col("tf").cast("int")))
+        ).alias("tokens")
+    )
+    tf = cvm.transform(toks)
+    idf = IDF(inputCol="tf", outputCol="features").fit(tf)
+    return PipelineModel([cvm, idf]), idf.transform(tf)
 
 
 def vocabulary(model: PipelineModel) -> list[str]:

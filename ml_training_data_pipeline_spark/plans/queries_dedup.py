@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators.dedup import (
+    connected_components,
     doc_shingles,
     exact_dup_groups,
     jaccard_pairs,
@@ -227,6 +228,40 @@ def d6_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d9_simhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = simhash(load_table(spark, sf_dir, "documents"), bits=60)
     return simhash_banded_near_dups(sim, max_hamming=3, bands=4, bits=60)
+
+
+# --- D10: near-dup connected components (dedup groups, not pairs) ------------------
+# The closure step a real dedup job needs: pairwise near-dups → transitive
+# GROUPS with a canonical survivor (min doc_id). Spark side is iterative
+# smallest-label propagation (operators/dedup.connected_components); the
+# oracle states the same fixpoint as a recursive CTE, so the driver
+# hash-match checks the closure itself, not the iteration schedule.
+@query(
+    "d10_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_CANDIDATES},
+    {_JACCARD},
+    pairs AS (
+      SELECT j.doc_a, j.doc_b
+      FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def d10_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_dedup(docs, threshold=0.5))
 
 
 # --- D7: n-gram Jaccard all-pairs (threshold) --------------------------------------

@@ -15,7 +15,13 @@ from ..io.sources import load_table
 from ..operators.cluster import cluster_sizes, fit_kmeans
 from ..operators.refine import RefineConfig, refine
 from ..operators.tfidf import tfidf_long
-from ..operators.vectorize import fit_tfidf_vectorizer, tokens_frame, vectorize, vocabulary
+from ..operators.vectorize import (
+    fit_tfidf_vectorizer,
+    tokens_frame,
+    vectorize,
+    vectorize_dfm,
+    vocabulary,
+)
 from .registry import query
 
 
@@ -245,10 +251,15 @@ def ep2_build_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     # V5: the reference feeds the POS-keyword text into the DFM build
     kw = extract_pos_keywords(docs)
     tfidf = tfidf_long(kw, text_col="keywords", ngram_max=3)
-    reduced = reduce_to_vocabulary(tfidf, top_vocabulary(tfidf, top_n=2000))
-    tokens = tokens_frame(kw, text_col="keywords")
-    vec_model = fit_tfidf_vectorizer(tokens, vocab_size=2000)
-    vecs = vectorize(tokens, vec_model)
+    vocab = top_vocabulary(tfidf, top_n=2000)
+    reduced = reduce_to_vocabulary(tfidf, vocab)
+    # ONE vocabulary for everything (02:174-190): the KMeans/LDA vectors
+    # are assembled from the SAME reduced DFM that feeds coherence and
+    # term scoring — not a second CountVectorizer fit with its own
+    # raw-frequency ranking. vocab is ≤2000 rows by construction
+    # (driver-side list is the from_vocabulary contract, V7).
+    terms = [r["term"] for r in vocab.select("term").orderBy("rank").collect()]
+    _, vecs = vectorize_dfm(reduced.select("doc_id", "term", "tf"), terms)
     res = fit_kmeans(vecs, k=15, seed=123)  # M1: k=15, seed 123 (02:183-190)
     return phase1_summary(
         vecs.select("doc_id", "tf"), reduced, res.assignments, _phase1_cfg()

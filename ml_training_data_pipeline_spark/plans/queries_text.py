@@ -443,3 +443,60 @@ def cur1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "quality_score")
     )
+
+
+# --- MIX1: stratified source-mixing sample ----------------------------------------
+# The training-mix step: each source contributes at a configured rate
+# (upweight rare/high-quality sources, downsample the crawl firehose).
+# Deterministic hash-gate per row — the same md5-nibble primitive as P3,
+# so the sample is reproducible, engine-portable, and join-free to
+# audit. Rates here derive from the source's numeric suffix (rate16 =
+# 3 + suffix mod 10 sixteenths), standing in for a real mix config; at
+# scale the rate table is a broadcast dimension instead of an expression.
+@query(
+    "mix1_source_mixing_sample",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 1))::INT
+          < 3 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 10
+    """,
+)
+def mix1_source_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nibble = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))), 1, 1),
+        16, 10,
+    ).cast("int")
+    rate16 = F.lit(3) + (F.regexp_extract("source", "([0-9]+)$", 1).cast("int") % 10)
+    return docs.where(nibble < rate16).select("doc_id", "source", "lang")
+
+
+# --- X7: per-language length quantiles (corpus profiling) --------------------------
+# Exact continuous-interpolation percentiles (Spark `percentile` ≡ DuckDB
+# `quantile_cont`) of document length per language — the profile a mix
+# designer reads before setting MIX1's rates. Exact (not approx_)
+# percentile IS a full sort per group at 100 TB; swap to
+# percentile_approx when ±0.1% suffices — kept exact here so the oracle
+# hash-checks the values.
+@query(
+    "x7_language_length_quantiles",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90
+    FROM documents GROUP BY lang
+    """,
+)
+def x7_language_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90"),
+    )

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # refine's oversized-candidate LDA fits are submitted from
+        # concurrent driver threads (operators/refine.py); FAIR mode lets
+        # those jobs share executors instead of queueing FIFO.
+        .config("spark.scheduler.mode", "FAIR")
         # testdata parquet carries TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long and convert at the source (io/sources.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -101,31 +101,56 @@ def enrich_stream_to_parquet(docs_stream: DataFrame, out_dir: str) -> None:
         q.stop()
 
 
-def streaming_user_stats(events_stream: DataFrame) -> DataFrame:
+def streaming_user_stats(events_stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     """§2.10 custom stateful operator via ``applyInPandasWithState``:
     per-user running profile (distinct event types, event count, first
     event id) held in explicit group state across micro-batches — the
     stateful-streaming form of a groupBy profile, and the pattern a
     streaming dedup/quality gate builds on. Every state merge is
     commutative (set-union, sum, min), so emitted values are independent
-    of arrival order — what keeps the operator oracle-checkable."""
+    of arrival order — what keeps the operator oracle-checkable.
+
+    State is bounded: each key's state carries an EVENT-TIME TTL of
+    ``ttl_minutes`` past the key's latest event (refreshed on every update) and is
+    dropped on expiry — without it, per-user state grows monotonically
+    with the key universe, the one unbounded-memory failure mode of keyed
+    streaming state at 100-TB ingest. Event-time (not processing-time)
+    timeout keeps the operator deterministic under replay AND lets a
+    bounded run drain: expiry advances with the data's own watermark, so
+    ``processAllAvailable`` terminates (a processing-time timeout keeps
+    scheduling wall-clock timeout batches forever). The caller must set
+    ``withWatermark`` on the input — ``stream_table`` events carry ``ts``."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_event_types long, n_events long, first_event_id long"
     state_schema = "types array<string>, n long, first_id long"
+    ttl_ms = int(ttl_minutes) * 60_000
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # expiry call: no input rows for this key this batch — drop
+            # the state, emit nothing (profile rows are update-mode).
+            state.remove()
+            return
         if state.exists:
             types, n, first = set(state.get[0]), int(state.get[1]), int(state.get[2])
         else:
             types, n, first = set(), 0, None
+        last_ts_ms = 0
         for pdf in pdfs:
             n += len(pdf)
             types.update(str(t) for t in pdf["event_type"])
             mn = int(pdf["event_id"].min())
             first = mn if first is None else min(first, mn)
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                last_ts_ms = max(last_ts_ms, int(ts_max.timestamp() * 1000))
         state.update((sorted(types), n, first))
+        # expire once the watermark passes this key's latest event + TTL;
+        # floored at the current watermark (Spark requires the timeout
+        # timestamp to be strictly ahead of it — guards very-late data).
+        state.setTimeoutTimestamp(max(last_ts_ms, state.getCurrentWatermarkMs() + 1) + ttl_ms)
         yield pd.DataFrame(
             {
                 "user_id": [int(key[0])],
@@ -135,8 +160,13 @@ def streaming_user_stats(events_stream: DataFrame) -> DataFrame:
             }
         )
 
-    return events_stream.select("user_id", "event_type", "event_id").groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    return (
+        events_stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
     )
 
 

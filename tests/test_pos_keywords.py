@@ -50,3 +50,54 @@ def test_known_tags():
     for tok, want in cases.items():
         assert TAGGER.tag(tok) == want, tok
     assert all(w in CLOSED_CLASS for w in ("the", "and", "of"))
+
+
+class _FakePos:
+    def __init__(self, pos: str) -> None:
+        self.pos_ = pos
+
+
+class _FakeDoc(list):
+    pass
+
+
+class _FakeNlp:
+    """Stands in for a loaded spaCy pipeline: everything is a VERB, which
+    the heuristic would never say for e.g. 'table' — proving the
+    statistical path is actually consulted, not silently bypassed."""
+
+    def __call__(self, token: str):
+        return _FakeDoc([_FakePos("VERB")])
+
+
+def test_spacy_path_wires_up(monkeypatch):
+    import sys
+    import types
+
+    from ml_training_data_pipeline_spark.operators import pos_keywords as pk
+
+    fake_spacy = types.ModuleType("spacy")
+    fake_spacy.load = lambda name: _FakeNlp()
+    monkeypatch.setitem(sys.modules, "spacy", fake_spacy)
+    monkeypatch.setenv("MTDP_POS_MODEL", "fake_model")
+    tagger = pk.load_tagger()
+    assert isinstance(tagger, pk.SpacyTagger)
+    assert tagger.tag("table") == "VERB"
+
+
+def test_spacy_load_failure_falls_back(monkeypatch):
+    import sys
+    import types
+
+    from ml_training_data_pipeline_spark.operators import pos_keywords as pk
+
+    fake_spacy = types.ModuleType("spacy")
+
+    def boom(name):
+        raise OSError("model not found")
+
+    fake_spacy.load = boom
+    monkeypatch.setitem(sys.modules, "spacy", fake_spacy)
+    monkeypatch.setenv("MTDP_POS_MODEL", "missing_model")
+    tagger = pk.load_tagger()
+    assert isinstance(tagger, pk.HeuristicTagger)

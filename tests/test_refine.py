@@ -77,6 +77,31 @@ def test_forced_split_preserves_partition(spark, corpus, fitted):
     assert max(new_ids) > 2
 
 
+def test_forced_split_big_path_threaded(spark, corpus, fitted):
+    """local_fit_max_docs=0 routes every candidate through the MLlib
+    fallback — now submitted from a driver thread pool. Same partition
+    invariants as the applyInPandas path."""
+    vecs, tfidf = fitted
+    assignments = corpus.select("doc_id", "cluster_id")
+    cfg = RefineConfig(
+        coherence_threshold=0.9,
+        k_range=(2,),
+        min_docs=3,
+        top_m=3,
+        lda_search_iter=5,
+        lda_final_iter=10,
+        local_fit_max_docs=0,
+        big_fit_parallelism=2,
+    )
+    out, split_ids = split_low_coherence_clusters(
+        vecs.select("doc_id", "tf"), tfidf, assignments, n_docs=6, cfg=cfg
+    )
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 5, 6]
+    assert split_ids, "expected at least one split via the MLlib path"
+    assert max(r["cluster_id"] for r in rows) > 2
+
+
 def test_split_respects_min_docs_guard(spark, corpus, fitted):
     vecs, tfidf = fitted
     assignments = corpus.select("doc_id", "cluster_id")
