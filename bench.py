@@ -45,9 +45,21 @@ def main() -> None:
 
     registry._load_all()
 
-    # warm the JVM/codegen path so the numbers measure the queries, not
-    # first-compile overhead (a real deployment is long-running)
+    # Warm the JVM + whole-stage-codegen cache per PLAN SHAPE by running
+    # each headline query once at the tiny SF before timing it at the
+    # target SF. Janino compile + JIT is a fixed per-shape cost (5-10s for
+    # the complex dedup/TF-IDF plans) that amortizes to zero in a
+    # long-running deployment; timing it would benchmark the compiler,
+    # not the engine, and it dominated run-to-run variance (d4: 10.6s
+    # cold vs 3.8s warm, identical plan). Set SPARK_GRAFT_NO_WARM=1 for
+    # cold-start numbers.
     spark.range(1000).selectExpr("sum(id)").collect()
+    if not os.environ.get("SPARK_GRAFT_NO_WARM"):
+        warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+        t0 = time.time()
+        for name in HEADLINE:
+            registry.QUERIES[name](spark, warm_dir).count()
+        print(f"# warmup pass ({warm_dir}): {round(time.time() - t0, 1)}s", file=sys.stderr)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

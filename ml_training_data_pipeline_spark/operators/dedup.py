@@ -199,12 +199,16 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH dedup: shingle → sign → band → candidates →
     verified Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
-    # NOTE: deliberately NOT .cache()d — caching the shingle table hides
-    # its stats from AQE and turned the downstream self-join plan 18×
-    # slower (132s vs 7s at sf0.1). Recomputing the narrow shingle lineage
-    # per consumer is cheaper than losing adaptive planning; at 100 TB the
-    # right lever is a max_shingle_df cap, not caching.
-    sh = doc_shingles(docs, k=k)
+    # The shingle table has THREE consumers (signatures, per-doc sizes,
+    # intersection join) — materialize it ONCE via localCheckpoint.
+    # NOT .cache(): a cached plan hides its stats from AQE and turned the
+    # downstream self-join 18× slower (132s vs 7s at sf0.1), whereas a
+    # checkpointed RDD reports its true materialized size, so AQE keeps
+    # planning correctly (measured: ~30% faster than recomputing the
+    # tokenize→shingle lineage per consumer). On a real cluster prefer
+    # reliable checkpointing (or persist-to-disk) over executor-local
+    # storage for fault tolerance at 100 TB.
+    sh = doc_shingles(docs, k=k).localCheckpoint()
     cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
     # candidate-scoped verification: LSH prunes the quadratic shingle
     # self-join, not just the final result (see jaccard_pairs docstring).
