@@ -146,3 +146,68 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_bounded(deduped, "st5_out", output_mode="append")
+
+
+# --- ST6: watermarked stream-stream join (interval join) --------------------------
+# Click→purchase attribution within one hour, per user — the canonical
+# stream-stream INNER join. Both sides carry watermarks and the join
+# predicate carries an event-time range, which is exactly what lets
+# Spark expire buffered rows: a click older than watermark − 1 h can
+# never match a future purchase, so its state drops. Without the range
+# constraint both sides buffer forever — the stream-stream analogue of
+# st4's TTL. Epoch seconds are FLOORED per-timestamp on both engines
+# (DuckDB's double→BIGINT cast rounds; Spark's timestamp→long truncates)
+# so the latency column hashes identically.
+@query(
+    "st6_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_to_purchase
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user_id = p_user_id AND
+            p_ts > c_ts AND
+            p_ts <= c_ts + interval 1 hour
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("secs_to_purchase"),
+    )
+    return run_bounded(joined, "st6_out", output_mode="append")

@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     # refine parallelism, st4 TTL, ep2 vocabulary unification)
     "st1_stream_window_counts", "st2_stream_sessionize",
     "st4_stream_stateful_user_stats", "st5_stream_dedup",
+    "st6_stream_stream_join",
     "d5_simhash", "d6_simhash_near_dups", "d9_simhash_banded_near_dups",
     "d10_neardup_components", "mix1_source_mixing_sample",
     "x7_language_length_quantiles",
@@ -68,10 +69,9 @@ PRIORITY: tuple[str, ...] = (
     "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
     "v1_tfidf_ngram", "v4_vocab_top2000", "c1_cluster_term_scores",
     "d4_minhash_dedup", "m2_kmeans_cluster_sizes", "cur1_corpus_curation",
-    "l1_enrich_documents",
     # beyond the 50-prefix: all hash-green in r04 (at most one round stale),
     # still covered locally by tests/test_oracle_parity.py
-    "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",
+    "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",
     "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",
     "w4_argmax_per_group", "u2_vocab_intersection", "g1_rollup_totals",
     "l2_cluster_labels", "st3_stream_enrich", "mm1_media_features",

@@ -120,14 +120,33 @@ def streaming_user_stats(events_stream: DataFrame, ttl_minutes: int = 60) -> Dat
     ``processAllAvailable`` terminates (a processing-time timeout keeps
     scheduling wall-clock timeout batches forever). The caller must set
     ``withWatermark`` on the input — ``stream_table`` events carry ``ts``."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "user_id long, n_event_types long, n_events long, first_event_id long"
     state_schema = "types array<string>, n long, first_id long"
-    ttl_ms = int(ttl_minutes) * 60_000
 
-    def update(key, pdfs, state: GroupState):
+    return (
+        events_stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_profile_update(int(ttl_minutes) * 60_000),
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def make_profile_update(ttl_ms: int):
+    """The ``applyInPandasWithState`` group function behind
+    ``streaming_user_stats``, exposed as a factory so the state-eviction
+    contract is unit-testable against a fake GroupState (a timed-out call
+    must ``remove()`` and emit nothing)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
         if state.hasTimedOut:
             # expiry call: no input rows for this key this batch — drop
             # the state, emit nothing (profile rows are update-mode).
@@ -160,14 +179,7 @@ def streaming_user_stats(events_stream: DataFrame, ttl_minutes: int = 60) -> Dat
             }
         )
 
-    return (
-        events_stream.withWatermark("ts", "10 minutes")
-        .select("user_id", "event_type", "event_id", "ts")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
-        )
-    )
+    return update
 
 
 _RUN_SEQ = 0

@@ -79,10 +79,15 @@ def test_forced_split_preserves_partition(spark, corpus, fitted):
 
 def test_forced_split_big_path_threaded(spark, corpus, fitted):
     """local_fit_max_docs=0 routes every candidate through the MLlib
-    fallback — now submitted from a driver thread pool. Same partition
-    invariants as the applyInPandas path."""
+    fallback — now submitted from a driver thread pool. TWO candidate
+    clusters (3 docs each, both under the forced threshold) so the fits
+    actually run concurrently; same partition invariants as the
+    applyInPandas path."""
     vecs, tfidf = fitted
-    assignments = corpus.select("doc_id", "cluster_id")
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)],
+        schema="doc_id long, cluster_id int",
+    )
     cfg = RefineConfig(
         coherence_threshold=0.9,
         k_range=(2,),
@@ -98,7 +103,7 @@ def test_forced_split_big_path_threaded(spark, corpus, fitted):
     )
     rows = out.collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 5, 6]
-    assert split_ids, "expected at least one split via the MLlib path"
+    assert len(split_ids) == 2, "both oversized candidates must split via the MLlib path"
     assert max(r["cluster_id"] for r in rows) > 2
 
 

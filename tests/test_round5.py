@@ -39,3 +39,56 @@ def test_banded_simhash_catches_high_bit_diff(spark):
     sim = spark.createDataFrame([(1, a), (2, b)], schema="doc_id long, simhash long")
     out = simhash_banded_near_dups(sim, max_hamming=3, bands=4, bits=60).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out] == [(1, 2, 1)]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for the eviction contract."""
+
+    def __init__(self, has_timed_out: bool):
+        self.hasTimedOut = has_timed_out
+        self.exists = False
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, value):
+        self.updated = value
+
+    def getCurrentWatermarkMs(self):
+        return 1_700_000_000_000
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_set = ts_ms
+
+
+def test_profile_state_evicts_on_timeout():
+    from ml_training_data_pipeline_spark.streaming.enrich import make_profile_update
+
+    update = make_profile_update(ttl_ms=60_000)
+    state = _FakeState(has_timed_out=True)
+    rows = list(update((7,), iter([]), state) or [])
+    assert state.removed, "timed-out state must be dropped"
+    assert rows == [], "eviction emits nothing"
+    assert state.updated is None and state.timeout_set is None
+
+
+def test_profile_state_sets_event_time_ttl():
+    import pandas as pd
+
+    from ml_training_data_pipeline_spark.streaming.enrich import make_profile_update
+
+    update = make_profile_update(ttl_ms=60_000)
+    state = _FakeState(has_timed_out=False)
+    ts = pd.Timestamp("2024-01-01T00:00:00Z")
+    pdf = pd.DataFrame(
+        {"user_id": [7, 7], "event_type": ["click", "view"], "event_id": [4, 9], "ts": [ts, ts]}
+    )
+    rows = list(update((7,), iter([pdf]), state))
+    assert state.updated == (["click", "view"], 2, 4)
+    # TTL anchored at max(latest event, watermark+1) + ttl: the 2024-01-01
+    # event (1704067200000 ms) is ahead of the fake watermark, so it wins
+    assert state.timeout_set == 1_704_067_200_000 + 60_000
+    assert len(rows) == 1 and int(rows[0]["n_events"].iloc[0]) == 2
