@@ -135,3 +135,42 @@ def n5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), nlist=16, nprobe=4, k=5, seed=123
     )
+
+
+# --- N6: embedding near-dup GROUPS (closure over n4's pair graph) ----------------
+# The semantic-dedup survivor step: cosine near-dup pairs → transitive
+# components → canonical representative (min vec_id). Same
+# smallest-label-propagation operator as d10; the recursive-CTE oracle
+# checks the closure, so together n4+n6 oracle-verify the whole
+# embedding-dedup path end-to-end.
+@query(
+    "n6_embedding_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_V},
+    pairs AS (
+      SELECT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.ve, b.ve)
+                     / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve))), 6) AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.35
+    ),
+    edges AS (
+      SELECT vec_a AS node, vec_b AS nbr FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def n6_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.35, block_col="label")
+    return connected_components(pairs, a_col="vec_a", b_col="vec_b")
