@@ -137,3 +137,57 @@ def w3_conditional_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         (F.max(ets) - F.min(ets)).alias("active_span_sec"),
     )
+
+
+# --- W5: as-of join (point-in-time attribution) -----------------------------------
+# For every purchase, the most recent STRICTLY-PRIOR click by the same
+# user within one hour — the as-of/point-in-time join (DuckDB spells it
+# ASOF JOIN; kdb aj). Expressed as one forward-fill window over the
+# per-user timeline instead of a range join: F.last(..., ignorenulls)
+# over (ts, event_id) carries the latest click forward, so the plan is
+# ONE shuffle on user_id — no interval-explosion, no per-row probe —
+# which is the shape that survives 100 TB of events. The oracle states
+# the identical window (last_value IGNORE NULLS), keeping the
+# (ts, event_id) tie-break deterministic on both engines.
+@query(
+    "w5_asof_attribution",
+    oracle="""
+    WITH tl AS (
+      SELECT event_id, user_id, event_type, epoch(ts) AS ets,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS asof_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch(ts) END IGNORE NULLS)
+               OVER w AS asof_click_ets
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN ets - asof_click_ets <= 3600 THEN asof_click_id END AS asof_click_id
+    FROM tl WHERE event_type = 'purchase'
+    """,
+)
+def w5_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    ets = F.col("ts").cast("double")
+    tl = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ets.alias("ets"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w).alias("asof_click_id"),
+        F.last(F.when(is_click, ets), ignorenulls=True).over(w).alias("asof_click_ets"),
+    )
+    return tl.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(
+            F.col("ets") - F.col("asof_click_ets") <= 3600, F.col("asof_click_id")
+        ).alias("asof_click_id"),
+    )
