@@ -193,3 +193,32 @@ def x5_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --- G2: pivot (long→wide per-user event-type counts) ------------------------------
+# groupBy().pivot() with EXPLICIT pivot values: declaring the columns keeps
+# the schema static (no pre-scan job for distinct values, and the 100-TB
+# plan is a single hash aggregate with one output column per declared
+# value — exactly a FILTERed-count aggregate, which is how the oracle
+# states it).
+@query(
+    "g2_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def g2_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = events.groupBy("user_id").pivot("event_type", types).count()
+    # pivot emits null for absent (user, type) combos; FILTER counts emit 0
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
