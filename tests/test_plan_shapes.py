@@ -74,3 +74,24 @@ def test_text_hot_paths_have_no_python_udf(spark, name):
     # stages in the plan (v5/l1 are the documented pandas_udf exceptions).
     plan = explain_str(spark, name)
     assert "EvalPython" not in plan, f"{name} dropped to Python:\n{plan}"
+
+
+def test_w5_asof_is_single_window_no_join(spark):
+    # the as-of join must stay in its forward-fill window form: one
+    # Window over user_id, NO join operator (a range/interval join here
+    # would explode at scale).
+    plan = explain_str(spark, "w5_asof_attribution")
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert op not in plan, f"w5 regressed to a join plan:\n{plan}"
+
+
+def test_g2_pivot_is_single_aggregate_no_expand(spark):
+    # explicit pivot values compile to one hash-aggregate pass (pivot
+    # aggregates inline); an Expand or a join would mean the pivot fell
+    # off the single-pass path.
+    plan = explain_str(spark, "g2_event_type_pivot")
+    assert "HashAggregate" in plan
+    assert "Expand" not in plan, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, plan
