@@ -76,6 +76,28 @@ def term_counts(tokens_long: DataFrame) -> DataFrame:
     return tokens_long.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
+def corpus_size(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    stopwords: tuple[str, ...] | None = None,
+) -> int:
+    """N — count of docs with ≥1 token. A scalar: one cheap count action
+    on the source (at 100 TB this is a metadata-cheap scan), so the main
+    plan stays a single lineage — otherwise Catalyst re-derives the
+    counts subtree for the N aggregate and the df join (3× the explode
+    work, no shared scan). Without a stopword filter, "doc has ≥1 token"
+    ⇔ "text contains ≥1 ASCII alnum char" (the tokenizer keeps exactly
+    [a-z0-9] runs), so the count scans with a single rlike instead of
+    full tokenization. With stopwords the full token expression is
+    required (an all-stopword doc has alnum chars but zero tokens)."""
+    nonempty = docs.where(F.col(text_col).isNotNull())
+    if stopwords:
+        base_toks = _token_array(text_col, ngram_max=1, stopwords=stopwords)
+        return nonempty.where(F.size(base_toks) > 0).count()
+    return nonempty.where(F.col(text_col).rlike("[a-zA-Z0-9]")).count()
+
+
 def tfidf_long(
     docs: DataFrame,
     text_col: str = "text",
@@ -89,21 +111,7 @@ def tfidf_long(
     decimals so Spark and the DuckDB oracle hash identically."""
     tokens = doc_tokens(docs, text_col, id_col, ngram_max=ngram_max, stopwords=stopwords)
     counts = term_counts(tokens)
-    # N is a scalar: one cheap count action on the source (at 100 TB this
-    # is a metadata-cheap scan), so the main plan stays a single lineage —
-    # otherwise Catalyst re-derives the counts subtree for the N aggregate
-    # and the df join (3× the explode work, no shared scan).
-    # Without a stopword filter, "doc has ≥1 token" ⇔ "text contains ≥1
-    # ASCII alnum char" (the tokenizer keeps exactly [a-z0-9] runs), so
-    # the count scans with a single rlike instead of full tokenization.
-    # With stopwords the full token expression is required (an all-stopword
-    # doc has alnum chars but zero tokens).
-    nonempty = docs.where(F.col(text_col).isNotNull())
-    if stopwords:
-        base_toks = _token_array(text_col, ngram_max=1, stopwords=stopwords)
-        n_docs = nonempty.where(F.size(base_toks) > 0).count()
-    else:
-        n_docs = nonempty.where(F.col(text_col).rlike("[a-zA-Z0-9]")).count()
+    n_docs = corpus_size(docs, text_col, stopwords=stopwords)
     # df(t) via groupBy + join, not a window over term: the groupBy gets
     # map-side partial aggregation (the shuffle carries one row per
     # (partition, term), not per posting), the dft table is vocabulary-
@@ -132,6 +140,24 @@ def top_vocabulary(tfidf: DataFrame, top_n: int = 2000) -> DataFrame:
     # result; the constant partition key keeps that tiny window off
     # WindowExec's single-partition warning path (it IS one partition, but
     # of at most top_n rows by construction).
+    top = totals.orderBy(F.desc("total_weight"), F.asc("term")).limit(top_n)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("total_weight"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def top_vocabulary_from_counts(counts: DataFrame, n_docs: int, top_n: int = 2000) -> DataFrame:
+    """V4, single-pass form: total tf-idf mass per term computed directly
+    from (doc_id, term, tf) — df(t) is count(*) and Σ_d tf·idf = idf·Σ_d tf
+    since idf is constant per term, so ONE groupBy(term) replaces the
+    per-cell weight materialization plus the df join (one shuffle saved;
+    this is also the reference's unrounded colSums semantics,
+    02_build_models.R:174-180, where the long form rounds per cell).
+    Returns (term, total_weight, rank) like top_vocabulary."""
+    totals = counts.groupBy("term").agg(
+        F.round(
+            F.sum("tf") * F.log(F.lit(float(n_docs)) / F.count("*")), 6
+        ).alias("total_weight")
+    )
     top = totals.orderBy(F.desc("total_weight"), F.asc("term")).limit(top_n)
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("total_weight"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -17,11 +17,12 @@ from ..functions.text import (
 )
 from ..io.sources import load_table
 from ..operators.tfidf import (
+    corpus_size,
     doc_tokens,
     doc_top_terms,
     term_counts,
     tfidf_long,
-    top_vocabulary,
+    top_vocabulary_from_counts,
 )
 from .oracle_fragments import (
     ngram_cte,
@@ -139,9 +140,15 @@ def v1_tfidf_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v4_vocab_top2000",
     oracle=f"""
-    WITH {toks_cte()}, {ngram_cte(3)}, {tfidf_cte()},
+    WITH {toks_cte()}, {ngram_cte(3)},
+    counts AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM counts),
     totals AS (
-      SELECT term, round(sum(weight), 6) AS total_weight FROM tfidf GROUP BY term
+      SELECT term,
+             round(sum(tf) * ln(CAST(n.n_docs AS DOUBLE) / count(*)), 6) AS total_weight
+      FROM counts CROSS JOIN n GROUP BY term, n.n_docs
     )
     SELECT term, total_weight, rank FROM (
       SELECT term, total_weight,
@@ -151,8 +158,13 @@ def v1_tfidf_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v4_vocab_top2000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pass ranking: Σ_d tf·idf = idf·Σ_d tf per term, so the
+    # per-cell weight materialization + df join of the long DFM is
+    # unnecessary for the vocabulary (see top_vocabulary_from_counts;
+    # matches the reference's unrounded colSums, 02_build_models.R:174-180)
     docs = load_table(spark, sf_dir, "documents")
-    return top_vocabulary(tfidf_long(docs, ngram_max=3), top_n=2000)
+    counts = term_counts(doc_tokens(docs, ngram_max=3))
+    return top_vocabulary_from_counts(counts, corpus_size(docs), top_n=2000)
 
 
 # --- V6/T-family: per-doc top-k TF-IDF terms ----------------------------------
