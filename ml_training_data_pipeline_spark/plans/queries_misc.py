@@ -222,3 +222,28 @@ def g2_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
+
+
+# --- S8: hive-partitioned parquet sink + partition-pruned scan --------------------
+# THE bread-and-butter 100-TB layout: write partitioned by a low-card
+# column, read back with a partition filter so the scan touches only the
+# matching directories (PartitionFilters in the plan — asserted by
+# tests/test_plan_shapes.py). The lang column round-trips through the
+# directory name, not row data.
+@query(
+    "s8_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def s8_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_bylang_{os.path.basename(sf_dir)}")
+    write_parquet(docs, out_dir, partition_by=["lang"])
+    back = spark.read.parquet(out_dir).where(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -95,3 +95,15 @@ def test_g2_pivot_is_single_aggregate_no_expand(spark):
     assert "Expand" not in plan, plan
     for op in ("SortMergeJoin", "BroadcastHashJoin"):
         assert op not in plan, plan
+
+
+def test_s8_scan_is_partition_pruned(spark):
+    # the lang='en' filter must prune at the DIRECTORY level of the
+    # partitioned sink — PartitionFilters carries it, and the row-data
+    # schema no longer contains lang at all.
+    plan = explain_str(spark, "s8_partitioned_sink_roundtrip")
+    assert "PartitionFilters" in plan and "isnotnull(lang" in plan, plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1), plan
