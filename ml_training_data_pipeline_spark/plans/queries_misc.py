@@ -247,3 +247,62 @@ def s8_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+# --- J6: range join against a band dimension --------------------------------------
+# events.value joined to inline [lo, hi) bands — the range-predicate join
+# (non-equi). The band table is broadcast (tiny by construction), so the
+# plan is a BroadcastNestedLoopJoin whose inner loop is the band count:
+# O(rows × bands) with zero shuffle, the right shape when the dimension
+# is small. For band counts in the thousands the same query becomes an
+# equi-join after bucketing value into floor(value/width) keys — p8 shows
+# the expression form of that.
+@query(
+    "j6_range_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 100.0), ('mid', 100.0, 500.0), ('high', 500.0, 1e9)
+    )
+    SELECT b.band, count(*) AS n_events,
+           round(CAST(sum(e.value) AS DOUBLE), 4) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def j6_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e9)],
+        schema="band string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+# --- X8: sketch-based corpus profile (approx distinct + approx quantiles) ---------
+# The constant-memory profile for when exact is too expensive: HLL++
+# distinct counts (approx_count_distinct, rsd 1%) and GK-sketch quantiles
+# (percentile_approx, accuracy 10000). Sketches are mergeable, so this
+# aggregates with map-side partials and NO full sort / no two-phase
+# distinct — the 100-TB form of x5/x7. Estimator-backed → rows-only
+# driver check; accuracy vs the exact answers is pinned by
+# tests/test_round5.py.
+@query("x8_approx_profile")
+def x8_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("source", rsd=0.01).alias("approx_sources"),
+        F.approx_count_distinct("doc_id", rsd=0.01).alias("approx_docs"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("approx_median_chars"),
+        F.percentile_approx("n_chars", 0.9, 10000).alias("approx_p90_chars"),
+    )

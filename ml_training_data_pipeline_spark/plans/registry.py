@@ -61,19 +61,19 @@ PRIORITY: tuple[str, ...] = (
     "st1_stream_window_counts", "st2_stream_sessionize",
     "st4_stream_stateful_user_stats", "st5_stream_dedup",
     "st6_stream_stream_join",
-    "d5_simhash", "d6_simhash_near_dups", "d9_simhash_banded_near_dups",
+    "d9_simhash_banded_near_dups",
     "d10_neardup_components", "n6_embedding_dedup_groups",
     "mix1_source_mixing_sample", "x7_language_length_quantiles",
     "w5_asof_attribution", "g2_event_type_pivot",
-    "s8_partitioned_sink_roundtrip",
+    "s8_partitioned_sink_roundtrip", "j6_range_band_join", "x8_approx_profile",
     "m5_refine_pipeline", "ep2_build_models", "ep3_phase1_pipeline",
     # (c) headline fills — keep the bench suite under fresh driver rows
-    "h1_lineitem_pricing_summary",
     "v4_vocab_top2000",
     "d4_minhash_dedup", "cur1_corpus_curation",
     # beyond the 50-prefix: all green in r04 (at most one round stale),
     # still covered locally by tests/test_oracle_parity.py
-    "h2_revenue_per_nation",
+    "d5_simhash", "d6_simhash_near_dups",
+    "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
     "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
     "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",
     "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",

@@ -92,3 +92,29 @@ def test_profile_state_sets_event_time_ttl():
     # event (1704067200000 ms) is ahead of the fake watermark, so it wins
     assert state.timeout_set == 1_704_067_200_000 + 60_000
     assert len(rows) == 1 and int(rows[0]["n_events"].iloc[0]) == 2
+
+
+def test_x8_sketches_track_exact_answers(spark):
+    # HLL++ (rsd 1%) and GK quantiles (accuracy 10000) must land within
+    # tight bounds of the exact profile at test scale — the honesty check
+    # behind the rows-only driver row.
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    from tests.conftest import SF_DIR
+
+    row = registry.QUERIES["x8_approx_profile"](spark, SF_DIR).collect()[0]
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = docs.agg(
+        F2.countDistinct("source").alias("s"),
+        F2.countDistinct("doc_id").alias("d"),
+        F2.expr("percentile(n_chars, 0.5)").alias("m"),
+        F2.expr("percentile(n_chars, 0.9)").alias("p90"),
+    ).collect()[0]
+    assert abs(row["approx_sources"] - exact["s"]) <= max(1, 0.05 * exact["s"])
+    assert abs(row["approx_docs"] - exact["d"]) <= 0.05 * exact["d"]
+    assert abs(row["approx_median_chars"] - exact["m"]) <= 0.1 * exact["m"] + 1
+    assert abs(row["approx_p90_chars"] - exact["p90"]) <= 0.1 * exact["p90"] + 1
