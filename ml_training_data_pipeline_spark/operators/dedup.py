@@ -75,19 +75,24 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: st
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
     """(doc_id, seed, min_hash) — seed-families of the portable hash:
-    h_i(s) = md5_long(i || ':' || s). One explode by num_hashes then a
-    partial-aggregated min; no driver loops."""
-    seeded = shingles.select(
+    h_i(s) = md5_long(i || ':' || s). The num_hashes mins are computed as
+    num_hashes AGGREGATE COLUMNS of one groupBy(doc_id) — not a seed
+    explode: the aggregator sees |shingles| input rows instead of
+    |shingles|×num_hashes, and the per-(doc, seed) long format the LSH
+    banding consumes is recovered by posexploding the already-aggregated
+    (docs × num_hashes)-sized result. Same md5 count either way; ~8× fewer
+    rows through partial aggregation."""
+    mins = [
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*mins)
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    h = md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        seeded.select("doc_id", F.col("seed").cast("long").alias("seed"), h.alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("min_hash"))
-    )
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_hashes)])).alias(
+            "seed", "min_hash"
+        ),
+    ).select("doc_id", F.col("seed").cast("long").alias("seed"), "min_hash")
 
 
 def lsh_bands(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame:
