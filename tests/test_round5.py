@@ -118,3 +118,29 @@ def test_x8_sketches_track_exact_answers(spark):
     assert abs(row["approx_docs"] - exact["d"]) <= 0.05 * exact["d"]
     assert abs(row["approx_median_chars"] - exact["m"]) <= 0.1 * exact["m"] + 1
     assert abs(row["approx_p90_chars"] - exact["p90"]) <= 0.1 * exact["p90"] + 1
+
+
+def test_results_invariant_to_shuffle_partitions(spark):
+    # the same query must produce identical rows whether the cluster
+    # shuffles into 3 or 32 partitions — the determinism contract that
+    # lets results be reproduced across deployment sizes (tie-breaks in
+    # every ranking/window make this hold by construction).
+    from ml_training_data_pipeline_spark.plans import registry
+    from tests.conftest import SF_DIR
+
+    registry._load_all()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = {}
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in ("v4_vocab_top2000", "d4_minhash_dedup", "w5_asof_attribution"):
+                pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+                pdf = pdf[sorted(pdf.columns)].sort_values(
+                    by=sorted(pdf.columns), ignore_index=True
+                )
+                outs.setdefault(name, []).append(pdf)
+        for name, (a, b) in outs.items():
+            assert a.equals(b), f"{name} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
