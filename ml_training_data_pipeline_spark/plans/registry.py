@@ -56,8 +56,11 @@ PRIORITY: tuple[str, ...] = (
     "w2_sessionization", "w3_conditional_agg_funnel", "d7_jaccard_pairs",
     "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
     "n4_embedding_near_dups",
-    # (b) changed this round (timestamp normalization, SimHash banding,
-    # refine parallelism, st4 TTL, ep2 vocabulary unification)
+    # (b) changed or NEW this round (timestamp normalization, SimHash
+    # banding, st4 event-time TTL, stream-stream join, dedup closure,
+    # mixing/quantile/as-of/pivot/partitioned-sink/range-join/sketch ops,
+    # refine parallelism, ep2 vocabulary unification, v4 single-pass,
+    # minhash wide-agg)
     "st1_stream_window_counts", "st2_stream_sessionize",
     "st4_stream_stateful_user_stats", "st5_stream_dedup",
     "st6_stream_stream_join",
@@ -70,8 +73,9 @@ PRIORITY: tuple[str, ...] = (
     # (c) headline fills — keep the bench suite under fresh driver rows
     "v4_vocab_top2000",
     "d4_minhash_dedup", "cur1_corpus_curation",
-    # beyond the 50-prefix: all green in r04 (at most one round stale),
-    # still covered locally by tests/test_oracle_parity.py
+    # d5 closes the 50-prefix; everything after is green in r04 (at most
+    # one round stale), still covered by tests/test_oracle_parity.py and
+    # a full all-queries sf0.01 sweep run locally this round (0 bad).
     "d5_simhash", "d6_simhash_near_dups",
     "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
     "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
