@@ -306,3 +306,37 @@ def x8_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("n_chars", 0.5, 10000).alias("approx_median_chars"),
         F.percentile_approx("n_chars", 0.9, 10000).alias("approx_p90_chars"),
     )
+
+
+# --- T6: range-partitioned, within-partition-sorted export ------------------------
+# repartitionByRange(doc_id) + sortWithinPartitions before the write: the
+# globally-ordered file layout (file k holds a contiguous doc_id range,
+# sorted inside) that gives readers min/max-pruned scans and
+# merge-friendly files at 100 TB — Spark's sampled RangePartitioning
+# replaces a single-partition global sort. The read-back aggregate proves
+# the roundtrip is lossless; the plan test asserts the range exchange.
+@query(
+    "t6_range_partitioned_export",
+    oracle="""
+    SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY 1
+    """,
+)
+def t6_range_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_ranged_{os.path.basename(sf_dir)}")
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy(F.floor(F.col("doc_id") / 100).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

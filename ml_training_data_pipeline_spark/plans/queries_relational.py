@@ -323,3 +323,33 @@ def h2_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
     )
+
+
+# --- U3: union of heterogeneous schemas (schema evolution) -------------------------
+# unionByName(allowMissingColumns=True) — the schema-evolution union a
+# long-lived corpus store needs when newer partitions carry columns older
+# ones lack; absent columns null-fill by NAME (a positional UNION would
+# silently misalign). Oracle: UNION ALL BY NAME.
+@query(
+    "u3_union_mixed_schemas",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(source) AS BIGINT) AS n_with_source,
+           CAST(count(n_chars) AS BIGINT) AS n_with_chars
+    FROM (
+      SELECT doc_id, lang, source, NULL::BIGINT AS n_chars FROM documents WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, lang, NULL::VARCHAR AS source, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang
+    """,
+)
+def u3_union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
+    modern = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    both = legacy.unionByName(modern, allowMissingColumns=True)
+    return both.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("source").alias("n_with_source"),
+        F.count("n_chars").alias("n_with_chars"),
+    )

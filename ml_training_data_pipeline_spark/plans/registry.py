@@ -69,14 +69,15 @@ PRIORITY: tuple[str, ...] = (
     "mix1_source_mixing_sample", "x7_language_length_quantiles",
     "w5_asof_attribution", "g2_event_type_pivot",
     "s8_partitioned_sink_roundtrip", "j6_range_band_join", "x8_approx_profile",
+    "u3_union_mixed_schemas", "t6_range_partitioned_export",
     "m5_refine_pipeline", "ep2_build_models", "ep3_phase1_pipeline",
-    # (c) headline fills — keep the bench suite under fresh driver rows
-    "v4_vocab_top2000",
-    "d4_minhash_dedup", "cur1_corpus_curation",
-    # d5 closes the 50-prefix; everything after is green in r04 (at most
-    # one round stale), still covered by tests/test_oracle_parity.py and
-    # a full all-queries sf0.01 sweep run locally this round (0 bad).
-    "d5_simhash", "d6_simhash_near_dups",
+    # (c) changed-this-round headline fills (v4 single-pass, d4
+    # localCheckpoint + wide-agg minhash); d4 closes the 50-prefix.
+    "v4_vocab_top2000", "d4_minhash_dedup",
+    # Everything after is green in r04 (at most one round stale), still
+    # covered by tests/test_oracle_parity.py and a full all-queries
+    # sf0.01 sweep run locally this round (0 bad).
+    "cur1_corpus_curation", "d5_simhash", "d6_simhash_near_dups",
     "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
     "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
     "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",

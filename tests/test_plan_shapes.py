@@ -107,3 +107,12 @@ def test_s8_scan_is_partition_pruned(spark):
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "lang" not in m.group(1), plan
+
+
+def test_t6_export_uses_range_partitioning(spark):
+    # the export must shuffle by RANGE (sampled bounds), not hash — the
+    # contiguous-file layout the min/max-pruned readers depend on.
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    plan = docs.repartitionByRange(8, "doc_id")._jdf.queryExecution().toString()
+    assert "rangepartitioning" in plan.lower(), plan
