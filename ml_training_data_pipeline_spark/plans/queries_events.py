@@ -148,7 +148,11 @@ def w3_conditional_agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE shuffle on user_id — no interval-explosion, no per-row probe —
 # which is the shape that survives 100 TB of events. The oracle states
 # the identical window (last_value IGNORE NULLS), keeping the
-# (ts, event_id) tie-break deterministic on both engines.
+# (ts, event_id) tie-break deterministic on both engines. Caveat at
+# extreme per-key skew: a window keeps one user's whole history in one
+# task; if single users reach task-memory scale, pre-bucket by
+# (user_id, time_bucket) and stitch bucket boundaries with a second,
+# bucket-level pass — same forward-fill primitive, bounded partitions.
 @query(
     "w5_asof_attribution",
     oracle="""
