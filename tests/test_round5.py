@@ -144,3 +144,41 @@ def test_results_invariant_to_shuffle_partitions(spark):
             assert a.equals(b), f"{name} varies with shuffle partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    # deterministic pseudo-random graphs (no hypothesis: a Spark job per
+    # example is the cost driver, so a fixed seed sweep is the right
+    # trade) — label propagation must equal classic union-find.
+    import random
+
+    from ml_training_data_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260813)
+    for trial in range(5):
+        n_nodes = rng.randint(4, 24)
+        n_edges = rng.randint(3, 30)
+        edges = [
+            tuple(sorted(rng.sample(range(1, n_nodes + 1), 2))) for _ in range(n_edges)
+        ]
+        expected = _uf_components(edges)
+        df = spark.createDataFrame(edges, schema="doc_a long, doc_b long")
+        got = {r["doc_id"]: r["component_id"] for r in connected_components(df).collect()}
+        assert got == expected, (trial, edges)
