@@ -73,26 +73,59 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: st
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """(doc_id, seed, min_hash) — seed-families of the portable hash:
-    h_i(s) = md5_long(i || ':' || s). The num_hashes mins are computed as
-    num_hashes AGGREGATE COLUMNS of one groupBy(doc_id) — not a seed
-    explode: the aggregator sees |shingles| input rows instead of
-    |shingles|×num_hashes, and the per-(doc, seed) long format the LSH
-    banding consumes is recovered by posexploding the already-aggregated
-    (docs × num_hashes)-sized result. Same md5 count either way; ~8× fewer
-    rows through partial aggregation."""
+def minhash_wide(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, m0..m{num_hashes-1}) — the signature as num_hashes
+    AGGREGATE COLUMNS of one groupBy(doc_id), h_i(s) = md5_long(i||':'||s).
+    Not a seed explode: the aggregator sees |shingles| input rows instead
+    of |shingles|×num_hashes. Same md5 count either way; ~num_hashes×
+    fewer rows through partial aggregation."""
     mins = [
         F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
-    wide = shingles.groupBy("doc_id").agg(*mins)
+    return shingles.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, seed, min_hash) — the long form of ``minhash_wide``
+    (posexplode of the already-aggregated docs×num_hashes result); the
+    serving/inspection contract (d2)."""
+    wide = minhash_wide(shingles, num_hashes)
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_hashes)])).alias(
             "seed", "min_hash"
         ),
     ).select("doc_id", F.col("seed").cast("long").alias("seed"), "min_hash")
+
+
+def lsh_bands_from_wide(wide: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, band_sig) straight off the wide signature row — a
+    pure projection, NO second aggregation: band b's signature is the md5
+    of its rows_per_band min-hashes comma-joined in seed order, exactly
+    what ``lsh_bands`` computes from the long form via collect_list."""
+    m_cols = [c for c in wide.columns if c.startswith("m")]
+    n_bands = len(m_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").cast("int").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
 
 
 def lsh_bands(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -214,7 +247,7 @@ def minhash_dedup(
     # reliable checkpointing (or persist-to-disk) over executor-local
     # storage for fault tolerance at 100 TB.
     sh = doc_shingles(docs, k=k).localCheckpoint()
-    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
+    cands = lsh_candidate_pairs(lsh_bands_from_wide(minhash_wide(sh, num_hashes), rows_per_band))
     # candidate-scoped verification: LSH prunes the quadratic shingle
     # self-join, not just the final result (see jaccard_pairs docstring).
     return jaccard_pairs(sh, candidates=cands).where(F.col("jaccard") >= threshold)

@@ -16,9 +16,11 @@ from ..operators.dedup import (
     exact_dup_groups,
     jaccard_pairs,
     lsh_bands,
+    lsh_bands_from_wide,
     lsh_candidate_pairs,
     minhash_dedup,
     minhash_signatures,
+    minhash_wide,
     simhash,
     simhash_banded_near_dups,
     simhash_near_dups,
@@ -115,7 +117,9 @@ def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(lsh_bands(minhash_signatures(doc_shingles(docs, k=3), 8), 2))
+    # fused path: band signatures project straight off the wide minhash
+    # row (no re-aggregation); output identical to lsh_bands∘minhash_signatures
+    return lsh_candidate_pairs(lsh_bands_from_wide(minhash_wide(doc_shingles(docs, k=3), 8), 2))
 
 
 # --- D4: full MinHash-LSH dedup (verified Jaccard) -------------------------------
