@@ -25,7 +25,7 @@ from ..operators.dedup import (
     simhash_banded_near_dups,
     simhash_near_dups,
 )
-from .oracle_fragments import toks_cte
+from .oracle_fragments import stopword_list_sql, toks_cte
 from .registry import query
 
 H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
@@ -316,3 +316,77 @@ def d7_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d8_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(doc_shingles(docs, k=3), threshold=0.2, max_shingle_df=20)
+
+
+# --- CUR2: survivor selection per near-dup component ------------------------------
+# The curation decision the closure exists FOR: every doc lands in a
+# component (singletons are their own), and each component keeps its
+# HIGHEST-QUALITY member (tie → lowest doc_id) — the modern survivor
+# policy (keep best, not first). Composes d10's transitive closure with
+# x2's quality formula in one oracle-checked plan: one window over
+# component_id on top of the component join.
+@query(
+    "cur2_component_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_CANDIDATES},
+    {_JACCARD},
+    pairs AS (
+      SELECT j.doc_a, j.doc_b
+      FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node),
+    q AS (
+      SELECT t.doc_id,
+        round(
+          least(CASE WHEN len(t.toks) > 0 THEN CAST(len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS DOUBLE) / len(t.toks) ELSE 0.0 END * 4, 1.0) * 0.4
+          + (1.0 - least(CASE WHEN length(d.text) > 0 THEN CAST(length(d.text) - length(regexp_replace(d.text, '[^\\sa-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(d.text) ELSE 0.0 END * 5, 1.0)) * 0.3
+          + (CASE WHEN len(t.toks) > 0 AND CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE) / len(t.toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+        6) AS q
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    membered AS (
+      SELECT q.doc_id, COALESCE(c.component_id, q.doc_id) AS component_id, q.q
+      FROM q LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT component_id,
+           count(*) AS n_members,
+           (array_agg(doc_id ORDER BY q DESC, doc_id ASC))[1] AS survivor_doc_id,
+           round(max(q), 6) AS best_quality
+    FROM membered GROUP BY component_id
+    """,
+)
+def cur2_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_dedup(docs, threshold=0.5))
+    scored = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    membered = scored.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        "q",
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    surv = (
+        membered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("survivor_doc_id"))
+    )
+    agg = membered.groupBy("component_id").agg(
+        F.count("*").alias("n_members"), F.round(F.max("q"), 6).alias("best_quality")
+    )
+    return agg.join(surv, "component_id")

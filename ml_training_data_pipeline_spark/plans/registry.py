@@ -68,8 +68,9 @@ PRIORITY: tuple[str, ...] = (
     "d10_neardup_components", "n6_embedding_dedup_groups",
     "mix1_source_mixing_sample", "x7_language_length_quantiles",
     "w5_asof_attribution", "g2_event_type_pivot",
-    "s8_partitioned_sink_roundtrip", "j6_range_band_join", "x8_approx_profile",
+    "s8_partitioned_sink_roundtrip", "j6_range_band_join",
     "u3_union_mixed_schemas", "t6_range_partitioned_export",
+    "cur2_component_survivors",
     "m5_refine_pipeline", "ep2_build_models", "ep3_phase1_pipeline",
     # (c) changed-this-round headline fills (v4 single-pass, d4
     # localCheckpoint + wide-agg minhash); d4 closes the 50-prefix.
@@ -77,6 +78,9 @@ PRIORITY: tuple[str, ...] = (
     # Everything after is green in r04 (at most one round stale), still
     # covered by tests/test_oracle_parity.py and a full all-queries
     # sf0.01 sweep run locally this round (0 bad).
+    # x8 is rows-only with pytest-pinned accuracy bounds — the one new
+    # query that can wait a round for its driver row.
+    "x8_approx_profile",
     "cur1_corpus_curation", "d5_simhash", "d6_simhash_near_dups",
     "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
     "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
