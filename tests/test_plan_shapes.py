@@ -116,3 +116,12 @@ def test_t6_export_uses_range_partitioning(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
     plan = docs.repartitionByRange(8, "doc_id")._jdf.queryExecution().toString()
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_v4_vocabulary_is_join_free(spark):
+    # single-pass ranking: df(t) and sum(tf) come from ONE groupBy(term)
+    # — a regression to the per-cell-weight + df-join form shows up as a
+    # join operator in the plan.
+    plan = explain_str(spark, "v4_vocab_top2000")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, f"v4 regressed to the df-join form:\n{plan}"
