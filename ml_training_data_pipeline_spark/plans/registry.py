@@ -44,42 +44,9 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # (a) round-5 rotation: the 28 queries whose newest driver row is
-    # r01/r02 (rounds 3-4 checked the same 50-prefix). Fresh rows first.
-    "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
-    "p4_filter_nonempty", "p6_group_count_having", "a6_distinct",
-    "a9_max_watermark", "t2_topk_per_group", "j1_broadcast_lookup_join",
-    "j2_dense_rank_renumber", "j5_semi_anti_join", "u1_union_all",
-    "f1_clean_text", "f6_stopword_removal", "f8_regex_extract",
-    "f11_json_decode", "x1_token_stats", "x2_quality_scores",
-    "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg",
-    "w2_sessionization", "w3_conditional_agg_funnel", "d7_jaccard_pairs",
-    "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
-    "n4_embedding_near_dups",
-    # (b) changed or NEW this round (timestamp normalization, SimHash
-    # banding, st4 event-time TTL, stream-stream join, dedup closure,
-    # mixing/quantile/as-of/pivot/partitioned-sink/range-join/sketch ops,
-    # refine parallelism, ep2 vocabulary unification, v4 single-pass,
-    # minhash wide-agg)
-    "st1_stream_window_counts", "st2_stream_sessionize",
-    "st4_stream_stateful_user_stats", "st5_stream_dedup",
-    "st6_stream_stream_join",
-    "d9_simhash_banded_near_dups",
-    "d10_neardup_components", "n6_embedding_dedup_groups",
-    "mix1_source_mixing_sample", "x7_language_length_quantiles",
-    "w5_asof_attribution", "g2_event_type_pivot",
-    "s8_partitioned_sink_roundtrip", "j6_range_band_join",
-    "u3_union_mixed_schemas", "t6_range_partitioned_export",
-    "cur2_component_survivors",
-    "m5_refine_pipeline", "ep2_build_models", "ep3_phase1_pipeline",
-    # (c) changed-this-round headline fills (v4 single-pass, d4
-    # localCheckpoint + wide-agg minhash); d4 closes the 50-prefix.
-    "v4_vocab_top2000", "d4_minhash_dedup",
-    # Everything after is green in r04 (at most one round stale), still
-    # covered by tests/test_oracle_parity.py and a full all-queries
-    # sf0.01 sweep run locally this round (0 bad).
-    # x8 is rows-only with pytest-pinned accuracy bounds — the one new
-    # query that can wait a round for its driver row.
+    # (a) round-6 rotation: the 42 queries whose newest driver row is r04
+    # (round 5 checked the then-front 50-prefix), plus x8 — the one
+    # registry query that has NEVER had a driver row. Staleness first.
     "x8_approx_profile",
     "cur1_corpus_curation", "d5_simhash", "d6_simhash_near_dups",
     "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
@@ -95,6 +62,35 @@ PRIORITY: tuple[str, ...] = (
     "v6_doc_top_terms", "c2_group_centroids", "c3_group_withinss",
     "c4_centroid_cosine_pairs", "c6_prob_coherence", "c7_quality_summary",
     "d1_exact_dup_groups", "d2_minhash_signatures", "d3_lsh_candidate_pairs",
+    # (b) changed THIS round, so they need a fresh row even though r5 was
+    # green: SimHash signature rework (d9; d5/d6 already above),
+    # connected-components pointer-doubling + convergence guard
+    # (d10/n6/cur2), lsh_bands_from_wide partial-band fix (d4),
+    # vectorize_dfm zero-vector docs (ep2), st4 per-key TTL anchor,
+    # collapsed-Gibbs LDA fallback (m5). These 8 close the 50-prefix.
+    "d9_simhash_banded_near_dups", "d10_neardup_components",
+    "n6_embedding_dedup_groups", "cur2_component_survivors",
+    "d4_minhash_dedup", "ep2_build_models",
+    "st4_stream_stateful_user_stats", "m5_refine_pipeline",
+    # Everything after is hash-green in r05 (one round fresh), still
+    # covered by tests/test_oracle_parity.py locally.
+    "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
+    "p4_filter_nonempty", "p6_group_count_having", "a6_distinct",
+    "a9_max_watermark", "t2_topk_per_group", "j1_broadcast_lookup_join",
+    "j2_dense_rank_renumber", "j5_semi_anti_join", "u1_union_all",
+    "f1_clean_text", "f6_stopword_removal", "f8_regex_extract",
+    "f11_json_decode", "x1_token_stats", "x2_quality_scores",
+    "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg",
+    "w2_sessionization", "w3_conditional_agg_funnel", "d7_jaccard_pairs",
+    "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
+    "n4_embedding_near_dups",
+    "st1_stream_window_counts", "st2_stream_sessionize", "st5_stream_dedup",
+    "st6_stream_stream_join",
+    "mix1_source_mixing_sample", "x7_language_length_quantiles",
+    "w5_asof_attribution", "g2_event_type_pivot",
+    "s8_partitioned_sink_roundtrip", "j6_range_band_join",
+    "u3_union_mixed_schemas", "t6_range_partitioned_export",
+    "v4_vocab_top2000", "ep3_phase1_pipeline",
 )
 
 
