@@ -105,7 +105,11 @@ def lsh_bands_from_wide(wide: DataFrame, rows_per_band: int = 2) -> DataFrame:
     of its rows_per_band min-hashes comma-joined in seed order, exactly
     what ``lsh_bands`` computes from the long form via collect_list."""
     m_cols = [c for c in wide.columns if c.startswith("m")]
-    n_bands = len(m_cols) // rows_per_band
+    # ceil-divide: a trailing partial band is emitted (shorter slice),
+    # matching lsh_bands' floor(seed/rows_per_band) banding exactly for
+    # non-divisible num_hashes — dropping it would silently shrink
+    # candidate recall.
+    n_bands = -(-len(m_cols) // rows_per_band)
     bands = F.array(
         *[
             F.struct(
@@ -114,8 +118,11 @@ def lsh_bands_from_wide(wide: DataFrame, rows_per_band: int = 2) -> DataFrame:
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(f"m{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band,
+                                min((b + 1) * rows_per_band, len(m_cols)),
+                            )
                         ],
                     )
                 ).alias("band_sig"),
@@ -257,28 +264,30 @@ def minhash_dedup(
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — tf-weighted ``bits``-wide SimHash over unigram
-    terms. bit b set iff Σ_t tf(t)·(±1 by bit b of h(t)) > 0."""
+    terms. bit b set iff Σ_t tf(t)·(±1 by bit b of h(t)) > 0.
+
+    The per-bit sums are ``bits`` aggregate EXPRESSIONS of one
+    groupBy(doc_id) — the aggregation buffer is bits-wide, the input
+    stream stays one row per (doc, term). The naive layout (explode a
+    0..bits-1 sequence per doc-term row, then aggregate) pushes a bits×
+    row inflation through the first shuffle boundary — 60× the doc-term
+    stream at the d9 width, the kind of intermediate blow-up that owns
+    the wall-clock at 100 TB. The term hash is computed inline per
+    doc-term row (md5 is codegen'd JVM work; a distinct-term hash join
+    would trade a cheap rehash for a whole shuffle)."""
     counts = term_counts(doc_tokens(docs, text_col, id_col))
-    th = counts.select("term").distinct().select("term", md5_long(F.col("term")).alias("h"))
-    contrib = (
-        counts.join(th, "term")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-            "tf",
-            "h",
-        )
-        .select(
-            "doc_id",
-            "b",
-            # shiftright/shiftleft by a column needs the SQL form
-            F.when(F.expr("shiftright(h, b) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")).alias("c"),
-        )
-    )
-    bitsum = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))).alias("simhash")
-    )
+    contrib = counts.select("doc_id", "tf", md5_long(F.col("term")).alias("h"))
+    bitsums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    wide = contrib.groupBy("doc_id").agg(*bitsums)
+    sig: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_banded_near_dups(
@@ -348,14 +357,19 @@ def connected_components(
     when (a,c) was never emitted). component_id = smallest doc_id in the
     component, which doubles as the canonical-survivor key.
 
-    Smallest-label propagation to fixpoint: each round every node takes
-    the min label over itself and its neighbors — one shuffle per round
-    (join on node + groupBy min), converging in O(component diameter)
-    rounds, checked by an exact per-round convergence count. Near-dup
-    components are dense and tiny (dups of one source doc), so diameter
-    is small by construction; an adversarial million-node chain wants the
-    alternating large-star/small-star contraction instead — same
-    primitive ops, more rounds saved, not needed for dedup graphs.
+    Smallest-label propagation WITH pointer doubling: each round every
+    node takes the min label over itself and its neighbors, then
+    shortcuts ``label := label(label)`` — the path-halving step that
+    turns the naive O(diameter)-round propagation into O(log diameter)
+    (a 1000-node chain converges in ~11 rounds instead of 999; near-dup
+    components are usually dense and tiny, but one boilerplate-chained
+    component must not own the job). Labels are always node ids of the
+    same component (min over a set of member ids), so the shortcut join
+    is a self-join on the label table — one extra shuffle per round for
+    exponentially fewer rounds. Convergence is checked by an exact
+    per-round change count; exhausting ``max_iter`` without reaching the
+    fixpoint raises rather than silently returning split components
+    (multiple survivors per true dup group, with no error signal).
     ``localCheckpoint`` per round truncates the iterative lineage (the
     driver-loop analogue of the reference's in-memory igraph step)."""
     sym = edges.select(
@@ -367,15 +381,26 @@ def connected_components(
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_labels = (
             sym.join(labels, "node")
             .select(F.col("nbr").alias("node"), "label")
         )
-        new_labels = (
+        min_labels = (
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: label := label(label). Every label value is a
+        # member node id, and min_labels keys every node, so the inner
+        # self-join is total.
+        new_labels = (
+            min_labels.join(
+                min_labels.select(F.col("node").alias("label"), F.col("label").alias("_ll")),
+                "label",
+            )
+            .select("node", F.col("_ll").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -385,5 +410,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — component diameter exceeds the doubling horizon "
+            f"(2^{max_iter}); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))

@@ -1,0 +1,87 @@
+"""Round-6 additions: pointer-doubling connected components (chain graphs
++ explicit non-convergence), the lsh_bands_from_wide partial-band fix, and
+the SimHash signature plan shape (no bit-explode, no hash join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_training_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    lsh_bands,
+    lsh_bands_from_wide,
+    minhash_signatures,
+    minhash_wide,
+    simhash,
+)
+
+
+def test_components_converge_on_long_chain(spark):
+    # 1000-node path graph: diameter 999. Naive min-label propagation
+    # needs ~999 rounds; pointer doubling must land inside max_iter=25.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], schema="doc_a long, doc_b long"
+    )
+    out = connected_components(edges)
+    comps = out.agg(
+        F.countDistinct("component_id").alias("k"),
+        F.min("component_id").alias("mn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert (comps["k"], comps["mn"], comps["n"]) == (1, 0, 1001)
+
+
+def test_components_nonconvergence_raises(spark):
+    # a chain that cannot finish in one round must raise, not silently
+    # return split components (the former failure mode: multiple
+    # survivors per true dup group with no error signal).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], schema="doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_wide_bands_emit_trailing_partial_band(spark):
+    # num_hashes=5, rows_per_band=2 → bands (m0,m1) (m2,m3) (m4): the wide
+    # projection must agree with the long-form collect_list banding,
+    # including the final shorter band (dropping it shrinks LSH recall).
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six seven")],
+        schema="doc_id long, text string",
+    )
+    from ml_training_data_pipeline_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(docs, k=3)
+    wide = lsh_bands_from_wide(minhash_wide(sh, num_hashes=5), rows_per_band=2)
+    long = lsh_bands(minhash_signatures(sh, num_hashes=5), rows_per_band=2)
+    a = {(r["doc_id"], r["band"], r["band_sig"]) for r in wide.collect()}
+    b = {(r["doc_id"], r["band"], r["band_sig"]) for r in long.collect()}
+    assert a == b
+    assert {band for (_, band, _) in a} == {0, 1, 2}
+
+
+def test_simhash_plan_has_no_bit_explode_and_no_join(spark):
+    # the per-bit contribution sums are aggregate expressions over one row
+    # per (doc, term): no Generate beyond tokenization's own explodes (a
+    # sequence(0, bits-1) explode is a bits× row inflation through the
+    # first shuffle), and no join (the term hash is computed inline).
+    from ml_training_data_pipeline_spark.operators.tfidf import doc_tokens, term_counts
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma alpha")], schema="doc_id long, text string"
+    )
+
+    def formatted(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    sig_plan = formatted(simhash(docs, bits=60))
+    base_plan = formatted(term_counts(doc_tokens(docs)))
+    assert sig_plan.count("Generate") == base_plan.count("Generate"), sig_plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in sig_plan, sig_plan
