@@ -53,7 +53,9 @@ def vectorize(tokens: DataFrame, model: PipelineModel) -> DataFrame:
     return model.transform(tokens)
 
 
-def vectorize_dfm(dfm_long: DataFrame, terms: list[str]) -> tuple[PipelineModel, DataFrame]:
+def vectorize_dfm(
+    dfm_long: DataFrame, terms: list[str], doc_ids: DataFrame | None = None
+) -> tuple[PipelineModel, DataFrame]:
     """Assemble (doc_id, tokens, tf, features) from a LONG-format DFM
     (doc_id, term, tf) and an EXPLICIT vocabulary — the reference's
     one-reduced-DFM-for-everything contract (02_build_models.R:174-190):
@@ -64,7 +66,13 @@ def vectorize_dfm(dfm_long: DataFrame, terms: list[str]) -> tuple[PipelineModel,
     (out-of-vocab terms drop, exactly dfm_match); per-doc token arrays are
     reconstructed with one groupBy (term repeated tf times — arrays are
     bounded by doc length, not vocab size), and IDF is fitted on the
-    resulting sparse tf. Everything stays JVM-side and sparse. Returns
+    resulting sparse tf. Everything stays JVM-side and sparse.
+
+    ``doc_ids`` (a (doc_id) frame, typically the PRE-reduction doc
+    universe) keeps documents with zero in-vocabulary terms as ZERO
+    vectors — the reference's dfm_match keeps such rows, and dropping
+    them would silently remove docs from the KMeans/phase-1 state. When
+    omitted, only docs present in ``dfm_long`` are vectorized. Returns
     (fitted PipelineModel — the V7 serving contract — and the vectors)."""
     cvm = CountVectorizerModel.from_vocabulary(list(terms), inputCol="tokens", outputCol="tf")
     toks = dfm_long.groupBy("doc_id").agg(
@@ -72,6 +80,12 @@ def vectorize_dfm(dfm_long: DataFrame, terms: list[str]) -> tuple[PipelineModel,
             F.collect_list(F.array_repeat(F.col("term"), F.col("tf").cast("int")))
         ).alias("tokens")
     )
+    if doc_ids is not None:
+        toks = (
+            doc_ids.select("doc_id").distinct()
+            .join(toks, "doc_id", "left")
+            .withColumn("tokens", F.coalesce("tokens", F.array().cast("array<string>")))
+        )
     tf = cvm.transform(toks)
     idf = IDF(inputCol="tf", outputCol="features").fit(tf)
     return PipelineModel([cvm, idf]), idf.transform(tf)

@@ -259,7 +259,12 @@ def ep2_build_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw-frequency ranking. vocab is ≤2000 rows by construction
     # (driver-side list is the from_vocabulary contract, V7).
     terms = [r["term"] for r in vocab.select("term").orderBy("rank").collect()]
-    _, vecs = vectorize_dfm(reduced.select("doc_id", "term", "tf"), terms)
+    # full PRE-reduction doc universe: docs whose every term fell outside
+    # the top-2000 stay in the state as zero vectors (dfm_match keeps
+    # such rows; dropping them would silently shrink the corpus).
+    _, vecs = vectorize_dfm(
+        reduced.select("doc_id", "term", "tf"), terms, doc_ids=tfidf.select("doc_id")
+    )
     res = fit_kmeans(vecs, k=15, seed=123)  # M1: k=15, seed 123 (02:183-190)
     return phase1_summary(
         vecs.select("doc_id", "tf"), reduced, res.assignments, _phase1_cfg()

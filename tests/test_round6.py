@@ -64,6 +64,27 @@ def test_wide_bands_emit_trailing_partial_band(spark):
     assert {band for (_, band, _) in a} == {0, 1, 2}
 
 
+def test_vectorize_dfm_keeps_zero_vector_docs(spark):
+    # a doc whose every term fell out of the pinned vocabulary must stay
+    # in the vectorized state as a zero vector (dfm_match semantics), not
+    # silently vanish from the KMeans/phase-1 corpus.
+    from ml_training_data_pipeline_spark.operators.vectorize import vectorize_dfm
+
+    dfm = spark.createDataFrame(
+        [(1, "alpha", 2), (1, "beta", 1), (2, "alpha", 1)],
+        schema="doc_id long, term string, tf long",
+    )
+    universe = spark.createDataFrame([(1,), (2,), (3,)], schema="doc_id long")
+    _, vecs = vectorize_dfm(dfm, ["alpha", "beta"], doc_ids=universe)
+    rows = {r["doc_id"]: r["tf"] for r in vecs.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].numNonzeros() == 0
+    assert rows[1].toArray().tolist() == [2.0, 1.0]
+    # without the universe, the legacy contract (present docs only) holds
+    _, vecs2 = vectorize_dfm(dfm, ["alpha", "beta"])
+    assert {r["doc_id"] for r in vecs2.collect()} == {1, 2}
+
+
 def test_simhash_plan_has_no_bit_explode_and_no_join(spark):
     # the per-bit contribution sums are aggregate expressions over one row
     # per (doc, term): no Generate beyond tokenization's own explodes (a
