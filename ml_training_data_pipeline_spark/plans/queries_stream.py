@@ -49,7 +49,7 @@ def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_bounded(agg, "st1_out")
+    return run_bounded(agg, "st1_out", output_mode="complete")
 
 
 # --- ST2: native session windows on a stream -------------------------------------
@@ -81,7 +81,7 @@ def st1_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_table(spark, sf_dir, "events")
     sessions = streaming_sessionize(events, gap="30 minutes")
-    out = run_bounded(sessions, "st2_out")
+    out = run_bounded(sessions, "st2_out", output_mode="complete")
     return out.select(
         "user_id",
         F.round(F.col("session_start").cast("double"), 6).alias("session_start_sec"),
@@ -94,7 +94,7 @@ def st2_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("st3_stream_enrich")
 def st3_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = stream_table(spark, sf_dir, "documents")
-    return run_bounded(streaming_enrich(docs), "st3_out")
+    return run_bounded(streaming_enrich(docs), "st3_out", output_mode="append")
 
 
 # st3's oracle is l1's, verbatim (batch/stream parity)
@@ -107,6 +107,12 @@ ORACLE_SQL["st3_stream_enrich"] = ORACLE_SQL["l1_enrich_documents"]
 # the per-key maxima of the monotone counters, so the result equals the
 # batch GROUP BY regardless of micro-batch boundaries — which is what
 # makes a STATEFUL streaming operator oracle-checkable at all.
+# Oracle-parity bound: equality with the batch GROUP BY assumes no key's
+# state expires MID-replay — i.e. the per-key event-time span between
+# consecutive micro-batches stays under the TTL (60 min default; the
+# testdata replays in one batch per file, far inside it). A replay that
+# idles a key past its TTL resets that key's counters by design — that
+# is the bounded-state contract, not a bug.
 @query(
     "st4_stream_stateful_user_stats",
     oracle="""

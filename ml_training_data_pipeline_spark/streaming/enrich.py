@@ -123,7 +123,7 @@ def streaming_user_stats(events_stream: DataFrame, ttl_minutes: int = 60) -> Dat
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "user_id long, n_event_types long, n_events long, first_event_id long"
-    state_schema = "types array<string>, n long, first_id long"
+    state_schema = "types array<string>, n long, first_id long, max_ts long"
 
     return (
         events_stream.withWatermark("ts", "10 minutes")
@@ -154,9 +154,9 @@ def make_profile_update(ttl_ms: int):
             return
         if state.exists:
             types, n, first = set(state.get[0]), int(state.get[1]), int(state.get[2])
+            max_ts_ms = int(state.get[3])
         else:
-            types, n, first = set(), 0, None
-        last_ts_ms = 0
+            types, n, first, max_ts_ms = set(), 0, None, 0
         for pdf in pdfs:
             n += len(pdf)
             types.update(str(t) for t in pdf["event_type"])
@@ -164,12 +164,16 @@ def make_profile_update(ttl_ms: int):
             first = mn if first is None else min(first, mn)
             ts_max = pdf["ts"].max()
             if pd.notna(ts_max):
-                last_ts_ms = max(last_ts_ms, int(ts_max.timestamp() * 1000))
-        state.update((sorted(types), n, first))
+                max_ts_ms = max(max_ts_ms, int(ts_max.timestamp() * 1000))
+        # the TTL anchor is the key's all-time max event ts, PERSISTED in
+        # the state tuple: anchoring on only the current batch's max would
+        # let an out-of-order batch of older events pull the timeout
+        # EARLIER than 'latest event + TTL'.
+        state.update((sorted(types), n, first, max_ts_ms))
         # expire once the watermark passes this key's latest event + TTL;
         # floored at the current watermark (Spark requires the timeout
         # timestamp to be strictly ahead of it — guards very-late data).
-        state.setTimeoutTimestamp(max(last_ts_ms, state.getCurrentWatermarkMs() + 1) + ttl_ms)
+        state.setTimeoutTimestamp(max(max_ts_ms, state.getCurrentWatermarkMs() + 1) + ttl_ms)
         yield pd.DataFrame(
             {
                 "user_id": [int(key[0])],
@@ -185,20 +189,21 @@ def make_profile_update(ttl_ms: int):
 _RUN_SEQ = 0
 
 
-def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str | None = None) -> DataFrame:
+def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
     """Drive a bounded file stream to completion through a memory sink and
     return the materialized result — the deterministic smoke harness.
-    Sink names get a per-process sequence suffix so re-invoking the same
-    query in one session can't clobber a result another caller still
-    holds a lazy reference to."""
+    ``output_mode`` is explicit at every call site (aggregations want
+    "complete"/"update", stateless plans "append") — inferring it from
+    the logical plan needed a private ``_jdf`` peek that breaks on Spark
+    Connect. Sink names get a per-process sequence suffix so re-invoking
+    the same query in one session can't clobber a result another caller
+    still holds a lazy reference to."""
     global _RUN_SEQ
     _RUN_SEQ += 1
     query_name = f"{query_name}_{_RUN_SEQ}"
     spark = stream_df.sparkSession
     q = (
-        stream_df.writeStream.outputMode(
-            output_mode or ("complete" if _has_aggregation(stream_df) else "append")
-        )
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -208,8 +213,3 @@ def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str | None =
     finally:
         q.stop()
     return spark.table(query_name)
-
-
-def _has_aggregation(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().logical().toString()
-    return "Aggregate" in plan

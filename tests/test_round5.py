@@ -87,11 +87,32 @@ def test_profile_state_sets_event_time_ttl():
         {"user_id": [7, 7], "event_type": ["click", "view"], "event_id": [4, 9], "ts": [ts, ts]}
     )
     rows = list(update((7,), iter([pdf]), state))
-    assert state.updated == (["click", "view"], 2, 4)
+    assert state.updated == (["click", "view"], 2, 4, 1_704_067_200_000)
     # TTL anchored at max(latest event, watermark+1) + ttl: the 2024-01-01
     # event (1704067200000 ms) is ahead of the fake watermark, so it wins
     assert state.timeout_set == 1_704_067_200_000 + 60_000
     assert len(rows) == 1 and int(rows[0]["n_events"].iloc[0]) == 2
+
+
+def test_profile_state_ttl_anchor_survives_out_of_order_batch():
+    # an out-of-order batch of OLDER events must not pull the timeout
+    # earlier: the anchor is the per-key max event ts persisted in state.
+    import pandas as pd
+
+    from ml_training_data_pipeline_spark.streaming.enrich import make_profile_update
+
+    update = make_profile_update(ttl_ms=60_000)
+    state = _FakeState(has_timed_out=False)
+    state.exists = True
+    newer_ms = 1_704_067_200_000
+    state.get = (["click"], 1, 4, newer_ms)
+    old = pd.DataFrame(
+        {"user_id": [7], "event_type": ["view"], "event_id": [2],
+         "ts": [pd.Timestamp("2023-12-31T00:00:00Z")]}
+    )
+    list(update((7,), iter([old]), state))
+    assert state.updated[3] == newer_ms
+    assert state.timeout_set == newer_ms + 60_000
 
 
 def test_x8_sketches_track_exact_answers(spark):
