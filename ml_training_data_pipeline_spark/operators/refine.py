@@ -17,6 +17,7 @@ coherence) so the loop is bounded; everything inside stays distributed.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -117,37 +118,63 @@ def _probe_seed(seed: int, cluster_id: int, k: int) -> int:
     return (seed * 1_000_003 + int(cluster_id) * 101 + k) % (2**31 - 1)
 
 
-def _em_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded numpy MULTINOMIAL-MIXTURE EM over a small dense doc-term
-    count matrix — NOT an LDA twin: a mixture assigns each doc one topic
-    in the responsibilities, where LDA (the reference's FitLdaModel,
-    02_build_models.R:520, and the sklearn path above) admits per-doc
-    topic mixtures, so split behavior can differ on mixed-topic clusters.
-    Priors kept as smoothing (alpha=0.1, beta=0.01). Returns (theta n×k,
-    phi k×d), deterministic per seed — the last-resort fallback when
-    sklearn is absent (it is present in the target image)."""
+def _gibbs_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded collapsed-Gibbs LDA over a small dense doc-term count
+    matrix — a true LDA twin (per-doc topic MIXTURES, matching the
+    reference's FitLdaModel, 02_build_models.R:520, and the sklearn path
+    above; the former multinomial-mixture EM here assigned one topic per
+    doc, so split decisions could differ on mixed-topic clusters).
+    Token-level topic assignments are resampled from the collapsed
+    conditional p(z=t) ∝ (n_dk+α)(n_kw+β)/(n_k+βW) with α=0.1, β=0.01
+    (the sklearn priors); theta/phi are the smoothed count estimates
+    after ``iters`` sweeps. Deterministic per seed — the last-resort
+    fallback when sklearn is absent (it is present in the target
+    image)."""
     rng = np.random.default_rng(seed)
-    n, _ = X.shape
-    resp = rng.dirichlet(np.ones(k), size=n)
+    n, d = X.shape
+    alpha, beta = 0.1, 0.01
+    Xi = np.rint(np.asarray(X)).astype(np.int64)
+    docs_idx, terms_idx = np.nonzero(Xi)
+    reps = Xi[docs_idx, terms_idx]
+    tok_doc = np.repeat(docs_idx, reps)
+    tok_term = np.repeat(terms_idx, reps)
+    n_tok = len(tok_doc)
+    z = rng.integers(0, k, size=n_tok)
+    ndk = np.zeros((n, k))
+    nkw = np.zeros((k, d))
+    nk = np.zeros(k)
+    np.add.at(ndk, (tok_doc, z), 1)
+    np.add.at(nkw, (z, tok_term), 1)
+    np.add.at(nk, z, 1)
     for _ in range(max(1, iters)):
-        phi = resp.T @ X + 0.01
-        phi /= phi.sum(axis=1, keepdims=True)
-        pi = resp.sum(axis=0) + 0.1
-        pi /= pi.sum()
-        logp = X @ np.log(phi).T + np.log(pi)
-        logp -= logp.max(axis=1, keepdims=True)
-        resp = np.exp(logp)
-        resp /= resp.sum(axis=1, keepdims=True)
-    return resp, phi
+        u = rng.random(n_tok)
+        for t in range(n_tok):
+            di, w, zt = tok_doc[t], tok_term[t], z[t]
+            ndk[di, zt] -= 1
+            nkw[zt, w] -= 1
+            nk[zt] -= 1
+            p = (ndk[di] + alpha) * (nkw[:, w] + beta) / (nk + beta * d)
+            cp = np.cumsum(p)
+            zt = int(np.searchsorted(cp, u[t] * cp[-1]))
+            z[t] = zt
+            ndk[di, zt] += 1
+            nkw[zt, w] += 1
+            nk[zt] += 1
+    theta = ndk + alpha
+    theta /= theta.sum(axis=1, keepdims=True)
+    phi = nkw + beta
+    phi /= phi.sum(axis=1, keepdims=True)
+    return theta, phi
 
 
 def _fit_local_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
     """Local topic fit: seeded sklearn LDA when the executor image has it,
-    else the numpy EM twin. Both deterministic per (seed, shape)."""
+    else the collapsed-Gibbs numpy LDA. Both deterministic per (seed,
+    shape) and both true LDA (per-doc topic mixtures)."""
     try:
         from sklearn.decomposition import LatentDirichletAllocation
     except ImportError:
-        return _em_topics(X, k, seed, iters)
+        return _gibbs_topics(X, k, seed, iters)
     lda = LatentDirichletAllocation(
         n_components=k, random_state=seed, max_iter=max(1, iters),
         doc_topic_prior=0.1, topic_word_prior=0.01,
@@ -310,7 +337,14 @@ def split_low_coherence_clusters(
         many >local_fit_max_docs low-coherence clusters would make that
         the refine wall-clock). A per-thread scheduler pool keeps the
         concurrent jobs fairly interleaved when FAIR mode is on."""
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"refine-{cid}")
+        # setLocalProperty is only THREAD-scoped under PySpark pinned-
+        # thread mode (PYSPARK_PIN_THREAD, default on since Spark 3.2).
+        # With it disabled, concurrent workers share one JVM-local
+        # property map and would silently clobber each other's pool
+        # assignment — skip the per-thread pool entirely in that case
+        # (jobs still run concurrently, just in the default pool).
+        if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in ("0", "false", "no"):
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"refine-{cid}")
         members = assignments.where(F.col("cluster_id") == cid).select("doc_id")
         sub = tf_vectors.join(members, "doc_id").cache()
         try:

@@ -23,7 +23,7 @@ from ml_training_data_pipeline_spark.functions.llm import (
 )
 from ml_training_data_pipeline_spark.operators.pos_keywords import HeuristicTagger
 from ml_training_data_pipeline_spark.operators.refine import (
-    _em_topics,
+    _gibbs_topics,
     _local_prob_coherence,
     _probe_seed,
 )
@@ -41,9 +41,9 @@ count_matrices = st.integers(2, 10).flatmap(
 
 @settings(deadline=None, max_examples=40)
 @given(X=count_matrices, k=st.integers(2, 4), seed=st.integers(0, 2**31 - 1))
-def test_em_topics_deterministic_and_normalized(X, k, seed):
-    theta1, phi1 = _em_topics(X, k, seed, iters=5)
-    theta2, phi2 = _em_topics(X, k, seed, iters=5)
+def test_gibbs_topics_deterministic_and_normalized(X, k, seed):
+    theta1, phi1 = _gibbs_topics(X, k, seed, iters=5)
+    theta2, phi2 = _gibbs_topics(X, k, seed, iters=5)
     assert np.allclose(theta1, theta2) and np.allclose(phi1, phi2)
     assert theta1.shape == (X.shape[0], k) and phi1.shape == (k, X.shape[1])
     assert np.all(theta1 >= 0) and np.all(phi1 > 0)

@@ -120,6 +120,48 @@ def test_split_respects_min_docs_guard(spark, corpus, fitted):
     assert out.count() == 6
 
 
+def test_gibbs_fallback_agrees_with_sklearn_split(monkeypatch):
+    """The sklearn-absent fallback must make the SAME split decision as
+    the sklearn path on the fixture's mixed cluster (docs 3,4 finance vs
+    5,6 health). The splitter group function runs in-process, so the
+    fallback is exercised by making `from sklearn.decomposition import
+    ...` raise (sys.modules[name] = None) — the executor-image-without-
+    sklearn scenario."""
+    import sys
+
+    import pandas as pd
+
+    from ml_training_data_pipeline_spark.operators.refine import (
+        RefineConfig,
+        _make_group_splitter,
+    )
+
+    rows = []
+    for doc_id, text, cid in CORPUS:
+        if cid != 2:
+            continue
+        for term in text.split():
+            rows.append({"cluster_id": 2, "base_id": 100, "doc_id": doc_id, "term": term, "tf": 1})
+    pdf = pd.DataFrame(rows)
+    cfg = RefineConfig(
+        coherence_threshold=0.9, k_range=(2,), min_docs=3, top_m=3,
+        lda_search_iter=20, lda_final_iter=50,
+    )
+    split = _make_group_splitter(cfg)
+
+    def partition(out: pd.DataFrame) -> set[frozenset[int]]:
+        return {
+            frozenset(int(d) for d in g["doc_id"]) for _, g in out.groupby("cluster_id")
+        }
+
+    with_sklearn = partition(split(pdf.copy()))
+    monkeypatch.setitem(sys.modules, "sklearn.decomposition", None)
+    monkeypatch.setitem(sys.modules, "sklearn", None)
+    without_sklearn = partition(split(pdf.copy()))
+    assert len(with_sklearn) == 2, with_sklearn
+    assert with_sklearn == without_sklearn
+
+
 def test_merge_identical_clusters(spark, fitted):
     _, tfidf = fitted
     # split the corpus so clusters 1/2 have identical term distributions:
