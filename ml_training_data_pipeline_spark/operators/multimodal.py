@@ -3,24 +3,41 @@ extensions).
 
 Design: media are opaque ``binary`` columns + typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators. The Spark-side contract — schema,
-partitioning, UDF signature, batch shape — is real and tested; the actual
-codec step is STUBBED (``decode_image`` raises NotImplementedError) because
-media libraries aren't in this container. ``fake_decode_stats`` is the
-deterministic stand-in (md5-derived statistics) the tests and oracle use;
-swapping in PIL/ffmpeg later changes ONE function, not the plan.
+partitioning, UDF signature, batch shape — is real and tested. The codec
+is two-tier: ``decode_image``/``resize_image`` use PIL when the executor
+image has it (lazy import) and fall back to a BUILT-IN binary-netpbm
+(P5/P6) decoder — real byte decoding with zero extra dependencies; only
+compressed formats without a codec library raise NotImplementedError.
+``fake_decode_stats`` remains the deterministic md5 stand-in the mm1/mm2
+ORACLE path uses (the driver's testdata blobs are text bytes, not
+images, so the oracle-checkable statistics must not depend on a codec).
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = "media_id long, modality string, content binary, meta string"
 FEATURE_SCHEMA = "media_id long, modality string, n_bytes long, h0 long, h1 long, feat0 double, feat1 double"
+
+
+@dataclass
+class DecodedImage:
+    """Codec-agnostic decoded frame: (height, width, channels) uint8
+    pixels plus mode ('L' grayscale / 'RGB'). Both the PIL branch and the
+    built-in netpbm branch of ``decode_image`` normalize to this."""
+
+    width: int
+    height: int
+    mode: str
+    pixels: np.ndarray
 
 
 def documents_as_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -34,15 +51,67 @@ def documents_as_media(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def decode_image(content: bytes) -> object:
-    """The real codec hook — not available in this container.
+def _decode_netpbm(content: bytes) -> DecodedImage:
+    """Built-in decoder for binary netpbm (P5 grayscale / P6 RGB,
+    maxval ≤ 255): header tokens separated by whitespace with
+    ``#``-comments, then exactly one whitespace byte, then the raster.
+    Pure stdlib+numpy — real byte decoding with no codec library."""
+    magic = content[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm blob (magic {magic!r})")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        if i >= len(content):
+            raise ValueError("truncated netpbm header")
+        c = content[i : i + 1]
+        if c == b"#":
+            i = content.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(content) and not content[j : j + 1].isspace():
+                j += 1
+            toks.append(int(content[i:j]))
+            i = j
+    width, height, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported by the built-in decoder")
+    i += 1  # exactly one whitespace byte separates header and raster
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    raster = np.frombuffer(content, dtype=np.uint8, count=n, offset=i)
+    pixels = raster.reshape(height, width, channels)
+    return DecodedImage(width, height, "RGB" if channels == 3 else "L", pixels)
 
-    A deployment installs pillow/opencv on executors and replaces this
-    body; the mapInPandas plumbing above/below is unchanged."""
-    raise NotImplementedError(
-        "image decoding requires a media codec library on the executors; "
-        "wire PIL/opencv here — the Spark plan is codec-agnostic"
-    )
+
+def decode_image(content: bytes) -> DecodedImage:
+    """The real codec hook: PIL when the executor image has it (lazy
+    import, any format pillow reads), else the built-in binary-netpbm
+    decoder. Raises NotImplementedError only for formats that genuinely
+    need a codec library that isn't installed — the mapInPandas plumbing
+    above/below is codec-agnostic either way."""
+    try:
+        from PIL import Image
+    except ImportError:
+        try:
+            return _decode_netpbm(bytes(content))
+        except ValueError as e:
+            raise NotImplementedError(
+                "decoding this image format requires a codec library on the "
+                "executors (pip install pillow); only binary netpbm (P5/P6) "
+                f"decodes without one: {e}"
+            ) from e
+    import io as _io
+
+    img = Image.open(_io.BytesIO(bytes(content)))
+    mode = "L" if img.mode == "L" else "RGB"
+    arr = np.asarray(img.convert(mode), dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[0], arr.shape[1]
+    return DecodedImage(w, h, mode, arr)
 
 
 def fake_decode_stats(content: bytes) -> tuple[int, int, float, float]:
@@ -55,14 +124,25 @@ def fake_decode_stats(content: bytes) -> tuple[int, int, float, float]:
     return h0, h1, (h0 % 1000) / 1000.0, (h1 % 1000) / 1000.0
 
 
+def encode_netpbm(img: DecodedImage) -> bytes:
+    """Re-encode a decoded frame as binary netpbm (P5/P6) — the
+    deterministic no-dependency sink format for ``resize_image``."""
+    magic = b"P6" if img.mode == "RGB" else b"P5"
+    header = magic + f"\n{img.width} {img.height}\n255\n".encode()
+    return header + np.ascontiguousarray(img.pixels, dtype=np.uint8).tobytes()
+
+
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """The real resize hook — like ``decode_image``, it requires a codec
-    library on the executors (PIL/opencv); the surrounding mapInPandas
-    plumbing is codec-agnostic and unchanged when this body is filled."""
-    raise NotImplementedError(
-        "image resizing requires a media codec library on the executors; "
-        "wire PIL.Image.resize/cv2.resize here"
-    )
+    """The real resize hook: decode (PIL or built-in netpbm), nearest-
+    neighbor resample via numpy index arithmetic (deterministic across
+    codec branches, unlike each library's own filtered resample), and
+    re-encode as binary netpbm. The surrounding mapInPandas plumbing is
+    codec-agnostic."""
+    img = decode_image(content)
+    ys = (np.arange(height) * img.height) // height
+    xs = (np.arange(width) * img.width) // width
+    resized = img.pixels[ys][:, xs]
+    return encode_netpbm(DecodedImage(width, height, img.mode, resized))
 
 
 def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 3) -> DataFrame:
@@ -92,6 +172,40 @@ def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 3) -> D
 
     return media.mapInPandas(
         op, schema="media_id long, frame_idx long, frame_fp string, n_frame_bytes long"
+    )
+
+
+def extract_decoded_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode statistics: per blob, decode via
+    ``decode_image`` and emit (width, height, mean_intensity, decoded);
+    undecodable blobs (no codec library for the format) yield nulls with
+    ``decoded=false`` instead of failing the batch — the per-record
+    error-isolation a 100-TB media scan needs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "width": [], "height": [],
+                "mean_intensity": [], "decoded": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    img = decode_image(bytes(content))
+                    out["width"].append(img.width)
+                    out["height"].append(img.height)
+                    out["mean_intensity"].append(float(img.pixels.mean()))
+                    out["decoded"].append(True)
+                except NotImplementedError:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_intensity"].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema="media_id long, width int, height int, mean_intensity double, decoded boolean",
     )
 
 
