@@ -61,14 +61,21 @@ def main() -> None:
             registry.QUERIES[name](spark, warm_dir).count()
         print(f"# warmup pass ({warm_dir}): {round(time.time() - t0, 1)}s", file=sys.stderr)
 
+    # min-of-N (default 2): with the shape-warmup removing codegen cost,
+    # the min isolates residual run-to-run noise (GC, page cache) so
+    # round-over-round deltas are pure code signal.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full materialization, no driver transfer cost
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        rep_times = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # full materialization, no driver transfer cost
+            rep_times.append(round(time.time() - t0, 3))
+        times[name] = min(rep_times)
+        print(f"# {name}: {times[name]}s ({n} rows; reps {rep_times})", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
