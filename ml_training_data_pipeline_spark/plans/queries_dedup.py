@@ -390,3 +390,41 @@ def cur2_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"), F.round(F.max("q"), 6).alias("best_quality")
     )
     return agg.join(surv, "component_id")
+
+
+# --- CUR3: benchmark decontamination (train/eval n-gram overlap) -------------------
+# The pre-training hygiene step every large-scale pipeline runs: drop (or
+# here, REPORT) training documents that share any word-3-shingle with a
+# held-out benchmark/eval set, so test answers can't leak into training
+# data. The eval set is a deterministic slice (doc_id % 97 = 0 — standing
+# in for a real benchmark table). Scale shape: the benchmark shingle set
+# is SMALL by construction (eval suites are thousands of docs, not
+# billions), so at 100 TB this is a broadcast semi-join against the
+# training-corpus shingle stream — one scan, no corpus-sized shuffle; the
+# per-doc overlap count aggregates map-side on doc_id.
+@query(
+    "cur3_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES},
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, count(*) AS n_shared_shingles
+    FROM sh s JOIN eval_sh e USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def cur3_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=3)
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    # sh is distinct (doc_id, shingle), so count(*) after the inner join
+    # IS the number of distinct shared shingles per training doc.
+    return (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

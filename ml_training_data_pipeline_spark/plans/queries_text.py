@@ -512,3 +512,130 @@ def x7_language_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
         F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90"),
     )
+
+# --- X9: repetition-based quality filter (Gopher-style) ----------------------------
+# The repetition signals large-scale curation actually gates on (Gopher /
+# MassiveText rules): duplicate-unigram fraction, most-frequent-word
+# mass, duplicate-2-gram fraction. Computed from the exploded term-count
+# stream — two bounded groupBys (term-level then doc-level), both
+# map-side combinable, NOT a per-row quadratic array scan — so the same
+# plan holds when docs are 10k tokens at 100 TB. Restricted to docs with
+# ≥ 2 tokens (a 2-gram must exist for the signal to be defined).
+@query(
+    "x9_repetition_quality",
+    oracle=f"""
+    WITH {toks_cte()},
+    t2 AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+    uni AS (
+      SELECT doc_id, sum(tf) AS n_toks, count(*) AS n_distinct, max(tf) AS top_tf
+      FROM (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM t2)
+        GROUP BY doc_id, term
+      ) GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct_grams
+      FROM (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest([toks[i]||' '||toks[i+1] for i in range(1, len(toks))]) AS gram
+          FROM t2
+        ) GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           round(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_toks, 6) AS dup_word_frac,
+           round(CAST(u.top_tf AS DOUBLE) / u.n_toks, 6) AS top_word_frac,
+           round(1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 6) AS dup_2gram_frac,
+           (CAST(u.top_tf AS DOUBLE) / u.n_toks > 0.2
+            OR 1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams > 0.3) AS repetitive
+    FROM uni u JOIN grams g USING (doc_id)
+    """,
+)
+def x9_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.array(tokenize(F.col("text")))).alias("_toks"))
+        .where(F.size("_toks") >= 2)
+    )
+    uni = (
+        tok_rows.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.count("*").alias("n_distinct"),
+            F.max("tf").alias("top_tf"),
+        )
+    )
+    grams = (
+        tok_rows.select("doc_id", F.explode(ngrams(F.col("_toks"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"), F.count("*").alias("n_distinct_grams"))
+    )
+    top_frac = F.col("top_tf") / F.col("n_toks")
+    dup2 = F.lit(1.0) - F.col("n_distinct_grams") / F.col("n_grams")
+    return uni.join(grams, "doc_id").select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_toks"), 6).alias("dup_word_frac"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        ((top_frac > 0.2) | (dup2 > 0.3)).alias("repetitive"),
+    )
+
+
+# --- X10: PII detection + redaction -------------------------------------------------
+# The privacy gate: count and redact email/phone patterns before text
+# ships to training. Pure JVM regexp (no lookarounds, so Java regex and
+# DuckDB's RE2 agree byte-for-byte); the redacted text is fingerprinted
+# so the oracle value-checks the REPLACEMENT semantics, not just counts.
+# The testdata corpus is synthetic and PII-free, so a deterministic
+# doc_id-gated PII suffix is injected identically on both sides — the
+# redaction path is exercised on every 7th document rather than never.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PII_SUFFIX = " contact me: jane.doe+spam@example.co.uk or 555-867-5309."
+
+
+@query(
+    "x10_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0 THEN '{_PII_SUFFIX}' ELSE '' END AS text
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+    FROM seeded
+    """,
+)
+def x10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_SUFFIX)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )

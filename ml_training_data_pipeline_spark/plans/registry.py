@@ -62,16 +62,21 @@ PRIORITY: tuple[str, ...] = (
     "v6_doc_top_terms", "c2_group_centroids", "c3_group_withinss",
     "c4_centroid_cosine_pairs", "c6_prob_coherence", "c7_quality_summary",
     "d1_exact_dup_groups", "d2_minhash_signatures", "d3_lsh_candidate_pairs",
-    # (b) changed THIS round, so they need a fresh row even though r5 was
+    # (b) NEW this round (never driver-checked, oracle-backed): benchmark
+    # decontamination, Gopher-style repetition quality, PII redaction.
+    "cur3_decontaminate", "x9_repetition_quality", "x10_pii_redaction",
+    # (c) changed THIS round, so they need a fresh row even though r5 was
     # green: SimHash signature rework (d9; d5/d6 already above),
     # connected-components pointer-doubling + convergence guard
-    # (d10/n6/cur2), lsh_bands_from_wide partial-band fix (d4),
-    # vectorize_dfm zero-vector docs (ep2), st4 per-key TTL anchor,
-    # collapsed-Gibbs LDA fallback (m5). These 8 close the 50-prefix.
+    # (d10/n6/cur2), lsh_bands_from_wide partial-band fix (d4). These 5
+    # close the 50-prefix.
     "d9_simhash_banded_near_dups", "d10_neardup_components",
     "n6_embedding_dedup_groups", "cur2_component_survivors",
-    "d4_minhash_dedup", "ep2_build_models",
-    "st4_stream_stateful_user_stats", "m5_refine_pipeline",
+    "d4_minhash_dedup",
+    # Also touched this round but rows-only (a fresh row only proves they
+    # ran, which r5 already did) or driver-result-identical: first in
+    # line after the prefix.
+    "ep2_build_models", "st4_stream_stateful_user_stats", "m5_refine_pipeline",
     # Everything after is hash-green in r05 (one round fresh), still
     # covered by tests/test_oracle_parity.py locally.
     "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
