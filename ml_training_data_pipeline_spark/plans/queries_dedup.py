@@ -428,3 +428,47 @@ def cur3_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+# --- CUR4: incremental dedup of a new batch against the existing corpus ------------
+# Production dedup is INCREMENTAL: each ingest batch dedups (a) against
+# the already-curated corpus's fingerprint index, then (b) within
+# itself — nobody re-clusters 100 TB per day. The "existing corpus" is a
+# deterministic slice (doc_id % 10 < 8), the rest is the incoming batch.
+# Scale shape: stage (a) is an equi-anti-join on the fingerprint — at
+# 100 TB the corpus index is a bucketed-by-fp table, so the anti-join is
+# shuffle-free on the index side; stage (b) is the usual min-doc_id
+# survivor groupBy over the (small) batch only.
+@query(
+    "cur4_incremental_dedup",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (
+      SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks
+    ),
+    corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+    batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 >= 8),
+    fresh AS (
+      SELECT b.doc_id, b.fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+    )
+    SELECT doc_id, fp FROM fresh
+    WHERE doc_id = (SELECT min(f2.doc_id) FROM fresh f2 WHERE f2.fp = fresh.fp)
+    """,
+)
+def cur4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    corpus_fps = fps.where(F.col("doc_id") % 10 < 8).select("fp").distinct()
+    batch = fps.where(F.col("doc_id") % 10 >= 8)
+    fresh = batch.join(corpus_fps, "fp", "left_anti")
+    w = Window.partitionBy("fp")
+    return (
+        fresh.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "fp")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators.tfidf import doc_tokens
+from .oracle_fragments import toks_cte
 from .registry import query
 
 
@@ -339,4 +340,55 @@ def t6_range_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+# --- PACK1: token-budget sequence packing ------------------------------------------
+# The last step before tokenized text becomes training batches: pack
+# documents into fixed-budget training sequences (2048 tokens here).
+# Greedy running-total packing in deterministic (source, doc_id) order:
+# seq_id = floor((running_total − n_tokens) / budget) — a document
+# starts a new sequence when the budget would overflow ON AVERAGE
+# (cumulative form; real packers also split overlong docs, which is a
+# flatMap on top of this same assignment). Scale shape: ONE window per
+# source partition — each source's docs sort within their shuffle
+# partition; at 100 TB packing runs per (source, shard) exactly like
+# this with shard in the partition key, so no global sort ever exists.
+@query(
+    "pack1_token_budget_packing",
+    oracle=f"""
+    WITH {toks_cte()},
+    counted AS (
+      SELECT t.doc_id, d.source, len(t.toks) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+      FROM counted
+    )
+    SELECT source, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def pack1_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counted = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = counted.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast("long"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
     )
