@@ -118,6 +118,29 @@ def test_t6_export_uses_range_partitioning(spark):
     assert "rangepartitioning" in plan.lower(), plan
 
 
+def test_cur3_eval_shingles_are_broadcast(spark):
+    # decontamination joins the corpus shingle stream against the SMALL
+    # benchmark shingle set: the plan must broadcast the eval side — a
+    # shuffled join here would shuffle the whole training corpus at scale.
+    plan = explain_str(spark, "cur3_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack1_is_single_window_no_join(spark):
+    # sequence packing is one running-total window per source partition
+    # plus one aggregate — any join or second window means the packing
+    # regressed to a self-join form that cannot scale.
+    plan = explain_str(spark, "pack1_token_budget_packing")
+    # formatted plans print each node twice (tree + detail header): one
+    # Window operator shows as exactly one "(N) Window" detail header.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, plan
+
+
 def test_v4_vocabulary_is_join_free(spark):
     # single-pass ranking: df(t) and sum(tf) come from ONE groupBy(term)
     # — a regression to the per-cell-weight + df-join form shows up as a
