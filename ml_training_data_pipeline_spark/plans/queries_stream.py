@@ -16,6 +16,7 @@ from ..streaming.enrich import (
     streaming_enrich,
     streaming_sessionize,
 )
+from .oracle_fragments import toks_cte
 from .queries_llm import l1_enrich_documents
 from .registry import ORACLE_SQL, query
 
@@ -217,3 +218,48 @@ def st6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("secs_to_purchase"),
     )
     return run_bounded(joined, "st6_out", output_mode="append")
+
+
+# --- ST7: streaming curation gate (the ingest-time cur1) --------------------------
+# The curation gates a streaming ingest pipeline applies as documents
+# ARRIVE, before anything lands in the training corpus: stateless
+# filters (language, token bounds — pure column algebra, batch/stream
+# parity) composed with exact-duplicate suppression via
+# dropDuplicatesWithinWatermark on the canonical fingerprint — BOUNDED
+# state (fp keys expire with the watermark), the streaming substitute
+# for cur1's global min-per-fingerprint window, which cannot exist on an
+# unbounded stream. Event time is synthesized from doc_id (the testdata
+# has no ingest timestamp); a real feed carries its own. The output
+# projects only the fingerprint: which physical doc survives dedup is
+# arrival-order-dependent on a stream, the fingerprint SET is not —
+# that's what keeps the operator oracle-checkable.
+@query(
+    "st7_stream_curation_gate",
+    oracle=f"""
+    WITH {toks_cte()}
+    SELECT DISTINCT md5(array_to_string(t.toks, ' ')) AS fp
+    FROM toks t JOIN documents d USING (doc_id)
+    WHERE d.lang = 'en' AND len(t.toks) BETWEEN 5 AND 1000
+    """,
+)
+def st7_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint, token_count
+
+    docs = stream_table(spark, sf_dir, "documents")
+    gated = (
+        docs.where(F.col("text").isNotNull() & (F.col("lang") == "en"))
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .where(F.col("n_tokens").between(5, 1000))
+        .select(
+            fingerprint(F.col("text")).alias("fp"),
+            # nonzero base epoch: event time 0 (doc_id 0) would collide
+            # with the stream's INITIAL watermark and be dropped as late.
+            F.timestamp_micros((F.lit(1_600_000_000) + F.col("doc_id")) * 1_000_000).alias("ts"),
+        )
+    )
+    deduped = (
+        gated.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp")
+    )
+    return run_bounded(deduped, "st7_out", output_mode="append")
