@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -27,7 +27,7 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .centroids import centroid_cosine_pairs, group_centroids, merge_components
+from .centroids import centroid_cosine_pairs, merge_components
 from .coherence import binary_doc_term, prob_coherence
 from .tfidf import cluster_term_scores
 
