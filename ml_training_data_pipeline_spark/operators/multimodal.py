@@ -196,7 +196,11 @@ def extract_decoded_stats(media: DataFrame) -> DataFrame:
                     out["height"].append(img.height)
                     out["mean_intensity"].append(float(img.pixels.mean()))
                     out["decoded"].append(True)
-                except NotImplementedError:
+                # broad by design: a truncated/corrupt blob (PIL OSError,
+                # numpy buffer ValueError, ...) must mark THIS record
+                # undecodable, never fail the batch — at 100 TB some
+                # fraction of media bytes is always garbage.
+                except Exception:  # noqa: BLE001
                     out["width"].append(None)
                     out["height"].append(None)
                     out["mean_intensity"].append(None)

@@ -105,6 +105,31 @@ def test_mock_llm_label_from_vocabulary(kw):
     assert client.complete(f"Suggest a short label for keywords: {kw}") in CLUSTER_LABELS
 
 
+@settings(deadline=None, max_examples=60)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_netpbm_roundtrip_identity(w, h, gray, seed):
+    # encode(decode) must be the identity on the pixel array for every
+    # image shape and mode the built-in codec supports.
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        decode_image,
+        encode_netpbm,
+    )
+
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    pixels = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    img = DecodedImage(w, h, "L" if gray else "RGB", pixels)
+    back = decode_image(encode_netpbm(img))
+    assert (back.width, back.height, back.mode) == (w, h, img.mode)
+    assert np.array_equal(back.pixels, pixels)
+
+
 def test_prompt_builders_are_column_expressions(spark):
     # prompt builders must stay Column-typed (JVM-side concat, no UDF)
     from pyspark.sql import Column

@@ -14,7 +14,9 @@ from ml_training_data_pipeline_spark.operators.dedup import (
     minhash_signatures,
     minhash_wide,
     simhash,
+    simhash_banded_near_dups,
 )
+from tests.conftest import SF_DIR
 
 
 def test_components_converge_on_long_chain(spark):
@@ -83,6 +85,31 @@ def test_vectorize_dfm_keeps_zero_vector_docs(spark):
     # without the universe, the legacy contract (present docs only) holds
     _, vecs2 = vectorize_dfm(dfm, ["alpha", "beta"])
     assert {r["doc_id"] for r in vecs2.collect()} == {1, 2}
+
+
+def test_banded_simhash_complete_vs_brute_force(spark):
+    # empirical completeness: with bands = max_hamming + 1, the banded
+    # equi-join must find EXACTLY the pairs an all-pairs hamming filter
+    # finds — checked on 60 real signatures (pigeonhole guarantee, not a
+    # sample of it).
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    sim = simhash(docs, bits=60)
+    rows = sim.collect()
+    sigs = {r["doc_id"]: r["simhash"] for r in rows}
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_banded_near_dups(sim, max_hamming=3, bands=4, bits=60).collect()
+    }
+    assert got == expected
 
 
 def test_simhash_plan_has_no_bit_explode_and_no_join(spark):
