@@ -516,11 +516,14 @@ def x7_language_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X9: repetition-based quality filter (Gopher-style) ----------------------------
 # The repetition signals large-scale curation actually gates on (Gopher /
 # MassiveText rules): duplicate-unigram fraction, most-frequent-word
-# mass, duplicate-2-gram fraction. Computed from the exploded term-count
-# stream — two bounded groupBys (term-level then doc-level), both
-# map-side combinable, NOT a per-row quadratic array scan — so the same
-# plan holds when docs are 10k tokens at 100 TB. Restricted to docs with
-# ≥ 2 tokens (a 2-gram must exist for the signal to be defined).
+# mass, duplicate-2-gram fraction. SINGLE-PASS plan: one explode emits
+# both unigram and 2-gram keys as a tagged (kind, key) stream off one
+# tokenize, one groupBy(doc_id, kind, key) counts them (map-side
+# combinable), one conditional doc-level aggregate folds both kinds —
+# no second corpus scan, no join, no per-row quadratic array scan, so
+# the same plan holds when docs are 10k tokens at 100 TB. Restricted to
+# docs with ≥ 2 tokens (a 2-gram must exist for the signal to be
+# defined).
 @query(
     "x9_repetition_quality",
     oracle=f"""
@@ -563,27 +566,34 @@ def x9_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array(tokenize(F.col("text")))).alias("_toks"))
         .where(F.size("_toks") >= 2)
     )
-    uni = (
-        tok_rows.select("doc_id", F.explode("_toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_toks"),
-            F.count("*").alias("n_distinct"),
-            F.max("tf").alias("top_tf"),
-        )
-    )
-    grams = (
-        tok_rows.select("doc_id", F.explode(ngrams(F.col("_toks"), 2)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_grams"), F.count("*").alias("n_distinct_grams"))
+    # one explode → tagged (kind, key) stream: 'u' per token, 'g' per 2-gram
+    tagged = tok_rows.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("_toks"),
+                    lambda t: F.struct(F.lit("u").alias("kind"), t.alias("key")),
+                ),
+                F.transform(
+                    ngrams(F.col("_toks"), 2),
+                    lambda g: F.struct(F.lit("g").alias("kind"), g.alias("key")),
+                ),
+            )
+        ).alias("kk"),
+    ).select("doc_id", F.col("kk.kind").alias("kind"), F.col("kk.key").alias("key"))
+    counts = tagged.groupBy("doc_id", "kind", "key").agg(F.count("*").alias("c"))
+    is_u = F.col("kind") == "u"
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_u, F.col("c"))).alias("n_toks"),
+        F.count(F.when(is_u, True)).alias("n_distinct"),
+        F.max(F.when(is_u, F.col("c"))).alias("top_tf"),
+        F.sum(F.when(~is_u, F.col("c"))).alias("n_grams"),
+        F.count(F.when(~is_u, True)).alias("n_distinct_grams"),
     )
     top_frac = F.col("top_tf") / F.col("n_toks")
     dup2 = F.lit(1.0) - F.col("n_distinct_grams") / F.col("n_grams")
-    return uni.join(grams, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_toks"), 6).alias("dup_word_frac"),
         F.round(top_frac, 6).alias("top_word_frac"),

@@ -141,6 +141,18 @@ def test_pack1_is_single_window_no_join(spark):
         assert op not in plan, plan
 
 
+def test_x9_is_single_scan_join_free(spark):
+    # the repetition signals come from ONE tagged explode off one corpus
+    # scan: a second Scan node or any join means the plan regressed to
+    # the two-subtree form that reads the corpus twice.
+    import re
+
+    plan = explain_str(spark, "x9_repetition_quality")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, plan
+
+
 def test_v4_vocabulary_is_join_free(spark):
     # single-pass ranking: df(t) and sum(tf) come from ONE groupBy(term)
     # — a regression to the per-cell-weight + df-join form shows up as a
