@@ -286,7 +286,11 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     wide = contrib.groupBy("doc_id").agg(*bitsums)
     sig: Column = F.lit(0).cast("long")
     for b in range(bits):
-        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        # shiftleft, not F.lit(1 << b): a python-int literal overflows
+        # LongType at b=63, while the JVM shift is well-defined for the
+        # full 64-bit width.
+        weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")
+        sig = sig + F.when(F.col(f"s{b}") > 0, weight).otherwise(F.lit(0))
     return wide.select("doc_id", sig.alias("simhash"))
 
 

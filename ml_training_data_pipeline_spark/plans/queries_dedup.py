@@ -400,8 +400,12 @@ def cur2_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in for a real benchmark table). Scale shape: the benchmark shingle set
 # is SMALL by construction (eval suites are thousands of docs, not
 # billions), so at 100 TB this is a broadcast semi-join against the
-# training-corpus shingle stream — one scan, no corpus-sized shuffle; the
-# per-doc overlap count aggregates map-side on doc_id.
+# training-corpus shingle stream — no corpus-sized shuffle; the per-doc
+# overlap count aggregates map-side on doc_id. Note: because the eval
+# slice is carved out of the SAME documents table (doc_id % 97), this
+# plan reads that table twice — once (filter-pruned, ~1% tokenized) to
+# build the broadcast set, once for the training stream; a real
+# deployment's separate eval table restores the single-corpus-scan shape.
 @query(
     "cur3_decontaminate",
     oracle=f"""

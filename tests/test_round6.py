@@ -66,6 +66,17 @@ def test_wide_bands_emit_trailing_partial_band(spark):
     assert {band for (_, band, _) in a} == {0, 1, 2}
 
 
+def test_simhash_full_64_bit_width_builds_and_runs(spark):
+    # regression: the bit-63 weight must come from a JVM shiftleft — a
+    # python-int literal (1 << 63) overflows LongType at plan build.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma alpha")], schema="doc_id long, text string"
+    )
+    rows = simhash(docs, bits=64).collect()
+    assert len(rows) == 2
+    assert all(isinstance(r["simhash"], int) for r in rows)
+
+
 def test_vectorize_dfm_keeps_zero_vector_docs(spark):
     # a doc whose every term fell out of the pinned vocabulary must stay
     # in the vectorized state as a zero vector (dfm_match semantics), not
