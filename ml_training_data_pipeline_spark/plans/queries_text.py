@@ -649,3 +649,44 @@ def x10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+# --- X11: corpus-unigram log-probability score (CCNet-style typicality) ------------
+# The statistical quality signal CCNet-class pipelines gate on beside the
+# heuristic scores (x2) and repetition mass (x9): mean negative log
+# probability of the document's tokens under the CORPUS unigram
+# distribution — low = typical text, high = gibberish/rare-token soup.
+# (Real CCNet uses a KenLM 5-gram; the unigram form is the same plan
+# shape with the model table swapped in.) Scale shape: the term
+# probability table is VOCABULARY-sized, so the join back to the
+# doc-term stream broadcasts; the corpus total is a 1-row aggregate
+# cross-joined in (no driver-side scalar); one groupBy(doc_id) folds the
+# per-doc mean.
+@query(
+    "x11_unigram_logprob",
+    oracle=f"""
+    WITH {toks_cte()},
+    tc AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0)
+      GROUP BY doc_id, term
+    ),
+    totals AS (SELECT term, sum(tf) AS ctf FROM tc GROUP BY term),
+    total AS (SELECT sum(ctf) AS tot FROM totals)
+    SELECT doc_id,
+           round(-sum(tf * ln(ctf / tot)) / sum(tf), 6) AS unigram_logprob
+    FROM tc JOIN totals USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def x11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = term_counts(doc_tokens(docs))
+    totals = tc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = totals.agg(F.sum("ctf").alias("tot"))
+    scored = tc.join(totals, "term").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            -F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("tot"))) / F.sum("tf"), 6
+        ).alias("unigram_logprob")
+    )

@@ -67,17 +67,15 @@ PRIORITY: tuple[str, ...] = (
     # token-budget sequence packing, incremental batch-vs-corpus dedup.
     "cur3_decontaminate", "x9_repetition_quality", "x10_pii_redaction",
     "pack1_token_budget_packing", "cur4_incremental_dedup",
-    "st7_stream_curation_gate",
-    # (c) changed THIS round, so they need a fresh row even though r5 was
-    # green: SimHash signature rework (d9), connected-components
-    # pointer-doubling + convergence guard (d10). These 2 close the
-    # 50-prefix.
-    "d9_simhash_banded_near_dups", "d10_neardup_components",
+    "st7_stream_curation_gate", "x11_unigram_logprob",
+    # (c) changed THIS round, so it needs a fresh row even though r5 was
+    # green: SimHash signature rework (d9). Closes the 50-prefix.
+    "d9_simhash_banded_near_dups",
     # Also touched this round but result-identical (verified against the
-    # sf0.01 oracle locally: n6/cur2/d4) or rows-only (ep2/st4/m5 — a
-    # fresh row only proves they ran, which r5 already did): first in
+    # sf0.01 oracle locally: d10/n6/cur2/d4) or rows-only (ep2/st4/m5 —
+    # a fresh row only proves they ran, which r5 already did): first in
     # line after the prefix.
-    "n6_embedding_dedup_groups",
+    "d10_neardup_components", "n6_embedding_dedup_groups",
     "cur2_component_survivors", "d4_minhash_dedup",
     "ep2_build_models", "st4_stream_stateful_user_stats", "m5_refine_pipeline",
     # Everything after is hash-green in r05 (one round fresh), still
