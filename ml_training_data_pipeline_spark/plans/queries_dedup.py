@@ -476,3 +476,76 @@ def cur4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "fp")
     )
+
+
+# --- CUR5: passage-level exact dedup report ----------------------------------------
+# Sub-document dedup: boilerplate (headers, license blurbs, navigation)
+# repeats ACROSS documents that are not whole-doc duplicates, so
+# curation hashes fixed-stride passages (8-token chunks here) and flags
+# each doc's fraction of passages seen elsewhere. Plan shape: passages
+# are built as an in-row `transform(sequence(...))` + `array_distinct`
+# PROJECTION (no distinct shuffle), then one window count on passage and
+# one groupBy on doc_id — two shuffles total at any scale. At 100 TB the
+# cross-doc count survives as-is; the [drop >N-occurrence passages and
+# re-join text] variant adds one positional reassembly groupBy.
+@query(
+    "cur5_passage_dedup",
+    oracle=f"""
+    WITH {toks_cte()},
+    p AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+                for i in range(0, len(toks) // 8)]
+             )) AS passage
+      FROM toks WHERE len(toks) >= 8
+    ),
+    c AS (
+      SELECT doc_id, passage,
+             count(*) OVER (PARTITION BY passage) AS n_docs_with
+      FROM p
+    )
+    SELECT doc_id,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages,
+           round(CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def cur5_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    passages = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, (size(toks) div 8) - 1),"
+                " i -> concat_ws(' ', slice(toks, i*8+1, 8))))"
+            )
+        ).alias("passage"),
+    )
+    counted = passages.withColumn(
+        "n_docs_with", F.count("*").over(Window.partitionBy("passage"))
+    )
+    agg = counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_passages"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_passages",
+        "n_dup_passages",
+        F.round(F.col("n_dup_passages").cast("double") / F.col("n_passages"), 6).alias(
+            "dup_frac"
+        ),
+    )

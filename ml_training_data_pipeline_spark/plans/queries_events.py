@@ -195,3 +195,50 @@ def w5_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ets") - F.col("asof_click_ets") <= 3600, F.col("asof_click_id")
         ).alias("asof_click_id"),
     )
+
+
+# --- W6: time-decayed engagement score ---------------------------------------------
+# Feature engineering over the event stream: per-user engagement where
+# each event's value decays exponentially toward the user's LAST event
+# (half-life 7 days) — the freshness-weighted activity signal ranking /
+# sampling pipelines key on. Anchoring the decay at the per-user max ts
+# keeps the exp() arguments bounded (a global-now anchor underflows for
+# old users and is non-reproducible). Plan shape: the max-ts window and
+# the final aggregate share the user_id hash partitioning, so Spark
+# plans ONE Exchange for both (guarded in tests/test_round6b.py).
+# Timestamps compare as fractional epoch seconds on both engines
+# (Spark `cast(ts as double)` ≡ DuckDB `epoch(ts)`, session TZ UTC).
+_W6_LAMBDA = 1.1460766874337719e-06  # ln(2) / (7 * 86400)
+
+
+@query(
+    "w6_decayed_engagement",
+    oracle=f"""
+    WITH wl AS (
+      SELECT user_id, value, epoch(ts) AS es,
+             max(epoch(ts)) OVER (PARTITION BY user_id) AS last_es
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * exp(-{_W6_LAMBDA!r} * (last_es - es))), 6)
+             AS decayed_value
+    FROM wl GROUP BY user_id
+    """,
+)
+def w6_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    es = F.col("ts").cast("double")
+    with_last = ev.select("user_id", "value", es.alias("es")).withColumn(
+        "last_es", F.max("es").over(Window.partitionBy("user_id"))
+    )
+    return with_last.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(
+                F.col("value")
+                * F.exp(F.lit(-_W6_LAMBDA) * (F.col("last_es") - F.col("es")))
+            ),
+            6,
+        ).alias("decayed_value"),
+    )

@@ -392,3 +392,47 @@ def pack1_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+# --- T7: deterministic hash-shard assignment for training export -------------------
+# The last step before a training run: spread the curated corpus over N
+# output shards so data loaders stream them independently. Shard id is a
+# PURE PROJECTION (md5 byte of doc_id, mod 8) — no sort, no skew, stable
+# under retries and engine swaps — and the balance report is one
+# groupBy(shard). Contrast with T6's range partitioning (ordered export):
+# hash sharding is the training-order choice because it decorrelates
+# adjacent source docs, which IS the global shuffle training wants.
+@query(
+    "t7_training_shards",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8 AS shard
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard
+    """,
+)
+def t7_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+            "int"
+        )
+        % 8
+    )
+    return (
+        docs.select("doc_id", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -690,3 +690,102 @@ def x11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("tot"))) / F.sum("tf"), 6
         ).alias("unigram_logprob")
     )
+
+
+# --- MIX2: exact stratified quota sample -------------------------------------------
+# MIX1's hash-gate hits a configured rate only in expectation; eval-set
+# and ablation-mix construction need EXACT per-stratum quotas
+# (ceil(f * n_lang) docs per language, reproducibly). Deterministic
+# order: md5(doc_id) is the shuffle key, doc_id the tie-break. Scale
+# shape: one shuffle on lang for both windows (row_number + count share
+# the partitioning); the per-stratum sort is real — at 100 TB with few,
+# huge strata, switch to the two-pass variant (count per stratum, then
+# keep hash < rank-threshold) or accept MIX1's expectation semantics.
+# Kept exact here because exactness IS this operator's contract.
+@query(
+    "mix2_stratified_quota",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM ordered WHERE rn <= CAST(ceil(0.2 * n_lang) AS BIGINT)
+    """,
+)
+def mix2_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    order_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    count_w = Window.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(order_w))
+        .withColumn("n_lang", F.count("*").over(count_w))
+        .where(F.col("rn") <= F.ceil(F.lit(0.2) * F.col("n_lang")))
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+# --- X12: character-entropy quality signal -----------------------------------------
+# Shannon entropy of the character distribution over the canonical
+# cleaned text (the token stream space-joined) — low entropy flags
+# degenerate/boilerplate docs (aaaa..., repeated fragments) that
+# length/stopword ratios miss. The alphabet is closed ([a-z0-9 ]), so
+# per-char counts are a PURE PROJECTION: 37 length(replace(...)) terms,
+# zero explode, zero shuffle — the whole signal costs one map pass at
+# any scale (plan-guarded Exchange-free in tests/test_round6b.py).
+_X12_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _x12_entropy_sql() -> str:
+    terms = []
+    for ch in _X12_ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        n = f"(length(c) - length(replace(c, {lit}, '')))"
+        p = f"(CAST({n} AS DOUBLE) / length(c))"
+        terms.append(f"CASE WHEN {n} > 0 THEN -{p} * ln({p}) ELSE 0.0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "x12_char_entropy",
+    oracle=f"""
+    WITH {toks_cte()},
+    cl AS (
+      SELECT doc_id, array_to_string(toks, ' ') AS c
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id, length(c) AS n_chars_clean,
+           round({_x12_entropy_sql()}, 6) AS char_entropy
+    FROM cl
+    """,
+)
+def x12_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import operator
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", F.concat_ws(" ", tokenize(F.col("text"))).alias("c")
+    ).where(F.length("c") > 0)
+    length = F.length(F.col("c"))
+    terms = []
+    # Same alphabet order as the oracle so the float sum associates
+    # identically term-by-term (round(6) absorbs any residual ulp).
+    for ch in _X12_ALPHABET:
+        n = length - F.length(F.replace(F.col("c"), F.lit(ch), F.lit("")))
+        p = n.cast("double") / length
+        terms.append(F.when(n > 0, -p * F.log(p)).otherwise(F.lit(0.0)))
+    entropy = functools.reduce(operator.add, terms)
+    return cleaned.select(
+        "doc_id",
+        length.cast("long").alias("n_chars_clean"),
+        F.round(entropy, 6).alias("char_entropy"),
+    )

@@ -71,6 +71,11 @@ PRIORITY: tuple[str, ...] = (
     # (c) changed THIS round, so it needs a fresh row even though r5 was
     # green: SimHash signature rework (d9). Closes the 50-prefix.
     "d9_simhash_banded_near_dups",
+    # NEW late in round 6 (after the 50-prefix froze): oracle-backed,
+    # covered by tests/test_oracle_parity.py now, front of the rotation
+    # next round.
+    "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
+    "t7_training_shards", "w6_decayed_engagement",
     # Also touched this round but result-identical (verified against the
     # sf0.01 oracle locally: d10/n6/cur2/d4) or rows-only (ep2/st4/m5 —
     # a fresh row only proves they ran, which r5 already did): first in

@@ -1,0 +1,136 @@
+"""Round-6 late additions: plan-shape and invariant guards for the
+passage-dedup / stratified-quota / char-entropy / shard / decay queries
+(value parity itself is covered by tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ml_training_data_pipeline_spark.plans import registry
+from tests.conftest import SF_DIR
+
+registry._load_all()
+
+
+def explain_str(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def count_nodes(plan: str, op: str) -> int:
+    # formatted plans print every node twice (tree + detail section);
+    # count only the detail headers "(3) Exchange".
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.M))
+
+
+def test_x12_entropy_is_exchange_free(spark):
+    # the whole signal is a map-side projection: 37 length(replace(...))
+    # terms over a closed alphabet — any Exchange means someone turned it
+    # back into an explode+groupBy.
+    plan = explain_str(spark, "x12_char_entropy")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_x12_entropy_matches_python(spark):
+    rows = registry.QUERIES["x12_char_entropy"](spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        if r["text"] is not None
+    }
+    import re
+
+    checked = 0
+    for r in rows[:20]:
+        text = docs[r["doc_id"]]
+        cleaned = " ".join(
+            t for t in re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", "", text.lower())).split(" ") if t
+        )
+        n = len(cleaned)
+        ent = 0.0
+        for ch in set(cleaned):
+            p = cleaned.count(ch) / n
+            ent -= p * math.log(p)
+        assert abs(ent - r["char_entropy"]) < 1e-5, (r["doc_id"], ent, r["char_entropy"])
+        assert r["n_chars_clean"] == n
+        checked += 1
+    assert checked > 0
+
+
+def test_w6_single_exchange(spark):
+    # the max-ts window and the final groupBy share the user_id hash
+    # partitioning: Spark must plan exactly one shuffle.
+    plan = explain_str(spark, "w6_decayed_engagement")
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_w6_decay_bounds(spark):
+    # decayed value is positive and ≤ the plain sum (decay only shrinks),
+    # and equals it when all the user's events share one timestamp.
+    out = {
+        r["user_id"]: r
+        for r in registry.QUERIES["w6_decayed_engagement"](spark, SF_DIR).collect()
+    }
+    plain = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(out) == set(plain)
+    for uid, r in out.items():
+        n, s = plain[uid]
+        assert r["n_events"] == n
+        assert r["decayed_value"] <= s + 1e-6, (uid, r["decayed_value"], s)
+
+
+def test_cur5_no_distinct_shuffle(spark):
+    # per-doc passage dedup happens in-row (array_distinct inside the
+    # projection), so the plan carries exactly two Exchanges: the passage
+    # window and the doc_id aggregate.
+    plan = explain_str(spark, "cur5_passage_dedup")
+    assert count_nodes(plan, "Exchange") == 2, plan
+
+
+def test_cur5_passage_invariants(spark):
+    rows = registry.QUERIES["cur5_passage_dedup"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_passages"] <= r["n_passages"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_mix2_exact_quota(spark):
+    # per-language quota is exactly ceil(0.2 * n_lang), and ranks are
+    # contiguous from 1.
+    sampled = registry.QUERIES["mix2_stratified_quota"](spark, SF_DIR).collect()
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_lang: dict[str, list[int]] = {}
+    for r in sampled:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    for lang, ranks in by_lang.items():
+        want = math.ceil(0.2 * totals[lang])
+        assert len(ranks) == want, (lang, len(ranks), want)
+        assert sorted(ranks) == list(range(1, want + 1))
+
+
+def test_t7_shards_cover_all_docs(spark):
+    rows = registry.QUERIES["t7_training_shards"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # hash sharding balances: no shard holds more than 2× the mean
+    mean = n_docs / len(rows)
+    assert all(r["n_docs"] < 2 * mean for r in rows)
