@@ -436,3 +436,58 @@ def t7_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# --- S9: bucketed co-located join (shuffle-free feature-store pattern) -------------
+# The 100-TB join strategy the big pipelines standardize on: write the
+# corpus AND its per-doc enrichment table bucketed by doc_id into the
+# warehouse, and every later equi-join on doc_id is SHUFFLE-FREE — both
+# sides' files are already hash-clustered on the key, so SortMergeJoin
+# reads buckets pairwise (the plan shows `Bucketed: true` and the only
+# Exchange left is the final tiny groupBy — guarded in
+# tests/test_round6b.py). This is how enrichment outputs (LLM features,
+# token counts, quality scores) re-join the corpus repeatedly without
+# paying the corpus-sized shuffle each time.
+@query(
+    "s9_bucketed_join_roundtrip",
+    oracle=f"""
+    WITH {toks_cte()},
+    enr AS (SELECT doc_id, len(toks) AS n_tokens FROM toks)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(e.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN enr e ON d.doc_id = e.doc_id
+    GROUP BY d.lang
+    """,
+)
+def s9_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    wh = os.path.join(tempfile.gettempdir(), f"mtdp_bucketed_{suffix}")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tbl, enrich_tbl = f"mtdp_corpus_{suffix}", f"mtdp_enrich_{suffix}"
+    (
+        docs.select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("path", os.path.join(wh, corpus_tbl))
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(corpus_tbl)
+    )
+    (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .write.mode("overwrite")
+        .option("path", os.path.join(wh, enrich_tbl))
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(enrich_tbl)
+    )
+    joined = spark.table(corpus_tbl).join(spark.table(enrich_tbl), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -134,3 +134,19 @@ def test_t7_shards_cover_all_docs(spark):
     # hash sharding balances: no shard holds more than 2× the mean
     mean = n_docs / len(rows)
     assert all(r["n_docs"] < 2 * mean for r in rows)
+
+
+def test_s9_bucketed_join_shuffle_free(spark):
+    # both sides are bucketed by doc_id, so the join needs no Exchange:
+    # with broadcast disabled the plan is a bucket-pairwise SortMergeJoin
+    # and the ONLY Exchange is the final groupBy(lang).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(spark, "s9_bucketed_join_roundtrip")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert count_nodes(plan, "SortMergeJoin") == 1, plan
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
