@@ -168,10 +168,16 @@ def jaccard_pairs(
     threshold: float = 0.0,
     max_shingle_df: int | None = None,
     candidates: DataFrame | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle, via the
+    """(doc_a, doc_b, <metric>) for pairs sharing ≥1 shingle, via the
     inverted-index self-join. ``max_shingle_df`` drops boilerplate
     shingles (posting-list cap) — the skew guard at scale.
+
+    ``metric="containment"`` scores ``inter / min(|A|, |B|)`` instead of
+    Jaccard: the asymmetric signal that catches a short doc wholly
+    embedded in a long one (quotes, concatenations), where Jaccard stays
+    low because the union is dominated by the long side.
 
     ``candidates`` (doc_a, doc_b) scopes the whole computation to a
     pre-filtered pair set (LSH output): docs appearing in no candidate
@@ -222,16 +228,18 @@ def jaccard_pairs(
     inter = pair_rows.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    if metric == "containment":
+        score = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    elif metric == "jaccard":
+        score = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", F.round(score, 6).alias(metric))
     )
-    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+    return out.where(F.col(metric) >= threshold) if threshold > 0 else out
 
 
 def minhash_dedup(

@@ -549,3 +549,44 @@ def cur5_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+# --- D11: shingle-containment near-dups (asymmetric overlap) -----------------------
+# Jaccard misses the short-doc-inside-long-doc case (a quoted or
+# concatenated document): the union is dominated by the long side, so
+# the score stays low. Containment — inter / min(|A|, |B|) — is the
+# standard asymmetric complement; curation drops (or links) pairs where
+# one side is essentially a subset of the other. Same inverted-index
+# self-join machinery as d7/d8, same posting-list cap skew guard; only
+# the final scoring expression differs.
+@query(
+    "d11_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    capped AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= 20
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cont AS (
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(i.inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, containment FROM cont WHERE containment >= 0.6
+    """,
+)
+def d11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        doc_shingles(docs, k=3), threshold=0.6, max_shingle_df=20, metric="containment"
+    )

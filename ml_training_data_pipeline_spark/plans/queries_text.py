@@ -789,3 +789,53 @@ def x12_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         length.cast("long").alias("n_chars_clean"),
         F.round(entropy, 6).alias("char_entropy"),
     )
+
+
+# --- X13: Zipf rank-frequency profile ----------------------------------------------
+# The corpus-health fingerprint: top-100 terms by collection frequency
+# with rank, corpus share, and cumulative share. A healthy natural-text
+# corpus follows Zipf (share ≈ c/rank); boilerplate floods and template
+# spam show up as a flattened head or a cliff. Plan shape: the global
+# top-k is a TakeOrderedAndProject (parallel partial top-k, no
+# single-partition sort — v4's pattern) and the rank/cumulative window
+# runs over the ≤100 surviving rows; the grand total joins in as a
+# 1-row broadcast.
+@query(
+    "x13_zipf_profile",
+    oracle=f"""
+    WITH {toks_cte()},
+    {unigram_cte()},
+    totals AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+    grand AS (SELECT CAST(sum(ctf) AS DOUBLE) AS total_tf FROM totals),
+    top AS (
+      SELECT term, ctf FROM totals ORDER BY ctf DESC, term LIMIT 100
+    )
+    SELECT term,
+           CAST(ctf AS BIGINT) AS ctf,
+           CAST(row_number() OVER (ORDER BY ctf DESC, term) AS BIGINT) AS rank,
+           round(ctf / g.total_tf, 6) AS share,
+           round(sum(ctf) OVER (ORDER BY ctf DESC, term
+                                ROWS UNBOUNDED PRECEDING) / g.total_tf, 6)
+             AS cum_share
+    FROM top CROSS JOIN grand g
+    """,
+)
+def x13_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = term_counts(doc_tokens(docs))
+    totals = tc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    grand = totals.agg(F.sum("ctf").cast("double").alias("total_tf"))
+    top = totals.orderBy(F.desc("ctf"), F.asc("term")).limit(100)
+    order = Window.orderBy(F.desc("ctf"), F.asc("term"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(grand))
+        .withColumn("rank", F.row_number().over(order).cast("long"))
+        .withColumn("share", F.round(F.col("ctf") / F.col("total_tf"), 6))
+        .withColumn(
+            "cum_share", F.round(F.sum("ctf").over(cum) / F.col("total_tf"), 6)
+        )
+        .select("term", F.col("ctf").cast("long").alias("ctf"), "rank", "share", "cum_share")
+    )

@@ -150,3 +150,49 @@ def test_s9_bucketed_join_shuffle_free(spark):
     assert count_nodes(plan, "SortMergeJoin") == 1, plan
     assert count_nodes(plan, "Exchange") == 1, plan
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_x13_topk_is_take_ordered(spark):
+    # the global top-100 must be a parallel TakeOrderedAndProject, with
+    # the rank/cum-share window above the limit (≤100 rows).
+    plan = explain_str(spark, "x13_zipf_profile")
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = registry.QUERIES["x13_zipf_profile"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 100
+    # cumulative share is nondecreasing and ends ≤ 1
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    cums = [r["cum_share"] for r in by_rank]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert cums[-1] <= 1.0 + 1e-9
+
+
+def test_d11_containment_dominates_jaccard(spark):
+    # containment = inter/min(|A|,|B|) ≥ inter/|A∪B| = jaccard for every
+    # pair, and subset pairs score exactly 1.0.
+    from ml_training_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j k l m n o p q r s t"),  # superset of 1
+            (3, "x y z w v u t s r q"),
+        ],
+        schema="doc_id long, text string",
+    )
+    sh = doc_shingles(docs, k=3)
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in jaccard_pairs(sh, metric="containment").collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh).collect()
+    }
+    assert set(jac) == set(cont)
+    for pair, c in cont.items():
+        assert c >= jac[pair] - 1e-9
+    assert cont[(1, 2)] == 1.0  # doc 1's shingles all inside doc 2
+    assert jac[(1, 2)] < 1.0
