@@ -12,9 +12,12 @@ from __future__ import annotations
 from ..functions.text import ALL_STOPWORDS
 
 # token-array expression over a text column (DuckDB)
+# NB: RE2's \s is [\t\n\f\r ] while Java's \s adds \x0B (vertical tab),
+# so every oracle whitespace class spells \s\x0b to match the Spark side
+# exactly (pinned by tests/test_properties.py tokenizer-contract test).
 TOKS_EXPR = (
     r"list_filter(string_split(trim(regexp_replace(regexp_replace(lower({col}),"
-    r" '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')"
+    r" '[^a-z0-9\s\x0b]', '', 'g'), '[\s\x0b]+', ' ', 'g')), ' '), x -> x <> '')"
 )
 
 

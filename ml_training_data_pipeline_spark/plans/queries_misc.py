@@ -141,12 +141,12 @@ def w4_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH en_terms AS (
       SELECT DISTINCT unnest(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
-        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS term
+        '[^a-z0-9\s\x0b]', '', 'g'), '[\s\x0b]+', ' ', 'g')), ' ')) AS term
       FROM documents d WHERE d.lang = 'en' AND d.text IS NOT NULL
     ),
     es_terms AS (
       SELECT DISTINCT unnest(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
-        '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS term
+        '[^a-z0-9\s\x0b]', '', 'g'), '[\s\x0b]+', ' ', 'g')), ' ')) AS term
       FROM documents d WHERE d.lang = 'es' AND d.text IS NOT NULL
     )
     SELECT a.term FROM en_terms a JOIN es_terms b ON a.term = b.term

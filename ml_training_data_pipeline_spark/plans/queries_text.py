@@ -58,9 +58,9 @@ _CONTRACTION_SQL = (
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(
              {_CONTRACTION_SQL},
-             '[^\\sa-zA-Z0-9]', '', 'g'),
+             '[^\s\x0ba-zA-Z0-9]', '', 'g'),
              '[0-9]+', '', 'g'),
-             '\\s+', ' ', 'g')) AS cleaned_text
+             '[\s\x0b]+', ' ', 'g')) AS cleaned_text
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -281,7 +281,7 @@ def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT t.doc_id, d.text, t.toks,
              length(d.text) AS n_chars,
-             length(regexp_replace(d.text, '[^\\sa-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             length(regexp_replace(d.text, '[^\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
              len(t.toks) AS n_toks,
              len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
              list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars
@@ -357,7 +357,10 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single regexp_extract_all, engine-portable (no lookarounds, so Java
 # regex and DuckDB's RE2 agree). A real BPE merges within these
 # pretokens; the pretoken count is the standard cheap token-budget proxy.
-_SUBWORD_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+# \x0b spelled explicitly: Java's \s contains it, RE2's does not, and the
+# SAME literal pattern runs on both engines (redundant for Java, decisive
+# for RE2 — see oracle_fragments.TOKS_EXPR note).
+_SUBWORD_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s\x0b]+"
 
 
 @query(
@@ -407,7 +410,7 @@ def _curation_oracle() -> str:
     stats AS (
       SELECT t.doc_id, t.toks,
              length(d.text) AS n_chars,
-             length(regexp_replace(d.text, '[^\\sa-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             length(regexp_replace(d.text, '[^\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
              len(t.toks) AS n_toks,
              len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
              list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars,

@@ -137,3 +137,44 @@ def test_prompt_builders_are_column_expressions(spark):
 
     assert isinstance(topic_prompt(F.lit("x")), Column)
     assert isinstance(label_prompt(F.lit("x")), Column)
+
+
+# --- cross-engine tokenizer contract ------------------------------------------
+# Every text oracle depends on Spark `tokenize` ≡ DuckDB TOKS_EXPR. The
+# engines' regex dialects differ (Java \s includes \x0B, RE2's does not
+# — the oracle classes spell \s\x0b explicitly), so the contract is
+# pinned over an adversarial alphabet: mixed case, digits, punctuation,
+# every ASCII whitespace incl. \x0b/\x0c, NBSP, zero-width space,
+# combining-dot uppercase İ, ß, CJK, emoji.
+_TOK_ALPHABET = (
+    "abcXYZ019 \t\n\r\x0b\x0c\xa0​.,'\"-_İß中😀é"
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=_TOK_ALPHABET, max_size=40), min_size=1, max_size=25
+    )
+)
+def test_tokenizer_contract_spark_vs_duckdb(texts):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.functions.text import tokenize
+    from ml_training_data_pipeline_spark.plans.oracle_fragments import TOKS_EXPR
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    got = {r["doc_id"]: r["toks"] for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(f"SELECT doc_id, {TOKS_EXPR.format(col='text')} FROM t").fetchall()
+    )
+    assert got == want
