@@ -178,3 +178,34 @@ def test_tokenizer_contract_spark_vs_duckdb(texts):
         con.execute(f"SELECT doc_id, {TOKS_EXPR.format(col='text')} FROM t").fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=20))
+def test_hash_bridge_contract_spark_vs_duckdb(texts):
+    # the engine-portable 60-bit hash every dedup oracle leans on:
+    # Spark conv(substr(md5(x),1,15),16,10) ≡ DuckDB
+    # ('0x'||substr(md5(x),1,15))::BIGINT — over arbitrary unicode.
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    got = {r["doc_id"]: r["h"] for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT FROM t"
+        ).fetchall()
+    )
+    assert got == want
