@@ -242,3 +242,71 @@ def w6_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("decayed_value"),
     )
+
+
+# --- W7: cohort retention matrix ---------------------------------------------------
+# The engagement analytic behind data-mix freshness decisions: users
+# cohorted by first-active day, activity counted per (cohort, day
+# offset), rate normalized by cohort size. Plan shape: ONE scan of
+# events (plan-guarded) — per-user day sets aggregate in one shuffle on
+# user_id (collect_set, map-side partial), the cohort day comes from
+# array_min IN-ROW (no second user-level shuffle), the offset matrix is
+# one more aggregate, and the cohort size is a window over that ≤
+# #days² row result rather than a self-join (which would re-execute the
+# whole lineage and scan events twice).
+@query(
+    "w7_cohort_retention",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM du
+    ),
+    ret AS (
+      SELECT cohort_day, day - cohort_day AS day_offset,
+             count(*) AS n_active_users
+      FROM coh GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT cohort_day, day_offset, n_active_users,
+             max(CASE WHEN day_offset = 0 THEN n_active_users END)
+               OVER (PARTITION BY cohort_day) AS cohort_size
+      FROM ret
+    )
+    SELECT cohort_day, day_offset, n_active_users,
+           round(CAST(n_active_users AS DOUBLE) / cohort_size, 6)
+             AS retention_rate
+    FROM sized
+    """,
+)
+def w7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    per_user = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+    )
+    ret = exploded.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ).agg(F.count("*").alias("n_active_users"))
+    size_w = Window.partitionBy("cohort_day")
+    return ret.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("day_offset") == 0, F.col("n_active_users"))
+        ).over(size_w),
+    ).select(
+        "cohort_day",
+        "day_offset",
+        "n_active_users",
+        F.round(
+            F.col("n_active_users").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention_rate"),
+    )

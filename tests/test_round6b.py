@@ -196,3 +196,23 @@ def test_d11_containment_dominates_jaccard(spark):
         assert c >= jac[pair] - 1e-9
     assert cont[(1, 2)] == 1.0  # doc 1's shingles all inside doc 2
     assert jac[(1, 2)] < 1.0
+
+
+def test_w7_single_scan_and_sane_rates(spark):
+    # ONE scan of events (the cohort-size self-join would re-execute the
+    # lineage and scan twice); cohort day is in-row array_min (no second
+    # user-level shuffle); cohort size is a window over the tiny offset
+    # matrix.
+    plan = explain_str(spark, "w7_cohort_retention")
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+    assert count_nodes(plan, "Exchange") == 3, plan
+    assert "Join" not in plan, plan
+    rows = registry.QUERIES["w7_cohort_retention"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0.0 < r["retention_rate"] <= 1.0
+    # offset 0 is every cohort's own size → rate exactly 1.0
+    assert all(
+        r["retention_rate"] == 1.0 for r in rows if r["day_offset"] == 0
+    )
