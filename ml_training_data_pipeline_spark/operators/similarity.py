@@ -257,3 +257,56 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def label_prototypes(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, proto) — the mean embedding per label. Element means
+    aggregate via posexplode → groupBy(label, pos) — n·dim rows through
+    ONE map-side-combinable shuffle — then re-assemble in-row
+    (array_sort over (pos, m) structs), so no per-group collect of raw
+    vectors ever happens; partial aggregation bounds the shuffle at any
+    corpus size."""
+    cell = vectors.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    proto_long = cell.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    return proto_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("proto")
+    )
+
+
+def prototype_classify(
+    vectors: DataFrame,
+    prototypes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, label, predicted_label, cos) — nearest-prototype (max
+    cosine) assignment. The prototype table is one row per class, so the
+    scoring join is a broadcast; the argmax is a per-vec window over
+    #classes rows. This is the serving half of M2's KMeans-predict,
+    restated for labeled embeddings."""
+    from pyspark.sql import Window
+
+    pl = prototypes.select(
+        F.col("label").alias("predicted_label"), F.col("proto")
+    )
+    scored = vectors.crossJoin(F.broadcast(pl)).withColumn(
+        "cos", cosine(F.col(vec_col), F.col("proto"))
+    )
+    rk = Window.partitionBy(id_col).orderBy(
+        F.desc("cos"), F.asc("predicted_label")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(id_col, "label", "predicted_label", "cos")
+    )

@@ -174,3 +174,50 @@ def n6_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dups(emb, threshold=0.35, block_col="label")
     return connected_components(pairs, a_col="vec_a", b_col="vec_b")
+
+
+# --- N7: class-prototype confusion matrix ------------------------------------------
+# Embedding-space health check for labeled corpora: mean embedding per
+# label (prototype), nearest-prototype classification of every vector,
+# and the label × predicted confusion matrix with mean winning cosine.
+# How separable the label space is — read before trusting label-blocked
+# dedup (n4) or stratified mixing on those labels. Scale shape: element
+# means via ONE posexplode shuffle (map-side partial avg), prototypes
+# broadcast (#classes rows), argmax over #classes per vec; the raw-cos
+# argmax is stable cross-engine because class prototypes are well
+# separated relative to float error (~1e-15).
+@query(
+    "n7_prototype_confusion",
+    oracle=f"""
+    WITH {_V},
+    cell AS (
+      SELECT label, unnest(ve) AS val, generate_subscripts(ve, 1) AS pos FROM v
+    ),
+    proto AS (SELECT label AS plabel, pos, avg(val) AS m FROM cell GROUP BY 1, 2),
+    pl AS (SELECT plabel, list(m ORDER BY pos) AS proto FROM proto GROUP BY plabel),
+    scored AS (
+      SELECT v.vec_id, v.label, p.plabel,
+             list_inner_product(v.ve, p.proto)
+               / (sqrt(list_inner_product(v.ve, v.ve))
+                  * sqrt(list_inner_product(p.proto, p.proto))) AS cos
+      FROM v CROSS JOIN pl p
+    ),
+    pred AS (
+      SELECT vec_id, label, plabel, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, plabel) AS rk
+      FROM scored
+    )
+    SELECT label, plabel AS predicted_label, count(*) AS n_vecs,
+           round(avg(cos), 6) AS avg_cos
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def n7_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_prototypes, prototype_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = prototype_classify(emb, label_prototypes(emb))
+    return pred.groupBy("label", "predicted_label").agg(
+        F.count("*").alias("n_vecs"), F.round(F.avg("cos"), 6).alias("avg_cos")
+    )

@@ -216,3 +216,23 @@ def test_w7_single_scan_and_sane_rates(spark):
     assert all(
         r["retention_rate"] == 1.0 for r in rows if r["day_offset"] == 0
     )
+
+
+def test_n7_prototype_confusion_covers_corpus(spark):
+    rows = registry.QUERIES["n7_prototype_confusion"](spark, SF_DIR).collect()
+    emb_n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    labels = {
+        r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    total = sum(r["n_vecs"] for r in rows)
+    assert total == emb_n  # every vector classified exactly once
+    assert {r["predicted_label"] for r in rows} <= labels
+    # the synthetic labels carry signal: diagonal beats chance by ≥ 2×
+    diag = sum(r["n_vecs"] for r in rows if r["label"] == r["predicted_label"])
+    assert diag / total > 2.0 / len(labels), (diag, total)
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["avg_cos"] <= 1.0 + 1e-9
