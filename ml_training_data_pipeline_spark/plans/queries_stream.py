@@ -263,3 +263,53 @@ def st7_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     return run_bounded(deduped, "st7_out", output_mode="append")
+
+
+# --- ST8: stream-static broadcast-join enrichment --------------------------------
+# The remaining Structured Streaming join mode beside st6's
+# stream-stream interval join: a micro-batch stream equi-joined to a
+# STATIC dimension. The dim (value bands, j6's table) broadcasts into
+# every micro-batch — no state store, no watermark requirement on the
+# join itself — and the per-(window, band) rollup aggregates above it.
+# Batch/stream parity makes the batch SQL the oracle verbatim.
+@query(
+    "st8_stream_static_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 100.0), ('mid', 100.0, 500.0), ('high', 500.0, 1e9)
+    )
+    SELECT CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           b.band,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1, 2
+    """,
+)
+def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e9)],
+        schema="band string, lo double, hi double",
+    )
+    joined = events.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "band",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_bounded(agg, "st8_out", output_mode="complete")
