@@ -236,3 +236,41 @@ def test_n7_prototype_confusion_covers_corpus(spark):
     assert diag / total > 2.0 / len(labels), (diag, total)
     for r in rows:
         assert -1.0 - 1e-9 <= r["avg_cos"] <= 1.0 + 1e-9
+
+
+def test_aqe_skew_join_mechanism_fires(spark):
+    # The engine deliberately leaves big-table join skew to AQE (SURVEY
+    # §4) rather than hand-salting. That promise is only real if the
+    # mechanism fires in this session's config — so build a 90%-one-key
+    # fact, force a sort-merge join, and assert AQE split the skewed
+    # partition (skew=true in the final adaptive plan).
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set(keys[0], "32768")
+    spark.conf.set(keys[1], "16384")
+    spark.conf.set(keys[2], "2")
+    spark.conf.set(keys[3], "-1")
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = fact.join(dim, "k").groupBy().agg(F.sum("attr").alias("s"))
+        joined.collect()  # AQE finalizes the plan during execution
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
