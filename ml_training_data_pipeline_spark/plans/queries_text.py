@@ -842,3 +842,101 @@ def x13_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", F.col("ctf").cast("long").alias("ctf"), "rank", "share", "cum_share")
     )
+
+
+# --- X14: per-source distribution drift (smoothed unigram KL) ----------------------
+# The corpus-ops drift monitor: KL(p_source ‖ p_corpus) over the corpus
+# vocabulary with add-one smoothing — spikes when a source's language
+# shifts (template floods, scraper breakage, new domain mix). The naive
+# sum ranges over source × vocabulary (every source pays every
+# zero-count term); the zero-count mass folds in CLOSED FORM instead —
+# for terms absent from source s, p0 = 1/(N_s+V) is constant, so
+#   Σ_{c=0} p0·(ln p0 − ln q_t) = p0·[(V−|T_s|)·ln p0 − (S_lnq − S_lnq_s)]
+# leaving one (source, term) aggregate, one term aggregate, and three
+# global scalars — no source×vocab cross join at any vocabulary size.
+# The term table is localCheckpointed: three consumers (two scalar
+# passes + the scoring join), one materialization.
+@query(
+    "x14_source_divergence",
+    oracle=f"""
+    WITH {toks_cte()},
+    src AS (
+      SELECT d.source, unnest(t.toks) AS term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    st AS (SELECT source, term, count(*) AS c FROM src GROUP BY 1, 2),
+    ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY term),
+    g1 AS (SELECT count(*) AS v, CAST(sum(ctot) AS DOUBLE) AS n FROM ct),
+    g2 AS (
+      SELECT sum(ln((ctot + 1) / (g1.n + g1.v))) AS s_lnq
+      FROM ct CROSS JOIN g1
+    ),
+    ns AS (
+      SELECT source, CAST(sum(c) AS DOUBLE) AS n_s, count(*) AS t_s
+      FROM st GROUP BY source
+    ),
+    direct AS (
+      SELECT s.source,
+             sum(((s.c + 1) / (ns.n_s + g1.v))
+                 * ln(((s.c + 1) / (ns.n_s + g1.v))
+                      / ((c.ctot + 1) / (g1.n + g1.v)))) AS kl_direct,
+             sum(ln((c.ctot + 1) / (g1.n + g1.v))) AS s_lnq_s
+      FROM st s
+      JOIN ct c USING (term)
+      JOIN ns ON s.source = ns.source
+      CROSS JOIN g1
+      GROUP BY s.source
+    )
+    SELECT d.source,
+           CAST(ns.n_s AS BIGINT) AS n_tokens,
+           CAST(ns.t_s AS BIGINT) AS n_terms,
+           round(d.kl_direct
+                 + (1.0 / (ns.n_s + g1.v))
+                   * ((g1.v - ns.t_s) * ln(1.0 / (ns.n_s + g1.v))
+                      - (g2.s_lnq - d.s_lnq_s)), 6) AS kl_vs_corpus
+    FROM direct d JOIN ns USING (source) CROSS JOIN g1 CROSS JOIN g2
+    """,
+)
+def x14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    ct = st.groupBy("term").agg(F.sum("c").alias("ctot")).localCheckpoint()
+    # three global scalars (V, N, S_lnq): two bounded driver collects off
+    # the checkpointed term table — job structure, not data movement.
+    g = ct.agg(F.count("*").alias("v"), F.sum("ctot").cast("double").alias("n")).collect()[0]
+    v_g, n_g = float(g["v"]), float(g["n"])
+    s_lnq = ct.agg(
+        F.sum(F.log((F.col("ctot") + 1) / F.lit(n_g + v_g))).alias("s")
+    ).collect()[0]["s"]
+    ns = st.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n_s"), F.count("*").alias("t_s")
+    )
+    p = (F.col("c") + 1) / (F.col("n_s") + F.lit(v_g))
+    q = (F.col("ctot") + 1) / F.lit(n_g + v_g)
+    direct = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(p * F.log(p / q)).alias("kl_direct"),
+            F.sum(F.log(q)).alias("s_lnq_s"),
+        )
+    )
+    p0 = 1.0 / (F.col("n_s") + F.lit(v_g))
+    return direct.join(F.broadcast(ns), "source").select(
+        "source",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        F.col("t_s").cast("long").alias("n_terms"),
+        F.round(
+            F.col("kl_direct")
+            + p0
+            * (
+                (F.lit(v_g) - F.col("t_s")) * F.log(p0)
+                - (F.lit(s_lnq) - F.col("s_lnq_s"))
+            ),
+            6,
+        ).alias("kl_vs_corpus"),
+    )

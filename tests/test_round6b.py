@@ -274,3 +274,39 @@ def test_aqe_skew_join_mechanism_fires(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_x14_closed_form_matches_bruteforce(spark):
+    # the zero-count KL mass is folded in closed form; validate against a
+    # brute-force full-vocabulary sum computed in Python on the same data
+    # (independent of the oracle, which shares the engine's derivation).
+    import collections
+
+    rows = registry.QUERIES["x14_source_divergence"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    import re as _re
+
+    def toks(s):
+        cleaned = _re.sub(r"[ \t\n\r\f\v]+", " ", _re.sub(r"[^a-z0-9 \t\n\r\f\v]", "", s.lower())).strip()
+        return [t for t in cleaned.split(" ") if t]
+
+    per_source: dict[str, collections.Counter] = collections.defaultdict(collections.Counter)
+    for r in docs:
+        if r["text"] is not None:
+            per_source[r["source"]].update(toks(r["text"]))
+    corpus = collections.Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    V = len(corpus)
+    N = sum(corpus.values())
+    got = {r["source"]: r["kl_vs_corpus"] for r in rows}
+    assert set(got) == set(per_source)
+    for srcname, cnt in per_source.items():
+        n_s = sum(cnt.values())
+        kl = 0.0
+        for t, ctot in corpus.items():
+            p = (cnt.get(t, 0) + 1) / (n_s + V)
+            q = (ctot + 1) / (N + V)
+            kl += p * math.log(p / q)
+        assert kl >= -1e-9
+        assert abs(kl - got[srcname]) < 1e-4, (srcname, kl, got[srcname])
