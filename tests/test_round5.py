@@ -155,7 +155,18 @@ def test_results_invariant_to_shuffle_partitions(spark):
         outs = {}
         for n in ("3", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", n)
-            for name in ("v4_vocab_top2000", "d4_minhash_dedup", "w5_asof_attribution"):
+            for name in (
+                "v4_vocab_top2000",
+                "d4_minhash_dedup",
+                "w5_asof_attribution",
+                # round-6 float-heavy additions: parallel sums + rank
+                # tie-breaks are exactly where partitioning sensitivity
+                # would surface
+                "x14_source_divergence",
+                "w6_decayed_engagement",
+                "n7_prototype_confusion",
+                "mix2_stratified_quota",
+            ):
                 pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
                 pdf = pdf[sorted(pdf.columns)].sort_values(
                     by=sorted(pdf.columns), ignore_index=True
