@@ -235,3 +235,145 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+# --- audio: real WAV/PCM byte codec ------------------------------------------------
+
+
+@dataclass
+class DecodedAudio:
+    """Codec-agnostic decoded audio: mono int16 samples + rate. The
+    built-in RIFF/WAVE PCM16 codec normalizes to this (a soundfile/ffmpeg
+    deployment would too, behind the same functions)."""
+
+    sample_rate: int
+    samples: np.ndarray
+
+
+def encode_wav(audio: DecodedAudio) -> bytes:
+    """Canonical RIFF/WAVE writer (PCM, 16-bit, mono, little-endian) —
+    pure stdlib struct, real container bytes with no codec library."""
+    import struct
+
+    data = np.ascontiguousarray(audio.samples, dtype="<i2").tobytes()
+    sr = audio.sample_rate
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+            b"data", len(data),
+        )
+        + data
+    )
+
+
+def decode_wav(content: bytes) -> DecodedAudio:
+    """Built-in RIFF/WAVE parser: validates the RIFF/WAVE preamble, walks
+    chunks (word-aligned, unknown chunks skipped — real containers carry
+    LIST/INFO), requires PCM 16-bit mono in ``fmt ``, reads ``data``.
+    Raises ValueError on anything else — the per-record error isolation
+    in extract_audio_features turns that into decoded=false."""
+    import struct
+
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, channels, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM 16-bit mono supported (tag={fmt_tag}, ch={channels}, bits={bits})"
+                )
+            sample_rate = sr
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return DecodedAudio(sample_rate, np.frombuffer(data, dtype="<i2"))
+
+
+def synth_audio_samples(media_id: int, n: int) -> np.ndarray:
+    """Deterministic engine-portable test signal: sample i is
+    ``(media_id*31 + i*17) % 65536 - 32768`` — int16-exact, and
+    restatable as a DuckDB list comprehension, so features computed off
+    the REAL WAV byte roundtrip stay oracle-checkable."""
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+
+
+def documents_as_audio(
+    docs: DataFrame, sample_rate: int = 8000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Adapter: fabricate a deterministic PCM signal per document (length
+    driven by n_chars) and pack it through the REAL WAV encoder, so the
+    binary audio pipeline carries genuine container bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for mid, n_chars in zip(pdf[id_col], pdf["n_chars"]):
+                n = 160 + int(n_chars) % 160
+                content.append(
+                    encode_wav(DecodedAudio(sample_rate, synth_audio_samples(int(mid), n)))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "audio",
+                    "content": content,
+                    "meta": "{}",
+                }
+            )
+
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(id_col, "n_chars")
+        .mapInPandas(op, schema=MEDIA_SCHEMA)
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio features off the real WAV decode: sample count,
+    duration, RMS, zero-crossing rate. Undecodable blobs yield nulls with
+    decoded=false (same per-record isolation as extract_decoded_stats)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "n_samples": [], "duration_sec": [],
+                "rms": [], "zcr": [], "decoded": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    au = decode_wav(bytes(content))
+                    x = au.samples.astype(np.float64)
+                    n = len(x)
+                    neg = x < 0
+                    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                    out["n_samples"].append(n)
+                    out["duration_sec"].append(round(n / au.sample_rate, 6))
+                    out["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6))
+                    out["zcr"].append(round(zc / (n - 1), 6) if n > 1 else 0.0)
+                    out["decoded"].append(True)
+                except Exception:  # noqa: BLE001 — garbage blobs mark the record, not the batch
+                    for k in ("n_samples", "duration_sec", "rms", "zcr"):
+                        out[k].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "media_id long, n_samples long, duration_sec double, "
+            "rms double, zcr double, decoded boolean"
+        ),
+    )

@@ -56,3 +56,41 @@ def mm2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, frame_size=64, every_n=3)
+
+
+# --- MM3: audio features off a REAL WAV byte roundtrip ----------------------------
+# The audio leg of the multimodal surface with genuine container bytes:
+# a deterministic PCM16 signal per document is packed through the
+# built-in RIFF/WAVE encoder (operators/multimodal.encode_wav), decoded
+# back by the chunk-walking parser, and featurized (duration, RMS,
+# zero-crossing rate). The signal formula is engine-portable, so the
+# oracle recomputes the SAME features directly from the formula — a
+# hash-checked proof that the byte-level codec roundtrip is lossless.
+@query(
+    "mm3_audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 160 + (n_chars % 160) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768 AS DOUBLE)) AS x
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           round(n / 8000.0, 6) AS duration_sec,
+           round(sqrt(list_avg(list_transform(x, v -> v * v))), 6) AS rms,
+           round(len(list_filter(range(1, n), i -> (x[i] < 0) <> (x[i + 1] < 0)))
+                 / CAST(n - 1 AS DOUBLE), 6) AS zcr,
+           true AS decoded
+    FROM s
+    """,
+)
+def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_audio, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(documents_as_audio(docs))

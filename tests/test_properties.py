@@ -209,3 +209,51 @@ def test_hash_bridge_contract_spark_vs_duckdb(texts):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    n=st.integers(1, 500),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_identity(n, sr, seed):
+    # encode(decode) must be the identity on samples and rate for every
+    # mono PCM16 signal the built-in codec supports.
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        DecodedAudio,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    back = decode_wav(encode_wav(DecodedAudio(sr, samples)))
+    assert back.sample_rate == sr
+    assert np.array_equal(back.samples, samples)
+
+
+def test_wav_decoder_skips_unknown_chunks_and_rejects_garbage():
+    import struct
+
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        DecodedAudio,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.arange(-5, 5, dtype=np.int16)
+    blob = encode_wav(DecodedAudio(8000, samples))
+    # splice a LIST chunk (odd-sized, so word-alignment is exercised)
+    # between fmt and data
+    head, fmt_and_rest = blob[:12], blob[12:]
+    fmt_chunk, data_chunk = fmt_and_rest[:24], fmt_and_rest[24:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = head[:4] + struct.pack("<I", len(head) - 8 + len(fmt_and_rest) + len(extra)) + head[8:] + fmt_chunk + extra + data_chunk
+    back = decode_wav(spliced)
+    assert np.array_equal(back.samples, samples)
+    import pytest as _pytest
+
+    for garbage in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", blob[:20]):
+        with _pytest.raises(ValueError):
+            decode_wav(garbage)
