@@ -360,9 +360,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     neg = x < 0
                     zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
                     out["n_samples"].append(n)
-                    out["duration_sec"].append(round(n / au.sample_rate, 6))
-                    out["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6))
-                    out["zcr"].append(round(zc / (n - 1), 6) if n > 1 else 0.0)
+                    # raw doubles: rounding happens in the QUERY via
+                    # F.round (HALF_UP, matching DuckDB) — Python round()
+                    # is banker's and diverges on exact decimal ties
+                    out["duration_sec"].append(n / au.sample_rate)
+                    out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                    out["zcr"].append(zc / (n - 1) if n > 1 else 0.0)
                     out["decoded"].append(True)
                 except Exception:  # noqa: BLE001 — garbage blobs mark the record, not the batch
                     for k in ("n_samples", "duration_sec", "rms", "zcr"):
@@ -375,5 +378,166 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         schema=(
             "media_id long, n_samples long, duration_sec double, "
             "rms double, zcr double, decoded boolean"
+        ),
+    )
+
+
+# --- video: real Y4M (YUV4MPEG2) byte codec ----------------------------------------
+
+
+@dataclass
+class DecodedVideo:
+    """Codec-agnostic decoded clip: (frames, height, width) uint8 luma
+    planes (chroma is parsed past but not retained — features here are
+    luma-based). A real deployment swaps in a demuxer behind the same
+    functions."""
+
+    width: int
+    height: int
+    n_frames: int
+    luma: np.ndarray
+
+
+def encode_y4m(width: int, height: int, frames: list[np.ndarray]) -> bytes:
+    """Canonical YUV4MPEG2 writer (C420, 25 fps): ASCII stream header,
+    then per frame an ASCII FRAME marker + raw 4:2:0 planes. Chroma
+    planes are written as neutral 128s — the luma is the payload."""
+    parts = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    chroma = np.full(((height // 2) * (width // 2)), 128, dtype=np.uint8).tobytes()
+    for fr in frames:
+        parts.append(b"FRAME\n")
+        parts.append(np.ascontiguousarray(fr, dtype=np.uint8).tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def decode_y4m(content: bytes) -> DecodedVideo:
+    """Built-in YUV4MPEG2 parser: validates the magic, reads W/H/C tags
+    (C420 only), then walks FRAME markers (parameters after FRAME are
+    legal and skipped) slicing fixed-size 4:2:0 planes. Raises ValueError
+    on anything else; extract_video_features maps that to decoded=false."""
+    b = bytes(content)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    colorspace = "C420"
+    for tag in b[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if width is None or height is None:
+        raise ValueError("missing W/H in Y4M header")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"only C420 supported, got {colorspace}")
+    y_size = width * height
+    c_size = (height // 2) * (width // 2)
+    frame_bytes = y_size + 2 * c_size
+    lumas = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt frame marker")
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > len(b):
+            raise ValueError("truncated frame")
+        lumas.append(
+            np.frombuffer(b, dtype=np.uint8, count=y_size, offset=fnl + 1).reshape(
+                height, width
+            )
+        )
+        pos = fnl + 1 + frame_bytes
+    return DecodedVideo(width, height, len(lumas), np.stack(lumas) if lumas else np.zeros((0, height, width), np.uint8))
+
+
+def synth_video_luma(media_id: int, n_frames: int, width: int, height: int) -> list[np.ndarray]:
+    """Deterministic engine-portable test clip: frame f's luma at (r, c)
+    is ``(media_id*7 + f*13 + r*3 + c) % 256`` — restatable as DuckDB
+    arithmetic, so features off the REAL Y4M byte roundtrip stay
+    oracle-checkable."""
+    r = np.arange(height, dtype=np.int64)[:, None]
+    c = np.arange(width, dtype=np.int64)[None, :]
+    return [
+        ((media_id * 7 + f * 13 + r * 3 + c) % 256).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+
+
+def documents_as_video(
+    docs: DataFrame, width: int = 16, height: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Adapter: fabricate a deterministic clip per document (frame count
+    driven by n_chars) through the REAL Y4M encoder."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for mid, n_chars in zip(pdf[id_col], pdf["n_chars"]):
+                n_frames = 2 + int(n_chars) % 6
+                content.append(
+                    encode_y4m(width, height, synth_video_luma(int(mid), n_frames, width, height))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "video",
+                    "content": content,
+                    "meta": "{}",
+                }
+            )
+
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(id_col, "n_chars")
+        .mapInPandas(op, schema=MEDIA_SCHEMA)
+    )
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """mapInPandas video features off the real Y4M decode: frame count,
+    dimensions, mean luma of the first and last frame, mean |frame
+    delta| (a motion proxy). Per-record error isolation as everywhere."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "n_frames": [], "width": [], "height": [],
+                "first_luma": [], "last_luma": [], "mean_motion": [], "decoded": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    vid = decode_y4m(bytes(content))
+                    luma = vid.luma.astype(np.float64)
+                    out["n_frames"].append(vid.n_frames)
+                    out["width"].append(vid.width)
+                    out["height"].append(vid.height)
+                    # raw doubles; the query rounds via F.round (see
+                    # extract_audio_features note)
+                    out["first_luma"].append(float(luma[0].mean()))
+                    out["last_luma"].append(float(luma[-1].mean()))
+                    motion = (
+                        float(np.abs(np.diff(luma, axis=0)).mean())
+                        if vid.n_frames > 1
+                        else 0.0
+                    )
+                    out["mean_motion"].append(motion)
+                    out["decoded"].append(True)
+                except Exception:  # noqa: BLE001 — garbage blobs mark the record, not the batch
+                    for k in ("n_frames", "width", "height", "first_luma", "last_luma", "mean_motion"):
+                        out[k].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "media_id long, n_frames long, width int, height int, "
+            "first_luma double, last_luma double, mean_motion double, decoded boolean"
         ),
     )

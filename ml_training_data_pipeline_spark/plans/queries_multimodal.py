@@ -90,7 +90,82 @@ def mm2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from ..operators.multimodal import documents_as_audio, extract_audio_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_audio_features(documents_as_audio(docs))
+    feats = extract_audio_features(documents_as_audio(docs))
+    # rounding lives HERE (JVM F.round, HALF_UP ≡ DuckDB), not in the
+    # Python UDF: Python round() is banker's and flips exact decimal
+    # ties (e.g. zcr with n-1 = 256 and zc ≡ 2 mod 4).
+    return feats.select(
+        "media_id",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "decoded",
+    )
+
+
+# --- MM4: video features off a REAL Y4M byte roundtrip ----------------------------
+# The video leg with genuine container bytes — all three modalities now
+# roundtrip real formats (netpbm / WAV / Y4M). A deterministic 16×8 C420
+# clip per document goes through the built-in YUV4MPEG2 encoder, back
+# through the chunk-walking parser, and into luma features (first/last
+# frame mean, mean |frame delta| motion proxy). The luma formula
+# ``(id*7 + f*13 + r*3 + c) % 256`` is engine-portable; every mean is an
+# exact integer ratio, so the oracle recomputes features from the
+# formula and the hash match proves the byte roundtrip lossless.
+@query(
+    "mm4_video_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 2 + (n_chars % 6) AS nf
+      FROM documents WHERE text IS NOT NULL
+    ),
+    feats AS (
+      SELECT doc_id, nf,
+        list_avg(list_transform(range(0, 128),
+          k -> CAST((doc_id*7 + (k//16)*3 + (k%16)) % 256 AS DOUBLE)))
+          AS first_luma,
+        list_avg(list_transform(range(0, 128),
+          k -> CAST((doc_id*7 + (nf-1)*13 + (k//16)*3 + (k%16)) % 256 AS DOUBLE)))
+          AS last_luma,
+        list_avg(flatten(list_transform(range(1, nf),
+          f -> list_transform(range(0, 128),
+            k -> CAST(abs((doc_id*7 + f*13 + (k//16)*3 + (k%16)) % 256
+                          - (doc_id*7 + (f-1)*13 + (k//16)*3 + (k%16)) % 256)
+                      AS DOUBLE)))))
+          AS mean_motion
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           round(first_luma, 6) AS first_luma,
+           round(last_luma, 6) AS last_luma,
+           round(mean_motion, 6) AS mean_motion,
+           true AS decoded
+    FROM feats
+    """,
+)
+def mm4_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import documents_as_video, extract_video_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_video_features(documents_as_video(docs))
+    return feats.select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        F.round("first_luma", 6).alias("first_luma"),
+        F.round("last_luma", 6).alias("last_luma"),
+        F.round("mean_motion", 6).alias("mean_motion"),
+        "decoded",
+    )

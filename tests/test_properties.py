@@ -257,3 +257,26 @@ def test_wav_decoder_skips_unknown_chunks_and_rejects_garbage():
     for garbage in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", blob[:20]):
         with _pytest.raises(ValueError):
             decode_wav(garbage)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    w=st.integers(1, 6).map(lambda x: x * 2),
+    h=st.integers(1, 4).map(lambda x: x * 2),
+    nf=st.integers(0, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_identity(w, h, nf, seed):
+    # decode(encode) must reproduce every luma plane exactly for any
+    # even-dimensioned C420 clip, including the zero-frame stream.
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(nf)]
+    back = decode_y4m(encode_y4m(w, h, frames))
+    assert (back.width, back.height, back.n_frames) == (w, h, nf)
+    for a, b in zip(frames, back.luma):
+        assert np.array_equal(a, b)
