@@ -590,3 +590,56 @@ def d11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
         doc_shingles(docs, k=3), threshold=0.6, max_shingle_df=20, metric="containment"
     )
+
+
+# --- D12: cross-source duplication matrix ------------------------------------------
+# Mix-design intelligence the pair list already paid for: which SOURCES
+# duplicate each other (syndication, mirrors, scraper overlap). MinHash
+# near-dup pairs (d4's full LSH+verify pipeline) join each side to its
+# source — two broadcast lookups against the doc→source projection —
+# and roll up to an (source_a ≤ source_b) matrix with pair counts and
+# mean jaccard. Downweight or dedup-across the source pairs that light
+# up before setting MIX1/MIX2 rates.
+@query(
+    "d12_cross_source_dups",
+    oracle=f"""
+    WITH {_CANDIDATES},
+    {_JACCARD},
+    pairs AS (
+      SELECT j.doc_a, j.doc_b, j.jaccard
+      FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           count(*) AS n_dup_pairs,
+           round(avg(jaccard), 6) AS mean_jaccard
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def d12_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )

@@ -491,3 +491,34 @@ def s9_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- G3: grouping-sets cube profile ------------------------------------------------
+# The OLAP margin report over the corpus: totals by (lang, source), by
+# lang alone, by source alone, and the grand total in ONE pass —
+# GROUPING SETS plans a single Expand + hash aggregate (each input row
+# fans to its 4 set memberships, partially aggregated map-side) instead
+# of four scans. grouping_id disambiguates the NULL margins from real
+# NULL values.
+@query(
+    "g3_cube_profile",
+    oracle="""
+    SELECT lang, source,
+           CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+)
+def g3_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars")
+    )

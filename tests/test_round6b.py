@@ -310,3 +310,34 @@ def test_x14_closed_form_matches_bruteforce(spark):
             kl += p * math.log(p / q)
         assert kl >= -1e-9
         assert abs(kl - got[srcname]) < 1e-4, (srcname, kl, got[srcname])
+
+
+def test_g3_cube_single_expand_single_scan(spark):
+    # the four grouping sets aggregate in ONE pass: one scan, one Expand
+    # (row fan-out to set memberships), one Exchange — not four scans.
+    plan = explain_str(spark, "g3_cube_profile")
+    assert count_nodes(plan, "Expand") == 1, plan
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+    rows = registry.QUERIES["g3_cube_profile"](spark, SF_DIR).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # margins must reconcile: every grouping set sums to the grand total
+    grand = by_gid[3][0]["n_docs"]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r["n_docs"] for r in by_gid[gid]) == grand, gid
+
+
+def test_d12_sources_ordered_and_counts_match_pairs(spark):
+    from ml_training_data_pipeline_spark.operators.dedup import minhash_dedup
+
+    rows = registry.QUERIES["d12_cross_source_dups"](spark, SF_DIR).collect()
+    n_pairs = minhash_dedup(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), threshold=0.5
+    ).count()
+    assert sum(r["n_dup_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert 0.5 <= r["mean_jaccard"] <= 1.0
