@@ -484,10 +484,13 @@ def cur4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation hashes fixed-stride passages (8-token chunks here) and flags
 # each doc's fraction of passages seen elsewhere. Plan shape: passages
 # are built as an in-row `transform(sequence(...))` + `array_distinct`
-# PROJECTION (no distinct shuffle), then one window count on passage and
-# one groupBy on doc_id — two shuffles total at any scale. At 100 TB the
-# cross-doc count survives as-is; the [drop >N-occurrence passages and
-# re-join text] variant adds one positional reassembly groupBy.
+# PROJECTION (no distinct shuffle), materialized ONCE (localCheckpoint —
+# two consumers, the d4 pattern), then the cross-doc counts come from a
+# map-side-combinable groupBy JOINED back — NOT a window partitioned by
+# passage, which would funnel every posting of a hot boilerplate passage
+# (the very thing this query detects) into one task at 100 TB. The join
+# is an equi-join on passage, so AQE skew-splitting covers the hot keys
+# the aggregate already tamed.
 @query(
     "cur5_passage_dedup",
     oracle=f"""
@@ -515,8 +518,6 @@ def cur4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cur5_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -531,10 +532,11 @@ def cur5_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', slice(toks, i*8+1, 8))))"
             )
         ).alias("passage"),
+    ).localCheckpoint()
+    per_passage = passages.groupBy("passage").agg(
+        F.count("*").alias("n_docs_with")
     )
-    counted = passages.withColumn(
-        "n_docs_with", F.count("*").over(Window.partitionBy("passage"))
-    )
+    counted = passages.join(per_passage, "passage")
     agg = counted.groupBy("doc_id").agg(
         F.count("*").alias("n_passages"),
         F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
