@@ -645,3 +645,115 @@ def d12_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+# --- CUR6: passage-level scrub (the transform cur5 reports on) ---------------------
+# CCNet-style sub-document dedup as an actual TRANSFORM: drop every
+# 8-token passage that also appears in an earlier doc (first-doc-wins;
+# intra-doc repeats are x9's domain and are kept), stitch the survivors
+# back in order with the <8-token tail, and fingerprint the scrubbed
+# text. Plan shape: positions come from one posexplode projection;
+# cross-doc stats are a map-side-combinable groupBy (distinct-doc count
+# + min doc) joined back — no passage-partitioned window (hot
+# boilerplate funnel, see cur5) — and the reassembly is one
+# sort_array(collect_list) per doc plus a join back to the token table
+# for the tail. The md5 match against the oracle proves byte-exact
+# reassembly, not just counts.
+@query(
+    "cur6_passage_scrub",
+    oracle=f"""
+    WITH {toks_cte()},
+    t8 AS (
+      SELECT doc_id, toks, len(toks) AS L, len(toks) // 8 AS np
+      FROM toks WHERE len(toks) >= 8
+    ),
+    occ AS (
+      SELECT doc_id, idx,
+             array_to_string(toks[(idx*8+1):(idx*8+8)], ' ') AS passage
+      FROM (SELECT doc_id, toks, unnest(range(0, np)) AS idx FROM t8)
+    ),
+    pp AS (
+      SELECT passage, count(DISTINCT doc_id) AS nd, min(doc_id) AS keep_doc
+      FROM occ GROUP BY passage
+    ),
+    kept AS (
+      SELECT o.doc_id, o.idx, o.passage
+      FROM occ o JOIN pp USING (passage)
+      WHERE pp.nd = 1 OR o.doc_id = pp.keep_doc
+    ),
+    re AS (
+      SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.np AS BIGINT) AS n_passages,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.np - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped,
+           md5(concat_ws(' ', NULLIF(coalesce(re.kept_text, ''), ''),
+                         NULLIF(array_to_string(t.toks[(t.np*8+1):t.L], ' '), '')))
+             AS scrubbed_fp
+    FROM t8 t LEFT JOIN re USING (doc_id)
+    """,
+)
+def cur6_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t8 = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("L"),
+            F.expr("size(toks) div 8").alias("np"),
+        )
+        .localCheckpoint()
+    )
+    occ = t8.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, np - 1),"
+                " i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+            )
+        ).alias("idx", "passage"),
+    )
+    pp = occ.groupBy("passage").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keep_doc")
+    )
+    kept = (
+        occ.join(pp, "passage")
+        .where((F.col("nd") == 1) | (F.col("doc_id") == F.col("keep_doc")))
+        .select("doc_id", "idx", "passage")
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+        ).alias("kept_text"),
+        F.count("*").alias("n_kept"),
+    )
+    tail = F.concat_ws(" ", F.expr("slice(toks, np*8 + 1, L - np*8)"))
+    return (
+        t8.join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("np").cast("long").alias("n_passages"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("np") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.nullif(F.coalesce("kept_text", F.lit("")), F.lit("")),
+                    F.nullif(tail, F.lit("")),
+                )
+            ).alias("scrubbed_fp"),
+        )
+    )

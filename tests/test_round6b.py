@@ -348,3 +348,15 @@ def test_d12_sources_ordered_and_counts_match_pairs(spark):
     for r in rows:
         assert r["source_a"] <= r["source_b"]
         assert 0.5 <= r["mean_jaccard"] <= 1.0
+
+
+def test_cur6_scrub_invariants(spark):
+    rows = registry.QUERIES["cur6_passage_scrub"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_passages"]
+        assert r["scrubbed_fp"] is not None
+    # first-doc-wins: the smallest doc_id keeps every one of its passages
+    first = by_doc[min(by_doc)]
+    assert first["n_dropped"] == 0, first
