@@ -310,3 +310,47 @@ def w7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active_users").cast("double") / F.col("cohort_size"), 6
         ).alias("retention_rate"),
     )
+
+
+# --- W8: per-type outlier report (z-score gate) ------------------------------------
+# Stream-health monitoring: per event_type value mean/stddev and the
+# count of |z| > 3 outliers — the gate that catches instrumentation
+# breakage (unit changes, overflow spikes) before poisoned values reach
+# training features. Two passes over events by design: group stats
+# first (tiny result, broadcast back), then the flag scan — NOT a window
+# partitioned by event_type, which with a handful of types would funnel
+# the whole fact table through #types tasks. stddev is the sample form
+# on both engines.
+@query(
+    "w8_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(any_value(s.mu), 6) AS mean_value,
+           round(any_value(s.sd), 6) AS stddev_value
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def w8_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    flagged = e.join(F.broadcast(stats), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.first("mu"), 6).alias("mean_value"),
+        F.round(F.first("sd"), 6).alias("stddev_value"),
+    )
