@@ -522,3 +522,36 @@ def g3_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "source", "gid", "n_docs", "total_chars")
     )
+
+
+# --- S10: JSON-lines sink → source roundtrip ---------------------------------------
+# The other interchange format ingestion pipelines actually speak beside
+# CSV (S3/S4): newline-delimited JSON. Write the documents projection as
+# compressed JSONL, stream it back with an EXPLICIT schema (schema
+# inference is a full extra pass at 100 TB — always pass the schema on
+# the read path), and aggregate — the roundtrip is transparent to the
+# oracle, which states the aggregate directly.
+@query(
+    "s10_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents WHERE text IS NOT NULL GROUP BY lang
+    """,
+)
+def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"mtdp_jsonl_{os.path.basename(sf_dir)}"
+    )
+    docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out_dir)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

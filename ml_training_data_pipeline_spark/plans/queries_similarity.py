@@ -221,3 +221,72 @@ def n7_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("label", "predicted_label").agg(
         F.count("*").alias("n_vecs"), F.round(F.avg("cos"), 6).alias("avg_cos")
     )
+
+
+# --- N8: prototype silhouette (label-space quality score) --------------------------
+# The scalar companion to n7's confusion matrix: cosine-distance
+# silhouette against class prototypes — a(v) = 1 − cos(v, own proto),
+# b(v) = min over other labels of (1 − cos), s = (b − a)/max(a, b) —
+# averaged per label. Prototype-based (not pairwise) silhouette is the
+# form that scales: #classes cosines per vector via the same broadcast,
+# no O(n²) distance matrix. Low per-label silhouette = that label's
+# region overlaps others → don't block dedup or stratify mixes on it.
+@query(
+    "n8_prototype_silhouette",
+    oracle=f"""
+    WITH {_V},
+    cell AS (
+      SELECT label, unnest(ve) AS val, generate_subscripts(ve, 1) AS pos FROM v
+    ),
+    proto AS (SELECT label AS plabel, pos, avg(val) AS m FROM cell GROUP BY 1, 2),
+    pl AS (SELECT plabel, list(m ORDER BY pos) AS proto FROM proto GROUP BY plabel),
+    scored AS (
+      SELECT v.vec_id, v.label, p.plabel,
+             list_inner_product(v.ve, p.proto)
+               / (sqrt(list_inner_product(v.ve, v.ve))
+                  * sqrt(list_inner_product(p.proto, p.proto))) AS cos
+      FROM v CROSS JOIN pl p
+    ),
+    per AS (
+      SELECT vec_id, label,
+             max(CASE WHEN plabel = label THEN cos END) AS own_cos,
+             max(CASE WHEN plabel <> label THEN cos END) AS best_other_cos
+      FROM scored GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT label,
+             CASE WHEN greatest(1 - own_cos, 1 - best_other_cos) > 0
+                  THEN (own_cos - best_other_cos)
+                       / greatest(1 - own_cos, 1 - best_other_cos)
+                  ELSE 0.0 END AS s
+      FROM per
+    )
+    SELECT label, count(*) AS n_vecs, round(avg(s), 6) AS mean_silhouette
+    FROM sil GROUP BY label
+    """,
+)
+def n8_prototype_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, label_prototypes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pl = label_prototypes(emb).select(
+        F.col("label").alias("plabel"), F.col("proto")
+    )
+    scored = emb.crossJoin(F.broadcast(pl)).withColumn(
+        "cos", cosine(F.col("embedding"), F.col("proto"))
+    )
+    per = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("plabel") == F.col("label"), F.col("cos"))).alias("own_cos"),
+        F.max(F.when(F.col("plabel") != F.col("label"), F.col("cos"))).alias(
+            "best_other_cos"
+        ),
+    )
+    denom = F.greatest(1 - F.col("own_cos"), 1 - F.col("best_other_cos"))
+    s = F.when(
+        denom > 0, (F.col("own_cos") - F.col("best_other_cos")) / denom
+    ).otherwise(F.lit(0.0))
+    return (
+        per.select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.round(F.avg("s"), 6).alias("mean_silhouette"))
+    )
