@@ -940,3 +940,95 @@ def x14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kl_vs_corpus"),
     )
+
+
+# --- X15: Zipf exponent fit (regression aggregate over the head) -------------------
+# x13 plots the head; x15 compresses it to the scalar mix designers
+# track: the log-log slope of frequency vs rank over the top-1000 terms
+# (Zipf's alpha ≈ −slope, healthy natural text ≈ 1). The head comes from
+# a parallel TakeOrdered (no global sort), the fit from the built-in
+# least-squares aggregates (regr_slope/regr_intercept ≡ DuckDB) — no
+# driver-side math.
+@query(
+    "x15_zipf_alpha",
+    oracle=f"""
+    WITH {toks_cte()},
+    {unigram_cte()},
+    totals AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+    head AS (
+      SELECT ctf,
+             row_number() OVER (ORDER BY ctf DESC, term) AS rank
+      FROM (SELECT term, ctf FROM totals ORDER BY ctf DESC, term LIMIT 1000)
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(CAST(ctf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+             AS zipf_slope,
+           round(regr_intercept(ln(CAST(ctf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+             AS zipf_intercept
+    FROM head
+    """,
+)
+def x15_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = (
+        term_counts(doc_tokens(docs)).groupBy("term").agg(F.sum("tf").alias("ctf"))
+    )
+    head = (
+        totals.orderBy(F.desc("ctf"), F.asc("term"))
+        .limit(1000)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("ctf"), F.asc("term")))
+        )
+    )
+    ln_ctf = F.log(F.col("ctf").cast("double"))
+    ln_rank = F.log(F.col("rank").cast("double"))
+    return head.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(ln_ctf, ln_rank), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_ctf, ln_rank), 6).alias("zipf_intercept"),
+    )
+
+
+# --- F12: fuzzy vocabulary variants (edit distance) --------------------------------
+# Vocabulary normalization intelligence: pairs of frequent terms within
+# levenshtein distance 1 (typos, plural/singular, regional spellings)
+# that a token-merge step would collapse. Scoped to the top-200
+# vocabulary so the pair space is a broadcast cross of a tiny head —
+# the production shape (variant detection runs on the vocab table, never
+# the corpus).
+@query(
+    "f12_fuzzy_term_variants",
+    oracle=f"""
+    WITH {toks_cte()},
+    {unigram_cte()},
+    totals AS (SELECT term, count(*) AS ctf FROM tok GROUP BY term),
+    head AS (SELECT term, ctf FROM totals ORDER BY ctf DESC, term LIMIT 200)
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(a.ctf AS BIGINT) AS ctf_a, CAST(b.ctf AS BIGINT) AS ctf_b,
+           CAST(levenshtein(a.term, b.term) AS BIGINT) AS edit_distance
+    FROM head a JOIN head b ON a.term < b.term
+    WHERE levenshtein(a.term, b.term) <= 1
+    """,
+)
+def f12_fuzzy_term_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    totals = (
+        term_counts(doc_tokens(docs)).groupBy("term").agg(F.sum("tf").alias("ctf"))
+    )
+    head = totals.orderBy(F.desc("ctf"), F.asc("term")).limit(200)
+    a = head.select(F.col("term").alias("term_a"), F.col("ctf").alias("ctf_a"))
+    b = head.select(F.col("term").alias("term_b"), F.col("ctf").alias("ctf_b"))
+    dist = F.levenshtein(F.col("term_a"), F.col("term_b"))
+    return (
+        a.join(F.broadcast(b), F.col("term_a") < F.col("term_b"))
+        .where(dist <= 1)
+        .select(
+            "term_a",
+            "term_b",
+            "ctf_a",
+            "ctf_b",
+            dist.cast("long").alias("edit_distance"),
+        )
+    )
