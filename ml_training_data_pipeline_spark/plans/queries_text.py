@@ -386,7 +386,10 @@ def x6_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (X1) and composite quality threshold (X2). Every stage is the same
 # column algebra the standalone queries check, so the whole composite
 # stays value-checkable.
-def _curation_oracle() -> str:
+def _curation_gated_ctes() -> str:
+    """Shared oracle prefix: `toks` → `stats` → `gated(doc_id, source,
+    n_toks, quality_score, lang_detected, keep_id)` — cur1 selects the
+    survivors, ep4 keeps composing (quota → shards) on top."""
     langs = sorted(analysis.LANG_MARKERS)
     score_cols = ", ".join(
         "len(list_filter(toks, x -> list_contains(["
@@ -408,7 +411,7 @@ def _curation_oracle() -> str:
     return f"""
     WITH {toks_cte()},
     stats AS (
-      SELECT t.doc_id, t.toks,
+      SELECT t.doc_id, d.source, t.toks,
              length(d.text) AS n_chars,
              length(regexp_replace(d.text, '[^\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
              len(t.toks) AS n_toks,
@@ -419,17 +422,24 @@ def _curation_oracle() -> str:
       FROM toks t JOIN documents d USING (doc_id)
     ),
     gated AS (
-      SELECT doc_id, n_toks,
+      SELECT doc_id, source, n_toks,
              round({quality}, 6) AS quality_score,
              {lang_case} AS lang_detected,
              min(doc_id) OVER (PARTITION BY fp) AS keep_id
       FROM stats
-    )
+    )"""
+
+
+def _curation_oracle() -> str:
+    return (
+        _curation_gated_ctes()
+        + """
     SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens, quality_score
     FROM gated
     WHERE doc_id = keep_id AND lang_detected = 'en'
       AND n_toks BETWEEN 5 AND 1000 AND quality_score >= 0.5
     """
+    )
 
 
 @query("cur1_corpus_curation", oracle=_curation_oracle())
@@ -1030,5 +1040,97 @@ def f12_fuzzy_term_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ctf_a",
             "ctf_b",
             dist.cast("long").alias("edit_distance"),
+        )
+    )
+
+
+# --- EP4: curation → quota → shards, the full prep pipeline as ONE plan ------------
+# The capstone composite: everything between raw documents and training
+# shards in a single oracle-checked query — cur1's gates (fingerprint
+# survivorship, language, token bounds, quality), mix2's exact
+# per-source quota (ceil(0.5·n) by md5 order), t7's hash-shard
+# assignment, and pack1's token budget as per-shard sequence counts.
+# Each stage is the same column algebra its standalone query checks;
+# composing them costs three shuffles (fp window, source quota windows,
+# shard aggregate) on a single corpus scan.
+def _ep4_oracle() -> str:
+    return (
+        _curation_gated_ctes()
+        + """
+    , surv AS (
+      SELECT doc_id, source, n_toks FROM gated
+      WHERE doc_id = keep_id AND lang_detected = 'en'
+        AND n_toks BETWEEN 5 AND 1000 AND quality_score >= 0.5
+    ),
+    quota AS (
+      SELECT doc_id, n_toks,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM surv
+    ),
+    sampled AS (
+      SELECT doc_id, n_toks FROM quota
+      WHERE rn <= CAST(ceil(0.5 * n_src) AS BIGINT)
+    ),
+    sharded AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 4 AS shard,
+             n_toks
+      FROM sampled
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(ceil(CAST(sum(n_toks) AS DOUBLE) / 2048) AS BIGINT) AS n_sequences
+    FROM sharded GROUP BY shard
+    """
+    )
+
+
+@query("ep4_curation_to_shards", oracle=_ep4_oracle())
+def ep4_curation_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        analysis.token_count(t).cast("long").alias("n_toks"),
+        analysis.quality_score(t).alias("quality_score"),
+        analysis.detect_language(t).alias("lang_detected"),
+        analysis.fingerprint(t).alias("fp"),
+    )
+    surv = (
+        scored.withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .where(
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("lang_detected") == "en")
+            & F.col("n_toks").between(5, 1000)
+            & (F.col("quality_score") >= 0.5)
+        )
+        .select("doc_id", "source", "n_toks")
+    )
+    order_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sampled = (
+        surv.withColumn("rn", F.row_number().over(order_w))
+        .withColumn("n_src", F.count("*").over(Window.partitionBy("source")))
+        .where(F.col("rn") <= F.ceil(F.lit(0.5) * F.col("n_src")))
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+            "int"
+        )
+        % 4
+    )
+    return (
+        sampled.select(shard.alias("shard"), "n_toks")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.ceil(F.sum("n_toks").cast("double") / 2048).cast("long").alias("n_sequences"),
         )
     )
