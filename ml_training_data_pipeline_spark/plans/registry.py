@@ -73,9 +73,10 @@ PRIORITY: tuple[str, ...] = (
     "d9_simhash_banded_near_dups",
     # NEW late in round 6 (after the 50-prefix froze): oracle-backed,
     # all verified against the sf0.01 oracle locally (driver-style, from
-    # /tmp) before commit. ROUND-7 ROTATION: move these 14 into the
-    # 50-prefix first (never driver-checked), then backfill with the
-    # r5-checked block below (two rounds stale by then).
+    # /tmp) before commit. ROUND-7 ROTATION: move this whole block (24
+    # names, through ep4) into the 50-prefix first (never
+    # driver-checked), then backfill with the r5-checked block below
+    # (two rounds stale by then).
     "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
     "t7_training_shards", "w6_decayed_engagement", "s9_bucketed_join_roundtrip",
     "d11_containment_pairs", "x13_zipf_profile", "w7_cohort_retention",
