@@ -360,3 +360,46 @@ def test_cur6_scrub_invariants(spark):
     # first-doc-wins: the smallest doc_id keeps every one of its passages
     first = by_doc[min(by_doc)]
     assert first["n_dropped"] == 0, first
+
+
+def test_ep4_observe_metrics_without_extra_pass(spark):
+    # production pipelines attach Observation metrics to the curation run
+    # so row counts/token totals come back WITH the action instead of a
+    # second scan — prove the API composes with the composite and agrees
+    # with the result.
+    from pyspark.sql import Observation
+
+    df = registry.QUERIES["ep4_curation_to_shards"](spark, SF_DIR)
+    obs = Observation("ep4_metrics")
+    observed = df.observe(
+        obs, F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("tokens")
+    )
+    rows = observed.collect()
+    got = obs.get
+    assert got["docs"] == sum(r["n_docs"] for r in rows)
+    assert got["tokens"] == sum(r["total_tokens"] for r in rows)
+
+
+def test_jsonl_corrupt_records_are_isolated(spark, tmp_path):
+    # at 100 TB some fraction of JSONL lines is always garbage; the read
+    # path must isolate them per-record (PERMISSIVE + corrupt-record
+    # column), never fail the scan.
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en", "n_chars": 10}\n'
+        "{this is not json}\n"
+        '{"doc_id": 2, "lang": "de", "n_chars": 20}\n'
+        '{"doc_id": "not-a-number", "lang": "fr", "n_chars": 5}\n'
+    )
+    df = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 4  # every line surfaces, none kills the scan
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line and the type-mismatched one
