@@ -403,3 +403,12 @@ def test_jsonl_corrupt_records_are_isolated(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt"] is not None]
     assert {r["doc_id"] for r in good} == {1, 2}
     assert len(bad) == 2  # the non-JSON line and the type-mismatched one
+
+
+def test_ep4_single_scan_three_shuffles(spark):
+    # the whole prep pipeline — gates, quota, shards, budget — must cost
+    # ONE corpus scan and three Exchanges (fp survivorship window, the
+    # source quota windows sharing one shuffle, the shard aggregate).
+    plan = explain_str(spark, "ep4_curation_to_shards")
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+    assert count_nodes(plan, "Exchange") == 3, plan
