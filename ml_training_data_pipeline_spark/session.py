@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split size: the 128m default is the right opening bid at
+        # 100 TB (≈ 800k input splits; tasks big enough to amortize
+        # scheduling, small enough to fit executor memory with wide
+        # rows). Env-tunable so a deployment resizes splits — e.g. down
+        # when wide binary media columns spill — without code changes.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         # refine's oversized-candidate LDA fits are submitted from
         # concurrent driver threads (operators/refine.py); FAIR mode lets
         # those jobs share executors instead of queueing FIFO.
