@@ -412,3 +412,22 @@ def test_ep4_single_scan_three_shuffles(spark):
     plan = explain_str(spark, "ep4_curation_to_shards")
     assert count_nodes(plan, "Scan parquet") == 1, plan
     assert count_nodes(plan, "Exchange") == 3, plan
+
+
+def test_registry_contract():
+    # the driver checks a PRIORITY prefix — a typo there silently drops a
+    # query to the safety-net tail and changes which 50 get driver rows.
+    from ml_training_data_pipeline_spark.plans.registry import (
+        ORACLE_SQL,
+        PRIORITY,
+        QUERIES,
+    )
+
+    assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entries"
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+    unlisted = [n for n in QUERIES if n not in set(PRIORITY)]
+    assert not unlisted, f"registered queries missing from PRIORITY: {unlisted}"
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    # iteration order == PRIORITY order (the driver consumes dict order)
+    assert list(QUERIES) == [n for n in PRIORITY if n in QUERIES]
