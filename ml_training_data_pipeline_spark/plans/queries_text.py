@@ -1134,3 +1134,100 @@ def ep4_curation_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.sum("n_toks").cast("double") / 2048).cast("long").alias("n_sequences"),
         )
     )
+
+
+# --- X16: PMI collocations (phrase detection) --------------------------------------
+# The statistic behind phrase/merge lists in tokenizer design: pointwise
+# mutual information ln(p(ab) / (p(a)·p(b))) over adjacent pairs, min
+# count 5, top-50 by PMI. All counts come off one tokenize (bigrams via
+# the in-row transform, unigrams via explode), the probability join is
+# two broadcast lookups against the unigram table, and the top-k is a
+# parallel TakeOrdered. Counts are exact integers on both engines, so
+# the PMI doubles agree bit-for-bit before rounding.
+@query(
+    "x16_pmi_collocations",
+    oracle=f"""
+    WITH {toks_cte()},
+    uni AS (
+      SELECT term, count(*) AS c1 FROM (
+        SELECT doc_id, unnest(toks) AS term FROM toks
+      ) GROUP BY term
+    ),
+    n1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_uni FROM uni),
+    bi AS (
+      SELECT w1, w2, count(*) AS c2 FROM (
+        SELECT doc_id,
+               unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+               unnest([toks[i + 1] for i in range(1, len(toks))]) AS w2
+        FROM toks WHERE len(toks) >= 2
+      ) GROUP BY w1, w2
+    ),
+    n2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS n_bi FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.c2,
+             ln((b.c2 / n2.n_bi)
+                / ((ua.c1 / n1.n_uni) * (ub.c1 / n1.n_uni))) AS pmi
+      FROM bi b
+      JOIN uni ua ON b.w1 = ua.term
+      JOIN uni ub ON b.w2 = ub.term
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE b.c2 >= 5
+    )
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS pair_count, round(pmi, 6) AS pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def x16_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= 5)
+    )
+    n_uni = uni.agg(F.sum("c1").cast("double").alias("n_uni"))
+    n_bi_all = (
+        toks.where(F.size("toks") >= 2)
+        .agg(F.sum(F.size("toks") - 1).cast("double").alias("n_bi"))
+    )
+    ua = uni.select(F.col("term").alias("w1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("term").alias("w2"), F.col("c1").alias("cb"))
+    scored = (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_all))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c2") / F.col("n_bi"))
+                / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+        .select(
+            "w1", "w2", F.col("c2").cast("long").alias("pair_count"),
+            F.round("pmi", 6).alias("pmi"),
+        )
+    )
