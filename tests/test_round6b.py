@@ -431,3 +431,47 @@ def test_registry_contract():
     assert set(ORACLE_SQL) <= set(QUERIES)
     # iteration order == PRIORITY order (the driver consumes dict order)
     assert list(QUERIES) == [n for n in PRIORITY if n in QUERIES]
+
+
+def test_minhash_dedup_cross_checked_against_mllib(spark):
+    # independent-implementation agreement: MLlib's MinHashLSH (different
+    # hash family, approxSimilarityJoin with EXACT Jaccard distance on
+    # its candidates) must emit only pairs our exact inverted-index
+    # jaccard confirms, and recover most of them — two codebases, one
+    # truth.
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from ml_training_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    sh = doc_shingles(docs, k=3)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(sh, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+
+    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    model = cv.fit(grouped)
+    feats = model.transform(grouped)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=7)
+    lmodel = lsh.fit(feats)
+    joined = lmodel.approxSimilarityJoin(feats, feats, 0.5, distCol="jd")
+    mllib = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+            for r in joined.where("datasetA.doc_id < datasetB.doc_id").collect()
+        )
+    }
+    # approxSimilarityJoin verifies exact distance on candidates → no
+    # false positives vs our exact pairs...
+    assert mllib <= exact, mllib - exact
+    # ...and LSH recall at jaccard ≥ 0.5 with 8 tables recovers most
+    assert len(mllib) >= 0.8 * len(exact), (len(mllib), len(exact))
