@@ -110,6 +110,14 @@ def tfidf_long(
     (02_build_models.R:163-165). weight = tf * ln(N/df), rounded to 6
     decimals so Spark and the DuckDB oracle hash identically."""
     tokens = doc_tokens(docs, text_col, id_col, ngram_max=ngram_max, stopwords=stopwords)
+    # counts has TWO consumers (the weight projection and the df
+    # aggregate), so this plan re-executes scan→tokenize→explode for
+    # each — the corpus is read twice. Measured fix-candidate
+    # (localCheckpoint counts, the d4 pattern): a WASH locally at sf0.1
+    # (min 2.98s vs 2.57s — serializing ~1M n-gram term strings costs
+    # what the re-scan costs), so the lazy form stays. At 100 TB the
+    # economics flip (corpus scan ≫ doc-term shuffle materialization):
+    # persist counts to disk there and halve the corpus scans.
     counts = term_counts(tokens)
     n_docs = corpus_size(docs, text_col, stopwords=stopwords)
     # df(t) via groupBy + join, not a window over term: the groupBy gets
