@@ -354,3 +354,51 @@ def w8_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("mu"), 6).alias("mean_value"),
         F.round(F.first("sd"), 6).alias("stddev_value"),
     )
+
+
+# --- W9: gap-filled daily activity (calendar densification) ------------------------
+# Training-feature tables want one row per (user, day) including ZERO
+# days — silence is signal. Each user's day range densifies IN-ROW with
+# sequence(first_day, last_day) + explode (no calendar dim join, no
+# cross join), then the real counts left-join back and null-fills to 0.
+# Row growth is bounded by span×users, and the explode happens after the
+# per-user aggregate — the fact table itself is never densified.
+@query(
+    "w9_gap_filled_daily",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM days GROUP BY user_id
+    ),
+    calendar AS (
+      SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans
+    )
+    SELECT c.user_id, c.day,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+           (d.n_events IS NULL) AS is_gap
+    FROM calendar c LEFT JOIN days d
+      ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def w9_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    days = e.select("user_id", day.alias("day")).groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events")
+    )
+    spans = days.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return calendar.join(days, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
