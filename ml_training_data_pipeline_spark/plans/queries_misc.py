@@ -555,3 +555,65 @@ def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --- P9: per-language length deciles (ntile) ---------------------------------------
+# Length-balanced batch construction wants each doc's decile WITHIN its
+# language. NTILE(10) over the lang partition — same per-stratum-sort
+# shape (and caveat) as mix2: exactness is the contract; few huge strata
+# at 100 TB → switch to percentile_approx cutoffs joined back when ±0.1%
+# suffices. Output keeps only decile summaries so the result is tiny.
+@query(
+    "p9_length_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT lang, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def p9_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# --- U4: vocabulary difference (anti-membership set op) ----------------------------
+# U2's complement: terms exclusive to one source — the vocabulary a
+# source would LOSE if dropped from the mix. EXCEPT compiles to a
+# left-anti aggregate join, map-side combinable on both sides.
+@query(
+    "u4_vocab_difference",
+    oracle=f"""
+    WITH {toks_cte()},
+    tok AS (
+      SELECT d.source, unnest(t.toks) AS term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    a AS (SELECT DISTINCT term FROM tok WHERE source = 'source_00'),
+    b AS (SELECT DISTINCT term FROM tok WHERE source <> 'source_00')
+    SELECT term FROM a EXCEPT SELECT term FROM b
+    """,
+)
+def u4_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from ..functions.text import tokenize
+
+    tok = docs.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+    a = tok.where(F.col("source") == "source_00").select("term").distinct()
+    b = tok.where(F.col("source") != "source_00").select("term").distinct()
+    return a.exceptAll(b).distinct()
