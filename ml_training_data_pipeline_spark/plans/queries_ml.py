@@ -317,3 +317,46 @@ def ep3_phase1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = kmeans_model.getK()
     write_parquet(summary, os.path.join(base, f"summary_{k}clusters"))
     return summary
+
+
+# --- M6b: supervised quality classifier (the missing estimator family) -------------
+# The curation stack's learned path: train a logistic regression on
+# interpretable per-doc features (punct ratio, stopword ratio, mean word
+# length, token count) against the heuristic quality gate, then serve
+# predictions — the standard bootstrap for replacing a hand-tuned gate
+# with a model (labels start as the heuristic, later swap to human
+# ratings; the features/pipeline stay). Deterministic: fixed seed,
+# LBFGS, fixed feature order. Estimator-backed → rows-only driver check;
+# separability invariant (labels are a threshold of these features, so
+# train accuracy must be high) pinned in tests/test_round6b.py.
+@query("m6_quality_classifier")
+def m6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..functions import analysis
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        analysis.punct_ratio(t).alias("punct_ratio"),
+        analysis.stopword_ratio(t).alias("stopword_ratio"),
+        analysis.mean_word_length(t).alias("mean_word_len"),
+        analysis.token_count(t).cast("double").alias("n_tokens"),
+        (analysis.quality_score(t) >= 0.5).cast("double").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["punct_ratio", "stopword_ratio", "mean_word_len", "n_tokens"],
+        outputCol="features",
+    ).transform(feats)
+    lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
+    model = lr.fit(assembled)
+    pred = model.transform(assembled)
+    return (
+        pred.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )

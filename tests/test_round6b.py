@@ -475,3 +475,20 @@ def test_minhash_dedup_cross_checked_against_mllib(spark):
     assert mllib <= exact, mllib - exact
     # ...and LSH recall at jaccard ≥ 0.5 with 8 tables recovers most
     assert len(mllib) >= 0.8 * len(exact), (len(mllib), len(exact))
+
+
+def test_m6_quality_classifier_learns_the_gate(spark):
+    # the labels are a threshold of the (deterministic) input features,
+    # so a logistic regression must recover the gate almost perfectly on
+    # the training corpus — and the confusion matrix covers every doc
+    # exactly once.
+    rows = registry.QUERIES["m6_quality_classifier"](spark, SF_DIR).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .count()
+    )
+    total = sum(r["n_docs"] for r in rows)
+    assert total == n_docs
+    correct = sum(r["n_docs"] for r in rows if r["label"] == r["prediction"])
+    assert correct / total >= 0.9, (correct, total, rows)
