@@ -402,3 +402,90 @@ def w9_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+# --- W10: ordered funnel conversion ------------------------------------------------
+# W3 counts steps independently; the product question is ORDERED
+# progression — of users who signed up, how many clicked strictly after,
+# and purchased strictly after that. One conditional aggregate per user
+# (first signup, first click after that signup, first purchase after
+# that click would need iteration — the standard two-window form below
+# keeps it ONE pass: min signup ts, then min click ts > signup, then min
+# purchase ts > that click, each a conditional min over the same
+# grouped rows via a self-contained aggregate + post-projection).
+# Single shuffle on user_id; the funnel summary is 1 row.
+@query(
+    "w10_ordered_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch(ts) END) AS t_signup
+      FROM events GROUP BY user_id
+    ),
+    step2 AS (
+      SELECT p.user_id, p.t_signup,
+             min(CASE WHEN e.event_type = 'click'
+                       AND epoch(e.ts) > p.t_signup THEN epoch(e.ts) END) AS t_click
+      FROM per_user p JOIN events e USING (user_id)
+      GROUP BY p.user_id, p.t_signup
+    ),
+    step3 AS (
+      SELECT s.user_id, s.t_signup, s.t_click,
+             min(CASE WHEN e.event_type = 'purchase'
+                       AND epoch(e.ts) > s.t_click THEN epoch(e.ts) END) AS t_purchase
+      FROM step2 s JOIN events e USING (user_id)
+      GROUP BY s.user_id, s.t_signup, s.t_click
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signed_up,
+           CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked_after,
+           CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchased_after
+    FROM step3
+    """,
+)
+def w10_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("ets")
+    )
+    sign = F.min(F.when(F.col("event_type") == "signup", F.col("ets")))
+    per_user = e.groupBy("user_id").agg(sign.alias("t_signup"))
+    step2 = (
+        e.join(per_user, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ets") > F.col("t_signup")),
+                    F.col("ets"),
+                )
+            ).alias("t_click")
+        )
+    )
+    step3 = (
+        e.join(step2, "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ets") > F.col("t_click")),
+                    F.col("ets"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return step3.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_signed_up"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_after"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchased_after"),
+    )
