@@ -1231,3 +1231,46 @@ def x16_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pmi", 6).alias("pmi"),
         )
     )
+
+
+# --- MIX3: temperature-scaled source weights ---------------------------------------
+# The multilingual/mix-balancing standard: sample source s with
+# probability ∝ (n_s/N)^(1/T); T=1 is natural, T→∞ uniform, T<1
+# sharpens. T=0.7 here. One tiny aggregate per source, the rest is
+# projection arithmetic off two broadcast scalars; emits the weights and
+# the expected doc counts a 100k-doc epoch would draw per source.
+@query(
+    "mix3_temperature_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM per_source),
+    p AS (
+      SELECT source, n_docs, pow(n_docs / t.n, 1.0 / 0.7) AS raw
+      FROM per_source CROSS JOIN tot t
+    ),
+    z AS (SELECT sum(raw) AS z FROM p)
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           round(p.raw / z.z, 6) AS sample_weight,
+           CAST(round(100000 * p.raw / z.z, 0) AS BIGINT) AS expected_draws_100k
+    FROM p CROSS JOIN z
+    """,
+)
+def mix3_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").cast("double").alias("n"))
+    p = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "raw", F.pow(F.col("n_docs") / F.col("n"), F.lit(1.0 / 0.7))
+    )
+    z = p.agg(F.sum("raw").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("raw") / F.col("z"), 6).alias("sample_weight"),
+        F.round(F.lit(100000) * F.col("raw") / F.col("z"), 0)
+        .cast("long")
+        .alias("expected_draws_100k"),
+    )
