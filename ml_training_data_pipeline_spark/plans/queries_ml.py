@@ -331,6 +331,9 @@ def ep3_phase1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train accuracy must be high) pinned in tests/test_round6b.py.
 @query("m6_quality_classifier")
 def m6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
@@ -351,7 +354,21 @@ def m6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputCol="features",
     ).transform(feats)
     lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
-    model = lr.fit(assembled)
+    fitted = lr.fit(assembled)
+    # serve from the PERSISTED artifact, not the in-memory fit: the
+    # freshly-fitted model pins its training summary, which references
+    # the SparkSession — and serializing that into the serving closure
+    # breaks as soon as the session has ever registered an Observation
+    # (ObservationManager is not serializable). Save→load drops the
+    # summary, which is also the honest production shape: training and
+    # serving never share an object graph.
+    model_dir = os.path.join(
+        tempfile.gettempdir(), f"mtdp_lrq_{os.path.basename(sf_dir)}"
+    )
+    fitted.write().overwrite().save(model_dir)
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model = LogisticRegressionModel.load(model_dir)
     pred = model.transform(assembled)
     return (
         pred.groupBy(
