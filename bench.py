@@ -61,10 +61,11 @@ def main() -> None:
             registry.QUERIES[name](spark, warm_dir).count()
         print(f"# warmup pass ({warm_dir}): {round(time.time() - t0, 1)}s", file=sys.stderr)
 
-    # min-of-N (default 2): with the shape-warmup removing codegen cost,
-    # the min isolates residual run-to-run noise (GC, page cache) so
+    # min-of-N (default 3): with the shape-warmup removing codegen cost,
+    # the min isolates residual run-to-run noise (GC, page cache, host
+    # contention — observed swinging identical code 13.0s↔15.6s) so
     # round-over-round deltas are pure code signal.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
