@@ -1274,3 +1274,41 @@ def mix3_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_draws_100k"),
     )
+
+
+# --- X17: hapax legomena rate per source -------------------------------------------
+# The vocabulary-health complement to x14's KL drift: the fraction of a
+# source's terms appearing exactly once. Natural text runs ~40-60%
+# hapax; OCR noise and random IDs push it up, template spam crushes it.
+# Two map-side-combinable aggregates — (source, term) counts, then the
+# per-source rollup.
+@query(
+    "x17_hapax_rate",
+    oracle=f"""
+    WITH {toks_cte()},
+    tok AS (
+      SELECT d.source, unnest(t.toks) AS term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    tc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           count(*) AS n_terms,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_rate
+    FROM tc GROUP BY source
+    """,
+)
+def x17_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+    tc = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    return tc.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_rate"),
+    )
