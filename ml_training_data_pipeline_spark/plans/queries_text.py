@@ -1312,3 +1312,38 @@ def x17_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_rate"),
     )
+
+
+# --- X18: word-length outliers (giant-token gate) ----------------------------------
+# The MassiveText rule x2's mean-word-length misses: a single giant
+# "word" (base64 blob, concatenated URL, minified code) marks a doc even
+# when the mean looks fine. Pure in-row array algebra — max token
+# length and count of tokens > 15 chars — zero shuffle beyond the scan.
+@query(
+    "x18_word_length_outliers",
+    oracle=f"""
+    WITH {toks_cte()}
+    SELECT doc_id,
+           CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS max_word_len,
+           CAST(len(list_filter(toks, x -> length(x) > 15)) AS BIGINT)
+             AS n_giant_words,
+           (len(list_filter(toks, x -> length(x) > 15)) > 0) AS has_giant_word
+    FROM toks WHERE len(toks) > 0
+    """,
+)
+def x18_word_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    lens = F.transform(toks, lambda x: F.length(x))
+    giants = F.size(F.filter(toks, lambda x: F.length(x) > 15))
+    return (
+        docs.where(F.col("text").isNotNull())
+        .where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.array_max(lens).cast("long").alias("max_word_len"),
+            giants.cast("long").alias("n_giant_words"),
+            (giants > 0).alias("has_giant_word"),
+        )
+    )
