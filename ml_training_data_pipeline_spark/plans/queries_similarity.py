@@ -290,3 +290,49 @@ def n8_prototype_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_vecs"), F.round(F.avg("s"), 6).alias("mean_silhouette"))
     )
+
+
+# --- N9: embedding-norm outlier gate -----------------------------------------------
+# Embedding-pipeline health: vectors whose L2 norm sits far from the
+# population (|z| > 3) are degenerate — failed encoder batches, zero
+# vectors, fp overflow — and poison cosine math downstream. Same
+# two-pass shape as w8: population stats broadcast back over one scan
+# pair, no per-label window.
+@query(
+    "n9_norm_outliers",
+    oracle=f"""
+    WITH {_V},
+    n AS (SELECT vec_id, label, sqrt(list_inner_product(ve, ve)) AS nrm FROM v),
+    stats AS (SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM n)
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN abs(nrm - s.mu) > 3 * s.sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n CROSS JOIN stats s
+    GROUP BY label
+    """,
+)
+def n9_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", norm(F.col("embedding")).alias("nrm"))
+    stats = n.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.when(F.abs(F.col("nrm") - F.col("mu")) > 3 * F.col("sd"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
