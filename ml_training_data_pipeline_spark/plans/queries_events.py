@@ -489,3 +489,55 @@ def w10_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchased_after"),
     )
+
+
+# --- J9: event-type transition matrix ----------------------------------------------
+# Sequence analytics over the event stream: per-user chronological
+# transitions (a → b) counted into the Markov matrix behind
+# next-action models and anomaly detection (an impossible transition
+# spiking = instrumentation bug). One lag window per user (same
+# partitioning w2/w5 ride), then a tiny groupBy over the 25 type pairs
+# with row probabilities normalized by a window over the source type.
+@query(
+    "j9_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, cur, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    )
+    SELECT prev, cur, n AS n_transitions,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6)
+             AS p_transition
+    FROM trans
+    """,
+)
+def j9_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("prev")
+    return trans.select(
+        "prev",
+        "cur",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_w),
+            6,
+        ).alias("p_transition"),
+    )
