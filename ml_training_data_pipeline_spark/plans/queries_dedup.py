@@ -757,3 +757,52 @@ def cur6_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scrubbed_fp"),
         )
     )
+
+
+# --- D14: per-source exact-duplicate rate ------------------------------------------
+# d12 maps duplication ACROSS sources; d14 scores each source's own
+# hygiene — the fraction of its docs that are exact duplicates of an
+# earlier doc (fingerprint survivorship, global first-doc-wins). High
+# dup_rate → the source re-crawls or mirrors itself; weight it down
+# before the near-dup passes even run. One fingerprint window + one
+# source rollup.
+@query(
+    "d14_source_dup_rates",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (
+      SELECT t.doc_id, d.source, md5(array_to_string(t.toks, ' ')) AS fp
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    marked AS (
+      SELECT doc_id, source,
+             (doc_id <> min(doc_id) OVER (PARTITION BY fp)) AS is_dup
+      FROM fps
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM marked GROUP BY source
+    """,
+)
+def d14_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    fps = docs.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    marked = fps.withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )

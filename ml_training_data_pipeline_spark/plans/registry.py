@@ -88,7 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "w9_gap_filled_daily", "p9_length_deciles", "u4_vocab_difference",
     "m6_quality_classifier", "w10_ordered_funnel", "mix3_temperature_weights",
     "x17_hapax_rate", "x18_word_length_outliers", "n9_norm_outliers",
-    "j9_transition_matrix",
+    "j9_transition_matrix", "d14_source_dup_rates",
     # Also touched this round but result-identical (verified against the
     # sf0.01 oracle locally: d10/n6/cur2/d4) or rows-only (ep2/st4/m5 —
     # a fresh row only proves they ran, which r5 already did): first in
