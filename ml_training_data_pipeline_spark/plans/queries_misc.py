@@ -617,3 +617,44 @@ def u4_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = tok.where(F.col("source") == "source_00").select("term").distinct()
     b = tok.where(F.col("source") != "source_00").select("term").distinct()
     return a.exceptAll(b).distinct()
+
+
+# --- G4: salted exact distinct-users (two-phase count-distinct) --------------------
+# The skew-proof exact COUNT(DISTINCT) rewrite. A naive
+# groupBy(event_type).agg(countDistinct(user_id)) funnels every row of a
+# hot event type through one reducer's distinct set. The scale rewrite
+# partitions the *user-id space* instead: salt = pmod(hash-bridge(user),
+# 16) gives 16 DISJOINT user subsets per type, so per-(type, salt)
+# distinct counts are mergeable by plain SUM — two ordinary shuffles,
+# each key carrying ~1/16 of a hot type's users, and the pattern scales
+# by raising the salt width, not executor memory. (Spark's own planner
+# rewrites distinct aggs via Expand; this is the explicit form that also
+# works when the engine's rewrite is unavailable — e.g. multiple
+# distincts, or streaming.) Oracle: the plain COUNT(DISTINCT) truth.
+@query(
+    "g4_salted_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def g4_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long"), F.lit(16))
+    # phase 1: per (type, salt-shard) — distinct users within the shard
+    shard = (
+        e.select("event_type", "user_id", salt.alias("salt"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count_distinct("user_id").alias("n_users_shard"),
+            F.count("*").alias("n_events_shard"),
+        )
+    )
+    # phase 2: shards hold disjoint user sets -> plain SUM merges exactly
+    return shard.groupBy("event_type").agg(
+        F.sum("n_users_shard").cast("long").alias("n_users"),
+        F.sum("n_events_shard").cast("long").alias("n_events"),
+    )

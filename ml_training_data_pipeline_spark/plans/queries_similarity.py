@@ -336,3 +336,75 @@ def n9_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --- N10: int8 scalar quantization of embeddings -----------------------------------
+# The storage/serving compression step every 100-TB embedding store runs:
+# per-vector max-abs scalar quantization to int8 (scale = 127/max|x|,
+# q_i = round(x_i * scale)), plus the quality audit — per-label mean
+# reconstruction MSE and worst-vector MSE — that decides whether int8 is
+# safe for the downstream ANN index (4× smaller, memory-bandwidth-bound
+# scans go 4× faster). Pure JVM array algebra: transform + aggregate on
+# double-cast arrays, one narrow map + one groupBy — no Python, no
+# shuffle beyond the final label rollup. Cross-engine exact: both sides
+# fold the squared error left-to-right in index order on doubles, and
+# round(x*scale) is half-up on positives/half-down on negatives in both
+# engines' double math.
+@query(
+    "n10_int8_quantization",
+    oracle=f"""
+    WITH {_V},
+    m AS (
+      SELECT vec_id, label, ve,
+             list_max(list_transform(ve, x -> abs(x))) AS max_abs
+      FROM v
+    ),
+    e AS (
+      SELECT vec_id, label, max_abs,
+             CASE WHEN max_abs = 0 THEN 0.0 ELSE
+               list_aggregate(
+                 list_transform(ve, x -> pow(x - round(x * 127.0 / max_abs) * max_abs / 127.0, 2)),
+                 'sum') / len(ve)
+             END AS mse
+      FROM m
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(mse) * 1e6, 6) AS mean_mse_ppm,
+           round(max(mse) * 1e6, 6) AS max_mse_ppm,
+           round(avg(max_abs), 6) AS mean_scale_denom
+    FROM e
+    GROUP BY label
+    """,
+)
+def n10_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    m = emb.select(
+        "vec_id",
+        "label",
+        ve.alias("ve"),
+        F.array_max(F.transform(ve, F.abs)).alias("max_abs"),
+    )
+    # dequantized error per element: x - round(x*127/max_abs)*max_abs/127
+    sq_err = F.transform(
+        F.col("ve"),
+        lambda x: F.pow(
+            x - F.round(x * 127.0 / F.col("max_abs")) * F.col("max_abs") / 127.0, F.lit(2)
+        ),
+    )
+    e = m.select(
+        "label",
+        "max_abs",
+        F.when(F.col("max_abs") == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x) / F.size("ve")
+        )
+        .alias("mse"),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("mse") * 1e6, 6).alias("mean_mse_ppm"),
+        F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
+        F.round(F.avg("max_abs"), 6).alias("mean_scale_denom"),
+    )

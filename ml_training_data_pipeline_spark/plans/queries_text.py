@@ -1347,3 +1347,50 @@ def x18_word_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (giants > 0).alias("has_giant_word"),
         )
     )
+
+
+# --- V7b/v7: hashing-trick vectorizer (vocabulary-free) ----------------------------
+# The vectorizer that needs NO fitted vocabulary: term -> bucket =
+# hash(term) mod D (D=64 here). At 100 TB this is the difference between
+# a two-pass fit+transform with a broadcast vocab (V4) and a single
+# stateless pass — no driver round-trip, no vocab skew, new terms never
+# invalidate the model. The price is collisions, so the query ALSO
+# reports the collision audit (distinct terms per bucket, max single-term
+# mass) that decides if D is wide enough. Hash bridge: the engine's
+# 60-bit md5 (conv(substr(md5(t),1,15),16,10)) ≡ DuckDB
+# ('0x'||substr(md5(t),1,15))::BIGINT, so bucket ids agree exactly
+# cross-engine.
+@query(
+    "v7_feature_hashing",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    b AS (
+      SELECT ('0x'||substr(md5(term),1,15))::BIGINT % 64 AS bucket, term, tf
+      FROM tf
+    )
+    SELECT bucket,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           count(DISTINCT term) AS n_distinct_terms,
+           CAST(max(tf) AS BIGINT) AS max_doc_tf
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def v7_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = term_counts(doc_tokens(docs))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"), F.lit(64)
+    )
+    return (
+        tf.select(bucket.alias("bucket"), "term", "tf")
+        .groupBy("bucket")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.count_distinct("term").alias("n_distinct_terms"),
+            F.max("tf").cast("long").alias("max_doc_tf"),
+        )
+    )

@@ -160,3 +160,47 @@ def test_v4_vocabulary_is_join_free(spark):
     plan = explain_str(spark, "v4_vocab_top2000")
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert op not in plan, f"v4 regressed to the df-join form:\n{plan}"
+
+
+def test_h4_filters_push_into_scan(spark):
+    # Q6 shape is THE pushdown benchmark: all three predicates must reach
+    # the parquet scan (row-group min/max skipping on l_shipdate), and
+    # the scan schema must carry only the 4 referenced columns.
+    import re
+
+    plan = explain_str(spark, "h4_forecast_revenue")
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"PushedFilters: \[[^\]]*{col}", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_h3_topk_is_take_ordered(spark):
+    # the top-10 after the 3-way join must be TakeOrderedAndProject (a
+    # parallel partial top-k per partition), never a global Sort + Limit.
+    plan = explain_str(spark, "h3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_h5_dim_chain_broadcasts(spark):
+    # region->nation prune must reach supplier as broadcast joins; the
+    # analyzed plan carries exactly the two explicit broadcast hints
+    # (region, pruned nation), and the physical plan keeps the fact-side
+    # joins off the nested-loop path.
+    df = registry.QUERIES["h5_local_supplier_volume"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
+    plan = explain_str(spark, "h5_local_supplier_volume")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_g4_distinct_is_two_phase_partial(spark):
+    # both aggregation phases must show map-side partial aggregates and
+    # the plan must NOT contain an Expand (Spark's internal multi-distinct
+    # rewrite) — the explicit salt already partitioned the user space.
+    plan = explain_str(spark, "g4_salted_distinct_users")
+    assert "Expand" not in plan, plan
+    assert "HashAggregate" in plan, plan
