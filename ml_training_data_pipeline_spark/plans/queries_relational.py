@@ -495,3 +495,122 @@ def u3_union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("source").alias("n_with_source"),
         F.count("n_chars").alias("n_with_chars"),
     )
+
+
+# --- H6: order-priority checking (TPC-H Q4 shape) ----------------------------
+# The EXISTS-subquery pattern: orders in a quarter that have ≥1 late
+# lineitem. Compiles to a LEFT SEMI join — equi on orderkey plus the
+# non-equi lateness conjunct evaluated as the join residual — so each
+# order is emitted at most once with NO post-join dedup, and the date
+# window pushes into the orders scan. At scale the semi join shuffles
+# only (orderkey, orderdate) against (orderkey, shipdate) — never the
+# wide rows.
+@query(
+    "h6_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def h6_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- H7: promotion revenue share (TPC-H Q14 shape) ---------------------------
+# Fact ⨝ dim with a conditional-share aggregate: the CASE folds into the
+# same partial aggregation as the denominator, so the share is one join
+# + one agg (no second scan for the denominator). part scales with SF so
+# the join strategy is AQE's call, not a forced broadcast.
+@query(
+    "h7_promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END)
+               / SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_share_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-08-01 00:00:00'
+    """,
+)
+def h7_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-08-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo / F.sum(rev)).cast("double").alias("promo_share_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --- H8: returned-item revenue ranking (TPC-H Q10 shape) ---------------------
+# Who cost us the most in returns last quarter: 3-way join filtered on
+# both fact sides, grouped per customer, parallel top-20. Same
+# TakeOrdered discipline as h3 — the customer-grain aggregate never
+# passes through a single-partition global sort.
+@query(
+    "h8_returned_revenue_ranking",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def h8_returned_revenue_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -204,3 +204,17 @@ def test_g4_distinct_is_two_phase_partial(spark):
     plan = explain_str(spark, "g4_salted_distinct_users")
     assert "Expand" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_h6_exists_is_left_semi_join(spark):
+    # the EXISTS subquery must compile to one LEFT SEMI join (equi on
+    # orderkey + lateness residual) — a left-outer + distinct, or a
+    # nested-loop, means the rewrite regressed.
+    plan = explain_str(spark, "h6_order_priority_check")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_h8_topk_is_take_ordered(spark):
+    plan = explain_str(spark, "h8_returned_revenue_ranking")
+    assert "TakeOrderedAndProject" in plan, plan
