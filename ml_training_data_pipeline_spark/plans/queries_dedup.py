@@ -806,3 +806,75 @@ def d14_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# --- D15: overlapping duplicate-span detection (any-alignment) ---------------------
+# The exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better"), at window grain: cur5's
+# fixed-stride passages MISS a duplicated span whose alignment shifts by
+# < 8 tokens between the two documents; sliding the 8-token window at
+# STRIDE 1 catches a shared span at ANY alignment. Same scale discipline
+# as cur5 — windows are an in-row projection (transform(sequence) +
+# array_distinct, no shuffle to build), the cross-doc count is one
+# map-side-combinable groupBy(window) joined back on the window key
+# (never a per-window window-function funnel), and the stride-1 stream
+# is O(corpus tokens) rows — the same order as the unigram explode every
+# TF-IDF pass already ships.
+@query(
+    "d15_duplicate_spans",
+    oracle=f"""
+    WITH {toks_cte()},
+    p AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[(i+1):(i+8)], ' ')
+                for i in range(0, len(toks) - 7)]
+             )) AS win
+      FROM toks WHERE len(toks) >= 8
+    ),
+    c AS (
+      SELECT doc_id, win,
+             count(*) OVER (PARTITION BY win) AS n_docs_with
+      FROM p
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_span_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def d15_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks) - 8),"
+                " i -> concat_ws(' ', slice(toks, i+1, 8))))"
+            )
+        ).alias("win"),
+    ).localCheckpoint()
+    per_win = wins.groupBy("win").agg(F.count("*").alias("n_docs_with"))
+    counted = wins.join(per_win, "win")
+    agg = counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+        ).alias("dup_span_frac"),
+    )

@@ -658,3 +658,54 @@ def g4_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_users_shard").cast("long").alias("n_users"),
         F.sum("n_events_shard").cast("long").alias("n_events"),
     )
+
+
+# --- T9: Z-order (Morton-interleaved) layout export --------------------------------
+# Multi-dimensional data skipping: T6's single-key range layout prunes
+# scans filtered on doc_id, but a corpus store is filtered on lang AND
+# length just as often. Interleaving the bits of the two bucket keys
+# (3 bits each -> 6-bit Morton code) and range-partitioning on the code
+# co-clusters BOTH dimensions, so file-level min/max stats prune scans
+# filtered on either one — the Delta/Iceberg OPTIMIZE ZORDER layout,
+# expressed with nothing but bit ops + repartitionByRange. The read-back
+# aggregate proves losslessness; test_plan_shapes asserts the range
+# exchange on zval; tests/test_round6c.py asserts the layout quality
+# (each written file touches ≤ half the lang buckets — a lang-filtered
+# scan skips most files, which a pure length-ordered layout cannot do).
+@query(
+    "t9_zorder_layout",
+    oracle="""
+    SELECT lang,
+           CAST(floor(least(n_chars, 799) / 100) AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def t9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # 3-bit bucket per dimension: lang hash-bucket, capped length decile
+    lang_b = F.pmod(F.crc32(F.col("lang")), F.lit(8)).cast("int")
+    len_b = F.floor(F.least(F.col("n_chars"), F.lit(799)) / 100).cast("int")
+    # Morton interleave: bit i of each key -> bits 2i+1 / 2i of the code
+    zval = sum(
+        (
+            F.shiftleft(F.shiftright(lang_b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(len_b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        for i in range(3)
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_zorder_{os.path.basename(sf_dir)}")
+    (
+        docs.withColumn("zval", zval)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy(
+        "lang",
+        F.floor(F.least(F.col("n_chars"), F.lit(799)) / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))

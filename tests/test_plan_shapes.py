@@ -218,3 +218,22 @@ def test_h6_exists_is_left_semi_join(spark):
 def test_h8_topk_is_take_ordered(spark):
     plan = explain_str(spark, "h8_returned_revenue_ranking")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_t9_export_shuffles_by_range_on_zval(spark):
+    # the Z-order export must shuffle by RANGE on the Morton code — hash
+    # partitioning would destroy the contiguous z-run layout the
+    # file-level min/max pruning depends on.
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    lang_b = F.pmod(F.crc32(F.col("lang")), F.lit(8)).cast("int")
+    plan = (
+        docs.withColumn("zval", lang_b)
+        .repartitionByRange(8, "zval")
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan

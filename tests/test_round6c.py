@@ -1,0 +1,86 @@
+"""Round-6c invariants: Z-order layout quality and duplicate-span
+semantics that the DuckDB oracle can't state."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ml_training_data_pipeline_spark.plans import registry
+from tests.conftest import SF_DIR
+
+registry._load_all()
+
+
+def test_t9_zorder_files_cluster_both_dims(spark):
+    # Run the query (writes the layout), then audit the written files:
+    # a Z-ordered layout must localize the LANG dimension too — most
+    # files should touch at most half of the 8 lang buckets. A pure
+    # length-ordered layout fails this (every length run spans all langs).
+    registry.QUERIES["t9_zorder_layout"](spark, SF_DIR).collect()
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"mtdp_zorder_{os.path.basename(SF_DIR)}"
+    )
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    assert len(files) >= 4, files
+    spans = []
+    for f in files:
+        pdf = (
+            spark.read.parquet(f)
+            .select(F.pmod(F.crc32(F.col("lang")), F.lit(8)).alias("lb"))
+            .agg(F.count_distinct("lb").alias("n"))
+            .collect()
+        )
+        spans.append(pdf[0]["n"])
+    # at least half the files are lang-localized (≤ 4 of 8 buckets)
+    localized = sum(1 for s in spans if s <= 4)
+    assert localized * 2 >= len(files), spans
+
+
+def test_d15_catches_shifted_alignment_cur5_misses(spark):
+    # The motivating case: a 12-token span shared between two docs at a
+    # 3-token offset. Fixed-stride-8 passages (cur5 grain) disagree on
+    # alignment and match nothing; stride-1 windows (d15) must flag both
+    # docs. Build the corpus inline; both metrics computed on it.
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + span + " tail1a tail1b"),
+            (2, "x1 " + span + " y1 y2 y3"),
+        ],
+        "doc_id long, text string",
+    )
+    from ml_training_data_pipeline_spark.functions.text import tokenize
+
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # stride-8 passages: no shared passage (alignment differs by 13-2=11 % 8 != 0)
+    p8 = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, (size(toks) div 8) - 1),"
+                " i -> concat_ws(' ', slice(toks, i*8+1, 8))))"
+            )
+        ).alias("p"),
+    )
+    shared8 = (
+        p8.groupBy("p").agg(F.count_distinct("doc_id").alias("n")).where(F.col("n") > 1)
+    ).count()
+    # stride-1 windows: the span produces aligned 8-grams in both docs
+    w1 = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks) - 8),"
+                " i -> concat_ws(' ', slice(toks, i+1, 8))))"
+            )
+        ).alias("w"),
+    )
+    shared1 = (
+        w1.groupBy("w").agg(F.count_distinct("doc_id").alias("n")).where(F.col("n") > 1)
+    ).count()
+    assert shared8 == 0, "fixed-stride should miss the shifted span"
+    assert shared1 >= 5, f"stride-1 must catch the span's windows, got {shared1}"
