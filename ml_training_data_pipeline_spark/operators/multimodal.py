@@ -541,3 +541,98 @@ def extract_video_features(media: DataFrame) -> DataFrame:
             "first_luma double, last_luma double, mean_motion double, decoded boolean"
         ),
     )
+
+
+# --- image perceptual hashing (aHash over the real netpbm roundtrip) ---------------
+
+
+def synth_image_pixels(media_id: int, width: int = 16, height: int = 16) -> np.ndarray:
+    """Deterministic engine-portable test raster: pixel (r, c) is
+    ``(media_id*7 + r*3 + c) % 256`` — restatable as a DuckDB list
+    comprehension, so the aHash computed off the REAL netpbm byte
+    roundtrip stays oracle-checkable. By construction many media_ids
+    share a raster up to a constant shift (no 256-wrap inside the
+    pattern when media_id*7 % 256 < 190), and aHash is shift-invariant —
+    so the corpus genuinely contains perceptual-duplicate groups."""
+    r = np.arange(height, dtype=np.int64).reshape(-1, 1)
+    c = np.arange(width, dtype=np.int64)
+    return ((media_id * 7 + r * 3 + c) % 256).astype(np.uint8)[:, :, None]
+
+
+def documents_as_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adapter: fabricate a deterministic 16×16 grayscale raster per
+    document and pack it through the REAL netpbm encoder, so the binary
+    image pipeline carries genuine container bytes (same pattern as
+    documents_as_audio / documents_as_video)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_netpbm(DecodedImage(16, 16, "L", synth_image_pixels(int(mid))))
+                for mid in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "image",
+                    "content": content,
+                    "meta": "{}",
+                }
+            )
+
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(id_col)
+        .mapInPandas(op, schema=MEDIA_SCHEMA)
+    )
+
+
+def ahash_bits(pixels: np.ndarray) -> tuple[int, int]:
+    """64-bit average hash of a 16×16 grayscale raster: 2×2 block means
+    vs the global mean, bit k = r*8+c, split into two non-negative
+    31/32-bit halves (h_lo bits 0-31, h_hi bits 32-63) so both ride in
+    signed BIGINTs on every engine. Block/global means are multiples of
+    1/4 and 1/256 — exact in doubles, so the strict ``>`` threshold is
+    deterministic cross-engine."""
+    g = pixels[:, :, 0].astype(np.float64)
+    blocks = g.reshape(8, 2, 8, 2).mean(axis=(1, 3))  # (8, 8) block means
+    bits = (blocks > g.mean()).astype(np.int64).ravel()  # k = r*8 + c
+    h_lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+    h_hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+    return h_lo, h_hi
+
+
+def extract_image_phash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual hash off the real image decode: per blob,
+    decode (PIL or built-in netpbm), compute the 64-bit aHash. The
+    near-dup use is a plain groupBy on (h_hi, h_lo) — identical hashes
+    are perceptual duplicates; hamming-near pairs come from the d9-style
+    banded equi-join if needed. Undecodable or non-16×16 blobs yield
+    nulls with decoded=false (per-record isolation)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "h_lo": [], "h_hi": [], "n_set_bits": [], "decoded": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    img = decode_image(bytes(content))
+                    if img.width != 16 or img.height != 16 or img.mode != "L":
+                        raise ValueError("phash expects 16×16 grayscale")
+                    h_lo, h_hi = ahash_bits(img.pixels)
+                    out["h_lo"].append(h_lo)
+                    out["h_hi"].append(h_hi)
+                    out["n_set_bits"].append(bin(h_lo).count("1") + bin(h_hi).count("1"))
+                    out["decoded"].append(True)
+                except Exception:  # noqa: BLE001 — garbage blobs mark the record, not the batch
+                    for k in ("h_lo", "h_hi", "n_set_bits"):
+                        out[k].append(None)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema="media_id long, h_lo long, h_hi long, n_set_bits long, decoded boolean",
+    )

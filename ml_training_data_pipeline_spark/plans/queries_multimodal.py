@@ -169,3 +169,62 @@ def mm4_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_motion", 6).alias("mean_motion"),
         "decoded",
     )
+
+
+# --- MM5: perceptual-hash (aHash) image near-dup groups ----------------------------
+# Image-level dedup off REAL container bytes: a deterministic 16×16
+# grayscale raster per document goes through the built-in netpbm encoder,
+# back through the real decoder, into a 64-bit average hash (2×2 block
+# means vs global mean), and near-dup groups are a plain groupBy on the
+# hash — the image analogue of d1's exact-fingerprint dedup, and the
+# front half of a d9-style banded hamming join. aHash is invariant to
+# constant intensity shifts, and the raster formula makes many doc_ids
+# constant-shifted copies, so the corpus contains real perceptual-dup
+# groups (not just singletons). The raster formula is engine-portable,
+# so the oracle recomputes the hash from first principles — hash match
+# proves the whole byte roundtrip + block algebra chain.
+@query(
+    "mm5_image_phash_groups",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             [CAST((doc_id*7 + (k//16)*3 + (k%16)) % 256 AS DOUBLE)
+              for k in range(0, 256)] AS p
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id,
+             [(p[((k//8)*2)*16 + (k%8)*2 + 1] + p[((k//8)*2)*16 + (k%8)*2 + 2]
+               + p[((k//8)*2+1)*16 + (k%8)*2 + 1] + p[((k//8)*2+1)*16 + (k%8)*2 + 2]) / 4.0
+              for k in range(0, 64)] AS bm,
+             list_avg(p) AS gm
+      FROM px
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN bm[k+1] > gm THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+                            for k in range(0, 32)]) AS BIGINT) AS h_lo,
+             CAST(list_sum([CASE WHEN bm[k+33] > gm THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+                            for k in range(0, 32)]) AS BIGINT) AS h_hi
+      FROM b
+    )
+    SELECT h_hi, h_lo,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_media_id,
+           CAST(min(bit_count(h_hi) + bit_count(h_lo)) AS BIGINT) AS n_set_bits
+    FROM h
+    GROUP BY h_hi, h_lo
+    """,
+)
+def mm5_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import documents_as_images, extract_image_phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = extract_image_phash(documents_as_images(docs)).where(F.col("decoded"))
+    return ph.groupBy("h_hi", "h_lo").agg(
+        F.count("*").alias("n_docs"),
+        F.min("media_id").alias("min_media_id"),
+        F.min("n_set_bits").alias("n_set_bits"),
+    )

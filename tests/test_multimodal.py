@@ -112,3 +112,46 @@ def test_media_pipeline_batch_shape(spark):
     row = {r["media_id"]: r for r in feats}
     assert row[1]["n_bytes"] == len(b"some text")
     assert row[1]["modality"] == "text"
+
+
+def test_ahash_shift_invariance_and_roundtrip():
+    # aHash must be invariant to a constant intensity shift (no wrap):
+    # the property that makes constant-shifted rasters perceptual dups.
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        ahash_bits,
+        decode_image,
+        encode_netpbm,
+        synth_image_pixels,
+    )
+
+    base = synth_image_pixels(0)  # base 0: values 0..66, shift headroom
+    shifted = (base.astype(np.int64) + 100).astype(np.uint8)
+    assert ahash_bits(base) == ahash_bits(shifted)
+    # and the hash off the real netpbm byte roundtrip equals the direct one
+    blob = encode_netpbm(DecodedImage(16, 16, "L", base))
+    assert ahash_bits(decode_image(blob).pixels) == ahash_bits(base)
+
+
+def test_phash_corpus_has_dup_groups(spark):
+    # the synthetic raster family must produce at least one multi-doc
+    # hash group (the near-dup signal mm5 exists to surface).
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        documents_as_images,
+        extract_image_phash,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    ph = extract_image_phash(documents_as_images(docs))
+    groups = (
+        ph.where(F.col("decoded"))
+        .groupBy("h_hi", "h_lo")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert groups >= 1, "expected perceptual-dup groups in the synthetic corpus"
