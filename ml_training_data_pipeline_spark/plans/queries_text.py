@@ -1394,3 +1394,144 @@ def v7_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tf").cast("long").alias("max_doc_tf"),
         )
     )
+
+
+# --- X19: Flesch reading-ease readability score ------------------------------------
+# The classic curation readability gate (C4/Gopher pipelines bucket on
+# it): Flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+# words), with the standard no-dictionary syllable proxy — vowel-group
+# runs ([aeiouy]+) per word. Everything is regexp_extract_all + size in
+# one narrow projection (no explode, no shuffle until the per-language
+# rollup), identical regex semantics cross-engine. Zero-sentence docs
+# (the synthetic corpus has no terminal punctuation) clamp to 1 sentence
+# — documented, deterministic, and the formula stays defined.
+@query(
+    "x19_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             206.835 - 1.015 * (words / CAST(sentences AS DOUBLE))
+                     - 84.6 * (syllables / CAST(words AS DOUBLE)) AS flesch
+      FROM c WHERE words > 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(flesch), 6) AS mean_flesch,
+           round(min(flesch), 6) AS min_flesch,
+           round(max(flesch), 6) AS max_flesch,
+           CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+    FROM f GROUP BY lang
+    """,
+)
+def x19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    syllables = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    sentences = F.greatest(F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1))
+    c = docs.select(
+        "lang",
+        words.alias("words"),
+        syllables.alias("syllables"),
+        sentences.alias("sentences"),
+    ).where(F.col("words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words") / F.col("sentences").cast("double"))
+        - 84.6 * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    return (
+        c.select("lang", flesch.alias("flesch"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("mean_flesch"),
+            F.round(F.min("flesch"), 6).alias("min_flesch"),
+            F.round(F.max("flesch"), 6).alias("max_flesch"),
+            F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0)).cast("long").alias("n_hard"),
+        )
+    )
+
+
+# --- V8: Count-Min sketch heavy hitters (mergeable, exact-audited) -----------------
+# The third mergeable sketch beside x8's HLL++ and GK: a 4×256 Count-Min
+# sketch over corpus term frequencies. At 100 TB the sketch is the
+# shippable object — 1024 counters per partition/source, merged by
+# elementwise SUM — while exact per-term counts need a full term shuffle.
+# Hash rows use the engine's md5 bridge (h_j(t) = md5_long(j||':'||t) %
+# 256) so the sketch is bit-identical cross-engine, and the query
+# surfaces the CM guarantee directly: for the exact top-20 terms, the
+# estimate (min over rows) must over-count by ≥ 0 and ≤ εN. The sketch
+# is built off the per-term TF aggregate (terms × 4 rows), NOT the raw
+# token stream — 4× a small table instead of 4× the corpus.
+@query(
+    "v8_count_min_heavy_hitters",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()},
+    tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    rws AS (SELECT unnest(range(0, 4)) AS j),
+    cnt AS (
+      SELECT j,
+             ('0x'||substr(md5(CAST(j AS VARCHAR)||':'||term),1,15))::BIGINT % 256 AS b,
+             sum(tf) AS c
+      FROM tf CROSS JOIN rws GROUP BY 1, 2
+    ),
+    top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 20),
+    est AS (
+      SELECT t.term, t.tf, min(c.c) AS cm
+      FROM top t
+      CROSS JOIN rws r
+      JOIN cnt c
+        ON c.j = r.j
+       AND c.b = ('0x'||substr(md5(CAST(r.j AS VARCHAR)||':'||t.term),1,15))::BIGINT % 256
+      GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(tf AS BIGINT) AS exact_tf,
+           CAST(cm AS BIGINT) AS cm_estimate,
+           CAST(cm - tf AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def v8_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        term_counts(doc_tokens(docs))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+    def bucket(j_col, term_col):
+        return F.pmod(md5_long(F.concat(j_col.cast("string"), F.lit(":"), term_col)), F.lit(256))
+
+    rows4 = F.array(*[F.lit(j) for j in range(4)])
+    cnt = (
+        tf.select("term", "tf", F.explode(rows4).alias("j"))
+        .select("j", bucket(F.col("j"), F.col("term")).alias("b"), "tf")
+        .groupBy("j", "b")
+        .agg(F.sum("tf").alias("c"))
+    )
+    top = tf.orderBy(F.col("tf").desc(), F.col("term")).limit(20)
+    probes = top.select("term", "tf", F.explode(rows4).alias("j")).select(
+        "term", "tf", "j", bucket(F.col("j"), F.col("term")).alias("b")
+    )
+    # both sides of this join are tiny (20×4 probes, ≤1024 counters) —
+    # broadcast the counter table; the only real shuffle in the whole
+    # query is the term-frequency aggregate every TF pass already pays.
+    est = probes.join(F.broadcast(cnt), ["j", "b"]).groupBy("term", "tf").agg(
+        F.min("c").alias("cm")
+    )
+    return est.select(
+        "term",
+        F.col("tf").cast("long").alias("exact_tf"),
+        F.col("cm").cast("long").alias("cm_estimate"),
+        (F.col("cm") - F.col("tf")).cast("long").alias("overestimate"),
+    )
