@@ -541,3 +541,62 @@ def j9_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_transition"),
     )
+
+
+# --- J10: salted skew join (explicit hot-key spreading) ----------------------------
+# The join-side twin of g4's salted aggregate: joining a fact stream to a
+# per-key dim when one key is pathologically hot funnels that key's every
+# row through one task. AQE's skew-join splitting covers the sort-merge
+# path; this is the EXPLICIT form a pipeline reaches for when the dim
+# side must stay a shuffled hash join or the engine's rewrite is
+# unavailable: replicate each dim row SALT_N times (dim is per-key tiny,
+# so the blowup is bounded and broadcast-friendly), give each fact row a
+# deterministic salt from its own key hash, and join on (key, salt) —
+# every fact row still matches exactly one dim copy, so the result is
+# provably identical to the unsalted join (the oracle states the plain
+# join), but a hot user's rows now spread over SALT_N tasks. Output is
+# the per-type mean absolute deviation from each user's own baseline.
+@query(
+    "j10_salted_skew_join",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, avg(value) AS user_mean
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(avg(abs(e.value - d.user_mean)), 6) AS mean_abs_dev
+    FROM events e JOIN d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALT_N = 16
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.avg("value").alias("user_mean"))
+    # dim side: every row replicated once per salt value
+    dim_salted = dim.select(
+        "user_id",
+        "user_mean",
+        F.explode(F.array(*[F.lit(s) for s in range(SALT_N)])).alias("salt"),
+    )
+    # fact side: deterministic PER-ROW salt (hash of the row id, NOT the
+    # join key — a key-derived salt would send the hot user's rows to one
+    # salt again); every fact row matches exactly one of the SALT_N dim
+    # copies, so multiplicity is preserved
+    fact = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(SALT_N),
+        ).alias("salt"),
+    )
+    joined = fact.join(dim_salted, ["user_id", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(F.abs(F.col("value") - F.col("user_mean"))), 6).alias("mean_abs_dev"),
+    )

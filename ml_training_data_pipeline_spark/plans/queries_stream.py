@@ -313,3 +313,42 @@ def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, "st8_out", output_mode="complete")
+
+
+# --- ST9: sliding (overlapping) windows on a stream --------------------------------
+# The window shape st1 does NOT cover: a 10-minute window sliding every
+# 5 minutes, so every event lands in exactly TWO windows. Structured
+# Streaming plans this as a per-event expansion to its window
+# memberships before the same watermarked state-store aggregate —
+# at 100 TB the expansion factor is window/slide (2 here), the knob a
+# deployment tunes directly. The oracle restates the membership rule:
+# each event joins the two epoch-aligned starts floor(t/300)*300 and
+# floor(t/300)*300 - 300 that satisfy start <= t < start + 600.
+@query(
+    "st9_stream_sliding_counts",
+    oracle="""
+    WITH m AS (
+      SELECT epoch(ts) AS ets, event_type,
+             unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
+                     CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM m
+    WHERE ets >= window_start AND ets < window_start + 600
+    GROUP BY 1, 2
+    """,
+)
+def st9_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_bounded(agg, "st9_out", output_mode="complete")
