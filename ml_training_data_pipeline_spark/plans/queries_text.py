@@ -1535,3 +1535,49 @@ def v8_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm").cast("long").alias("cm_estimate"),
         (F.col("cm") - F.col("tf")).cast("long").alias("overestimate"),
     )
+
+
+# --- MIX4: deterministic train/val/test split --------------------------------------
+# The split every training run needs, done the 100-TB way: NOT
+# randomSplit (nondeterministic across retries/partitionings — a straggler
+# retry reassigns rows) but a HASH-RANGE rule on the stable document key:
+# bucket = md5_long(doc_id) % 100 → train < 90 ≤ val < 95 ≤ test. The
+# assignment is a pure per-row projection — reproducible on any engine,
+# any partitioning, any subset of the corpus — and the audit proves the
+# three invariants that matter: partition completeness (counts sum to
+# corpus), disjointness (a doc is in exactly one split — structural,
+# since the rule is a function of doc_id), and per-language ratio
+# fidelity.
+@query(
+    "mix4_train_val_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY lang, split
+    """,
+)
+def mix4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "d15_duplicate_spans", "t9_zorder_layout", "mm5_image_phash_groups",
     "x19_readability", "v8_count_min_heavy_hitters",
     "st9_stream_sliding_counts", "j10_salted_skew_join",
+    "mix4_train_val_test_split",
     # Also touched this round but result-identical (verified against the
     # sf0.01 oracle locally: d10/n6/cur2/d4) or rows-only (ep2/st4/m5 —
     # a fresh row only proves they ran, which r5 already did): first in
