@@ -166,6 +166,13 @@ def test_results_invariant_to_shuffle_partitions(spark):
                 "w6_decayed_engagement",
                 "n7_prototype_confusion",
                 "mix2_stratified_quota",
+                # round-6b float-heavy additions: decimal-summed join
+                # aggregates (h5), double array folds (n10), salted join
+                # deviation means (j10), readability averages (x19)
+                "h5_local_supplier_volume",
+                "n10_int8_quantization",
+                "j10_salted_skew_join",
+                "x19_readability",
             ):
                 pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
                 pdf = pdf[sorted(pdf.columns)].sort_values(
