@@ -878,3 +878,74 @@ def d15_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
         ).alias("dup_span_frac"),
     )
+
+
+# --- D16: MinHash estimator calibration audit --------------------------------------
+# The audit that justifies trusting d4's pipeline at 100 TB: for every
+# LSH candidate pair, the MinHash ESTIMATE of Jaccard (matching
+# signature components / 8) side-by-side with the EXACT Jaccard, plus
+# the absolute error. This is the v8 pattern applied to MinHash — the
+# sketch's statistical contract surfaced as a checkable query instead of
+# trusted on faith. One shingle materialization feeds all three
+# consumers (signatures, candidate scoping, exact verification — the d4
+# localCheckpoint discipline); the estimate needs no new shuffle beyond
+# the signature aggregate d4 already pays.
+@query(
+    "d16_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_CANDIDATES},
+    {_JACCARD},
+    est AS (
+      SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+             sum(CASE WHEN ma.min_hash = mb.min_hash THEN 1 ELSE 0 END) / 8.0
+               AS est_jaccard
+      FROM mh ma
+      JOIN mh mb ON ma.seed = mb.seed AND ma.doc_id < mb.doc_id
+      JOIN cands c ON c.doc_a = ma.doc_id AND c.doc_b = mb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           j.jaccard,
+           round(abs(e.est_jaccard - j.jaccard), 6) AS abs_err
+    FROM est e JOIN jac j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
+    """,
+)
+def d16_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_bands_from_wide,
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    wide = minhash_wide(sh, num_hashes=8)
+    cands = lsh_candidate_pairs(lsh_bands_from_wide(wide, rows_per_band=2))
+    exact = jaccard_pairs(sh, candidates=cands)
+    # estimate via two equi-joins of the WIDE signature onto the pair
+    # list (each candidate pair fetches both 8-column signature rows and
+    # compares in-row) — never a seed-keyed signature self-join, which is
+    # all-docs × all-docs per seed at scale.
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)]
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)]
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (matches / 8.0).alias("est_jaccard"))
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard"), 6).alias("est_jaccard"),
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
