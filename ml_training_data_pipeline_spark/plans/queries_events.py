@@ -600,3 +600,41 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.avg(F.abs(F.col("value") - F.col("user_mean"))), 6).alias("mean_abs_dev"),
     )
+
+
+# --- W11: event-rate burst detection -----------------------------------------------
+# The ingestion-health monitor: bucket the stream into 5-minute windows,
+# then flag windows whose event count sits ≥ 3σ from the mean window
+# rate. Two-pass shape shared with w8/n9 — the global stats are ONE tiny
+# row broadcast back over the window aggregate (never a global window
+# function over all buckets), so the plan is two map-side-combinable
+# aggregates and a broadcast join regardless of corpus size. Bursts are
+# what a 100-TB pipeline actually alerts on: a stuck producer (rate
+# collapse) or a replay storm (rate spike) both land outside 3σ.
+@query(
+    "w11_rate_bursts",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS window_start,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    s AS (SELECT avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM w)
+    SELECT w.window_start, w.n_events,
+           round((w.n_events - s.mu) / s.sd, 6) AS z,
+           abs(w.n_events - s.mu) >= 3 * s.sd AS is_burst
+    FROM w CROSS JOIN s
+    """,
+)
+def w11_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = e.groupBy(
+        (F.floor(F.col("ts").cast("long") / 300).cast("long") * 300).alias("window_start")
+    ).agg(F.count("*").alias("n_events"))
+    s = w.agg(F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sd"))
+    return w.crossJoin(F.broadcast(s)).select(
+        "window_start",
+        "n_events",
+        F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        (F.abs(F.col("n_events") - F.col("mu")) >= 3 * F.col("sd")).alias("is_burst"),
+    )
