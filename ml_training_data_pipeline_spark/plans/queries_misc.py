@@ -709,3 +709,61 @@ def t9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.least(F.col("n_chars"), F.lit(799)) / 100).cast("long").alias("len_bucket"),
     ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+
+
+# --- EP5: dedup → split → shard, one composed plan ---------------------------------
+# The prep flow a training run actually executes, as ONE declarative
+# plan: exact-dedup survivor selection (d1's min-doc-id-per-fingerprint
+# policy), then the deterministic hash-range train/val/test split
+# (mix4's rule), then hash-shard assignment (t7's rule), finishing in
+# the per-(split, shard) manifest a data loader consumes. Composition is
+# the point — every stage is the already-oracle-checked operator, and
+# chaining them stays ONE job: survivor selection is a groupBy +
+# semi-join on the fingerprint, split/shard are per-row projections, the
+# manifest is one aggregate. No intermediate materialization, no driver
+# round-trip; Catalyst pipelines the projections into the survivor join.
+@query(
+    "ep5_dedup_split_shards",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+    survivors AS (
+      SELECT d.doc_id, d.n_chars FROM documents d JOIN keep k USING (doc_id)
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8 AS shard
+      FROM survivors
+    )
+    SELECT split, shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY split, shard
+    """,
+)
+def ep5_dedup_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dup_groups, md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dup_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        % 8
+    )
+    return (
+        survivors.select("doc_id", "n_chars", split.alias("split"), shard.alias("shard"))
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
