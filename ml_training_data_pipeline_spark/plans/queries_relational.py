@@ -614,3 +614,76 @@ def h8_returned_revenue_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --- H9: customer order-count distribution (TPC-H Q13 shape) -----------------
+# The OUTER-join histogram: customers with zero orders must appear in
+# the c_count=0 bucket, so the join is LEFT OUTER and the count is over
+# the nullable order key (count(col) skips nulls — the semantics the
+# whole query hinges on). Double aggregation: per-customer counts, then
+# the distribution over counts — both map-side combinable; the second
+# groupBy's key space is tiny (distinct order counts), so the plan ends
+# in a near-free shuffle.
+@query(
+    "h9_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def h9_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- H10: large-volume customers (TPC-H Q18 shape) ---------------------------
+# Aggregate-then-semi-join: the qualifying order set comes from a
+# HAVING over the lineitem aggregate, then scopes the 3-way join via
+# LEFT SEMI — the aggregate runs ONCE and only qualifying orders flow
+# into the join, instead of joining everything and filtering after. The
+# qualifying set is small by construction (the threshold selects the
+# tail), so AQE broadcasts it into both probe sides.
+@query(
+    "h10_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def h10_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    qualifying = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    lq = l.join(qualifying.withColumnRenamed("l_orderkey", "q_orderkey"),
+                F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
+    return (
+        lq.join(o, lq.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+    )
