@@ -767,3 +767,61 @@ def ep5_dedup_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --- PACK2: context-window chunking with overlap -----------------------------------
+# The pretraining chunker: long documents split into 128-token windows
+# advancing by 112 (16-token overlap, so no boundary context is lost),
+# emitting the chunk MANIFEST (doc_id, chunk_idx, n_tokens, boundary
+# fingerprint) a data loader consumes. Distinct from cur5/d15 — those
+# hash windows to detect duplication; this PRODUCES the training units.
+# Chunks are an in-row transform(sequence(...)) projection — per-doc
+# fan-out is ceil((len-16)/112), no shuffle until nothing (the manifest
+# IS the output, one narrow stage end to end). The tail rule is
+# explicit: the last chunk is whatever remains after the final full
+# stride (≥ 1 token), so every token belongs to ≥ 1 chunk — audited by
+# the n_tokens sum check the oracle restates.
+@query(
+    "pack2_overlap_chunking",
+    oracle=f"""
+    WITH {toks_cte()},
+    chunks AS (
+      SELECT doc_id,
+             unnest([
+               {{'idx': i, 'n': len(toks[(i*112+1):(i*112+128)]),
+                 'fp': md5(array_to_string(toks[(i*112+1):(i*112+128)], ' '))}}
+               for i in range(0, greatest(1, CAST(ceil((len(toks) - 16) / 112.0) AS BIGINT)))
+             ]) AS c
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(c.idx AS BIGINT) AS chunk_idx,
+           CAST(c.n AS BIGINT) AS n_tokens,
+           c.fp AS chunk_fp
+    FROM chunks
+    """,
+)
+def pack2_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(1, CAST(ceil((size(toks) - 16) / 112.0) AS BIGINT)) - 1),"
+                " i -> struct(i AS idx,"
+                "             size(slice(toks, i*112+1, 128)) AS n,"
+                "             md5(concat_ws(' ', slice(toks, i*112+1, 128))) AS fp))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.idx").cast("long").alias("chunk_idx"),
+        F.col("c.n").cast("long").alias("n_tokens"),
+        F.col("c.fp").alias("chunk_fp"),
+    )

@@ -84,3 +84,40 @@ def test_d15_catches_shifted_alignment_cur5_misses(spark):
     ).count()
     assert shared8 == 0, "fixed-stride should miss the shifted span"
     assert shared1 >= 5, f"stride-1 must catch the span's windows, got {shared1}"
+
+
+def test_pack2_chunks_cover_every_token_with_overlap(spark):
+    # long-doc semantics the sf-corpus (short docs) can't exercise: a
+    # 300-token doc must produce ceil((300-16)/112)=3 chunks, starting
+    # at 0/112/224, each 128 tokens except the 76-token tail, adjacent
+    # chunks sharing exactly 16 tokens, and the union covering 0..299.
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.plans import registry
+
+    text = " ".join(f"tok{i}" for i in range(300))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from ml_training_data_pipeline_spark.functions.text import tokenize
+
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    rows = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(1, CAST(ceil((size(toks) - 16) / 112.0) AS BIGINT)) - 1),"
+                    " i -> struct(i AS idx, slice(toks, i*112+1, 128) AS chunk))"
+                )
+            ).alias("c")
+        )
+        .select("c.idx", "c.chunk")
+        .collect()
+    )
+    chunks = {r["idx"]: r["chunk"] for r in rows}
+    assert sorted(chunks) == [0, 1, 2]
+    assert [len(chunks[i]) for i in (0, 1, 2)] == [128, 128, 76]
+    assert chunks[0][-16:] == chunks[1][:16]  # 16-token overlap
+    assert chunks[1][-16:] == chunks[2][:16]
+    covered = set()
+    for c in chunks.values():
+        covered.update(c)
+    assert len(covered) == 300  # every token in at least one chunk
