@@ -1581,3 +1581,62 @@ def mix4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# --- V9: BPE merge-candidate induction (first trainer step) ------------------------
+# The first step of training a BPE tokenizer on the corpus: character-
+# pair frequencies within words, weighted by corpus term frequency — the
+# exact statistic the first merge rule maximizes. Scale shape: pairs are
+# counted on the DISTINCT-term table (term, corpus_tf) — vocabulary-
+# sized, already aggregated — and each term fans out to length-1 in-row
+# substring pairs, so the corpus token stream is never re-exploded per
+# character. (The full trainer iterates merge→recount; each iteration is
+# this same query over a re-segmented vocabulary — driver-coordinated
+# like connected_components, with the per-iteration cost bounded by
+# vocabulary size, not corpus size.) Top-50 with total-order tie-break.
+@query(
+    "v9_bpe_merge_candidates",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()},
+    tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    pairs AS (
+      SELECT unnest([substr(term, i, 2) for i in range(1, length(term))]) AS pair, tf
+      FROM tf WHERE length(term) >= 2
+    ),
+    agg AS (
+      SELECT pair, CAST(sum(tf) AS BIGINT) AS pair_freq
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_freq, rank FROM (
+      SELECT pair, pair_freq,
+             row_number() OVER (ORDER BY pair_freq DESC, pair ASC) AS rank
+      FROM agg
+    ) WHERE rank <= 50
+    """,
+)
+def v9_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        term_counts(doc_tokens(docs))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"))
+        .where(F.length("term") >= 2)
+    )
+    pairs = tf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair"),
+        "tf",
+    )
+    from pyspark.sql import Window
+
+    agg = pairs.groupBy("pair").agg(F.sum("tf").cast("long").alias("pair_freq"))
+    # TakeOrdered keeps the top-50 parallel; the rank window then runs
+    # over ≤ 50 rows (the v4 pattern — window above the limit).
+    top = agg.orderBy(F.col("pair_freq").desc(), F.col("pair")).limit(50)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("pair_freq").desc(), F.col("pair")))
+        .cast("long"),
+    )
