@@ -1640,3 +1640,19 @@ def v9_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("pair_freq").desc(), F.col("pair")))
         .cast("long"),
     )
+
+
+# --- V10: learned BPE merge rules (iterative trainer) ------------------------------
+# 🔶 rows-only: the Sennrich-style merge loop is iterative argmax —
+# driver-coordinated control flow a DuckDB oracle can't restate (the
+# invariants are pinned in tests/test_bpe.py: the classic
+# low/lower/newest/widest corpus learns exactly es→est→lo→low→ew→ewest,
+# and rules are partitioning-invariant). Every iteration is bounded by
+# |vocab|, not corpus size — see operators/bpe.py.
+@query("v10_bpe_learned_merges")
+def v10_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import merge_table, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _state = train_bpe(docs, n_merges=8)
+    return merge_table(spark, merges)
