@@ -118,3 +118,56 @@ def merge_table(spark, merges: list[tuple[int, str, str, str, int]]) -> DataFram
     return spark.createDataFrame(
         merges, "step long, left string, right string, merged string, pair_freq long"
     )
+
+
+def apply_merges(
+    segmented: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    syms_col: str = "syms",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Serve path: apply learned rules IN LEARNING ORDER to a (…, syms)
+    DataFrame — the same JVM fold the trainer uses, so train/serve
+    segmentation is bit-identical. Rules chain as successive projections
+    (Catalyst pipelines them into one stage); lineage is cut every few
+    rules so long rule lists stay O(N) planning."""
+    out = segmented
+    for step, (_i, l, r, merged, _f) in enumerate(merges):
+        fold = _MERGE_FOLD.format(L=_lit(l), R=_lit(r), M=_lit(merged))
+        fold = fold.replace("syms", syms_col) if syms_col != "syms" else fold
+        out = out.withColumn(syms_col, F.expr(fold))
+        if (step + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_chars_sym, n_subwords): per-document subword counts
+    under the learned merges — the token-budget number a training run
+    plans with. Counting happens on the VOCABULARY (segment each
+    distinct term once, then join term-level subword counts back to the
+    per-doc term stream) — the corpus stream is never re-segmented
+    per occurrence."""
+    toks = doc_tokens(docs, text_col, id_col)
+    per_term = term_counts(toks)  # (doc_id, term, tf)
+    vocab = per_term.select("term").distinct().select(
+        "term", F.expr("split(term, '(?!^)(?=.)')").alias("syms")
+    )
+    seg = apply_merges(vocab, merges).select(
+        "term",
+        F.length("term").cast("long").alias("n_chars_term"),
+        F.size("syms").cast("long").alias("n_sub_term"),
+    )
+    return (
+        per_term.join(seg, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("n_chars_term")).cast("long").alias("n_chars_sym"),
+            F.sum(F.col("tf") * F.col("n_sub_term")).cast("long").alias("n_subwords"),
+        )
+    )

@@ -1656,3 +1656,27 @@ def v10_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges, _state = train_bpe(docs, n_merges=8)
     return merge_table(spark, merges)
+
+
+# --- V11: BPE encode / token-budget report (serve path) ----------------------------
+# 🔶 rows-only: serves the v10-learned rules back over the corpus and
+# reports per-language compression (chars per subword) — the number that
+# converts a 100-TB character budget into a token budget. Segmentation
+# runs ONCE per distinct term (vocabulary-sized) and joins back to the
+# per-doc term stream; train/serve use the same JVM fold, so
+# tests/test_bpe.py's train-serve round-trip is exact.
+@query("v11_bpe_token_budget")
+def v11_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_token_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, n_merges=8)
+    counts = encode_token_counts(docs, merges)
+    enriched = counts.join(docs.select("doc_id", "lang"), "doc_id")
+    return enriched.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_subwords").alias("total_subwords"),
+        F.round(
+            F.sum("n_chars_sym").cast("double") / F.sum("n_subwords"), 6
+        ).alias("chars_per_subword"),
+    )

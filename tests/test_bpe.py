@@ -77,3 +77,30 @@ def test_symbol_split_is_per_codepoint(spark):
         .collect()
     )
     assert row[0]["syms"] == ["h", "é", "l", "l", "o"]
+
+
+def test_train_serve_roundtrip_segmentation_identical(spark):
+    # applying the learned rules through apply_merges must reproduce the
+    # trainer's own final segmentation exactly (same fold, same order).
+    from ml_training_data_pipeline_spark.operators.bpe import apply_merges
+
+    docs = _classic_docs(spark)
+    merges, state = train_bpe(docs, n_merges=6)
+    served = apply_merges(vocab_symbols(docs), merges)
+    a = {r["term"]: r["syms"] for r in state.collect()}
+    b = {r["term"]: r["syms"] for r in served.collect()}
+    assert a == b
+
+
+def test_encode_token_counts_compresses(spark):
+    # subword count must be <= char count, and merged terms must show
+    # real compression on the classic corpus.
+    from ml_training_data_pipeline_spark.operators.bpe import encode_token_counts
+
+    docs = _classic_docs(spark)
+    merges, _ = train_bpe(docs, n_merges=6)
+    row = encode_token_counts(docs, merges).collect()[0]
+    assert row["n_subwords"] < row["n_chars_sym"]
+    # low×5→[low]=1, lower×2→[low,e,r]=3, newest×6→[n,ewest]=2,
+    # widest×3→[w,i,d,est]=4
+    assert row["n_subwords"] == 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4
