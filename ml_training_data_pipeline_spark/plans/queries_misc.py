@@ -825,3 +825,36 @@ def pack2_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n").cast("long").alias("n_tokens"),
         F.col("c.fp").alias("chunk_fp"),
     )
+
+
+# --- S11: small-file compaction ----------------------------------------------------
+# The maintenance job every long-lived 100-TB table needs: streaming and
+# incremental writers leave hundreds of KB-sized files per partition,
+# and scan throughput dies on per-file open costs (the classic
+# small-files problem). Compaction = read the fragmented table,
+# coalesce() to the target file count, rewrite. coalesce, NOT
+# repartition: it merges existing partitions without a shuffle — the
+# whole job is a read + write. The query writes a deliberately
+# fragmented copy (64 files), compacts it to 4, and returns the
+# aggregate off the compacted table — proving losslessness; the
+# file-count audit lives in tests/test_round6c.py.
+@query(
+    "s11_small_file_compaction",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = os.path.join(tempfile.gettempdir(), f"mtdp_compact_{os.path.basename(sf_dir)}")
+    frag_dir, compact_dir = base + "_frag", base + "_out"
+    docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(4).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -121,3 +121,27 @@ def test_pack2_chunks_cover_every_token_with_overlap(spark):
     for c in chunks.values():
         covered.update(c)
     assert len(covered) == 300  # every token in at least one chunk
+
+
+def test_s11_compaction_reduces_file_count_losslessly(spark):
+    registry.QUERIES["s11_small_file_compaction"](spark, SF_DIR).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), f"mtdp_compact_{os.path.basename(SF_DIR)}"
+    )
+    frag = glob.glob(os.path.join(base + "_frag", "part-*.parquet"))
+    out = glob.glob(os.path.join(base + "_out", "part-*.parquet"))
+    assert len(frag) >= 32, len(frag)   # genuinely fragmented input
+    assert len(out) <= 4, len(out)      # compacted to the target
+    a = spark.read.parquet(base + "_frag").count()
+    b = spark.read.parquet(base + "_out").count()
+    assert a == b  # lossless
+
+
+def test_s11_compaction_plan_has_no_shuffle(spark):
+    # coalesce must not introduce an Exchange — the whole point is a
+    # shuffle-free rewrite.
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    plan = docs.coalesce(4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
