@@ -141,3 +141,78 @@ def l2_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = kw.withColumn("label", llm_complete(label_prompt(F.col("keywords"))))
     sizes = docs.groupBy(F.col("lang").alias("cluster_id")).agg(F.count("*").alias("n_docs"))
     return labeled.join(sizes, "cluster_id").select("cluster_id", "keywords", "label", "n_docs")
+
+
+# --- L3: inference cost accounting ---------------------------------------------
+# The ops telemetry every LLM-enrichment pass ships with: per-language
+# call counts, prompt/completion token estimates (the industry-standard
+# chars/4 proxy — exact, portable, and model-free), and projected spend
+# at illustrative unit prices ($3/M prompt, $15/M completion). The Spark
+# side runs the REAL Arrow-batched completion UDF (mock transport) so
+# the accounting covers the same path production runs; the oracle
+# restates the mock analytically (the l1 fragments) and prices the same
+# formula. At 100 TB this query is the difference between a budgeted
+# enrichment pass and a surprise invoice.
+@query(
+    "l3_inference_cost_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN NULL ELSE text END AS text
+      FROM documents
+    ),
+    resp AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN text IS NULL THEN NULL ELSE {_TOPIC_RESP} END AS tr,
+             CASE WHEN text IS NULL THEN NULL ELSE {_SECTOR_RESP} END AS sr
+      FROM base
+    ),
+    costed AS (
+      SELECT lang,
+             CASE WHEN text IS NULL THEN 0 ELSE 2 END AS n_calls,
+             CASE WHEN text IS NULL THEN 0 ELSE
+               CAST(ceil(length('{TOPIC_PROMPT_PREFIX}' || text) / 4.0) AS BIGINT)
+               + CAST(ceil(length('{SECTOR_PROMPT_PREFIX}' || text) / 4.0) AS BIGINT) END AS p_toks,
+             CASE WHEN text IS NULL THEN 0 ELSE
+               CAST(ceil(length(tr) / 4.0) AS BIGINT)
+               + CAST(ceil(length(sr) / 4.0) AS BIGINT) END AS c_toks
+      FROM resp
+    )
+    SELECT lang,
+           CAST(sum(n_calls) AS BIGINT) AS n_calls,
+           CAST(sum(p_toks) AS BIGINT) AS prompt_tokens,
+           CAST(sum(c_toks) AS BIGINT) AS completion_tokens,
+           round(sum(p_toks) * 3.0 / 1e6 + sum(c_toks) * 15.0 / 1e6, 6) AS est_cost_usd
+    FROM costed GROUP BY lang
+    """,
+)
+def l3_inference_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.llm import sector_prompt, topic_prompt
+
+    docs = load_table(spark, sf_dir, "documents")
+    guarded = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), None
+    ).otherwise(F.col("text"))
+    base = docs.select("lang", guarded.alias("_text"))
+    with_resp = base.withColumn(
+        "tr", llm_complete(topic_prompt(F.col("_text")))
+    ).withColumn("sr", llm_complete(sector_prompt(F.col("_text"))))
+    tok = lambda c: F.ceil(F.length(c) / 4.0).cast("long")  # noqa: E731
+    costed = with_resp.select(
+        "lang",
+        F.when(F.col("_text").isNull(), 0).otherwise(2).alias("n_calls"),
+        F.when(F.col("_text").isNull(), 0)
+        .otherwise(tok(topic_prompt(F.col("_text"))) + tok(sector_prompt(F.col("_text"))))
+        .alias("p_toks"),
+        F.when(F.col("_text").isNull(), 0)
+        .otherwise(tok(F.col("tr")) + tok(F.col("sr")))
+        .alias("c_toks"),
+    )
+    return costed.groupBy("lang").agg(
+        F.sum("n_calls").cast("long").alias("n_calls"),
+        F.sum("p_toks").cast("long").alias("prompt_tokens"),
+        F.sum("c_toks").cast("long").alias("completion_tokens"),
+        F.round(
+            F.sum("p_toks") * 3.0 / 1e6 + F.sum("c_toks") * 15.0 / 1e6, 6
+        ).alias("est_cost_usd"),
+    )
