@@ -352,3 +352,50 @@ def st9_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, "st9_out", output_mode="complete")
+
+
+# --- ST10: streaming dedup gate against a static corpus ----------------------------
+# The ingest-time curation join cur4 does in batch, as a stream: arriving
+# documents (the odd-doc_id half, streamed) are fingerprinted and
+# LEFT ANTI joined against the known-corpus fingerprint set (the even
+# half, static) — only NOVEL documents survive into the per-language
+# admission count. Stream-static anti joins are stateless on the stream
+# side (each micro-batch probes the static side; no state store, no
+# watermark bookkeeping), which is why this shape — not a stream-stream
+# join — is the 100-TB ingest gate: the corpus fingerprint set lives as
+# a bucketed static table and every arriving batch probes it.
+@query(
+    "st10_stream_dedup_gate",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    arriving AS (
+      SELECT f.doc_id, f.fp, d.lang
+      FROM fps f JOIN documents d USING (doc_id)
+      WHERE f.doc_id % 2 = 1
+    )
+    SELECT lang, count(*) AS n_novel
+    FROM arriving a
+    WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = a.fp)
+    GROUP BY lang
+    """,
+)
+def st10_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint
+    from ..io.sources import load_table
+
+    static_known = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    novel = arriving.join(static_known, "fp", "left_anti")
+    agg = novel.groupBy("lang").agg(F.count("*").alias("n_novel"))
+    return run_bounded(agg, "st10_out", output_mode="complete")
