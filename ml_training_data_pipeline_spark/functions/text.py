@@ -154,3 +154,20 @@ def concat_features(*cols: Column, sep: str = " ") -> Column:
 def null_if_empty(c: Column) -> Column:
     """P7 — empty-prompt guard (01_extract_features.R:85-88)."""
     return F.when(c.isNull() | (F.trim(c) == ""), None).otherwise(c)
+
+
+def strip_html(c: Column) -> Column:
+    """Web-corpus boilerplate removal: drop <script>/<style> blocks WITH
+    their contents, strip remaining tags, unescape the five XML entities,
+    collapse whitespace. Pure column expressions with RE2-safe patterns
+    (no lookarounds, (?is) inline flags work on both Java regex and
+    DuckDB/RE2), so the op is oracle-restatable. Order matters:
+    block-drop before tag-strip (a stripped <script> tag would leak its
+    payload), entity unescape after tag-strip (so &lt;b&gt; never turns
+    into a live tag — the classic double-unescape injection)."""
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1680,3 +1680,55 @@ def v11_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars_sym").cast("double") / F.sum("n_subwords"), 6
         ).alias("chars_per_subword"),
     )
+
+
+# --- F13: HTML boilerplate stripping -----------------------------------------------
+# The first transform every web-scraped corpus runs: drop script/style
+# blocks with their payloads, strip tags, unescape entities, collapse
+# whitespace (functions/text.strip_html; semantics pinned on HTML-laden
+# fixtures in tests/test_round6c.py — this corpus is already clean, so
+# the report honestly shows n_changed = 0, proving the op is a no-op
+# exactly when it should be). Identical RE2-safe regex chain on both
+# engines; entity unescape runs AFTER tag-strip so &lt;script&gt; text
+# can never become a live tag.
+@query(
+    "f13_html_strip",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<[^>]+>', ' ', 'g'),
+                     '&lt;', '<', 'g'),
+                   '&gt;', '>', 'g'),
+                 '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'),
+             '\\s+', ' ', 'g')) AS stripped
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN replace(stripped, '&amp;', '&') <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(length(replace(stripped, '&amp;', '&'))) AS BIGINT) AS total_chars_after
+    FROM s GROUP BY lang
+    """,
+)
+def f13_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    s = docs.select("lang", "text", strip_html(F.col("text")).alias("stripped"))
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("stripped") != F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.length("stripped")).cast("long").alias("total_chars_after"),
+    )

@@ -145,3 +145,27 @@ def test_s11_compaction_plan_has_no_shuffle(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id")
     plan = docs.coalesce(4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_f13_strip_html_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.functions.text import strip_html
+
+    cases = [
+        (1, "<p>Hello <b>world</b></p>", "Hello world"),
+        (2, "before<script type='x'>var a = '<p>';</script>after", "before after"),
+        (3, "a<style>.x { color: red }</style>b", "a b"),
+        # entities unescape AFTER tag strip: no double-unescape injection
+        (4, "&lt;script&gt;alert(1)&lt;/script&gt;", "<script>alert(1)</script>"),
+        (5, "Tom &amp; Jerry &quot;cartoon&quot; &#39;classic&#39;", "Tom & Jerry \"cartoon\" 'classic'"),
+        (6, "<div\nclass='multi\nline'>x</div>", "x"),
+        (7, "no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id long, text string")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", strip_html(F.col("text")).alias("s")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
