@@ -377,3 +377,38 @@ def m6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- M7: K-means model selection (elbow report) ------------------------------------
+# 🔶 rows-only: the model-selection sweep the reference does by eye
+# (k=15 chosen in 02_build_models.R:183-190) as a query — total
+# within-cluster SS for k ∈ {2, 5, 10, 20}, the elbow curve that picks
+# k. Each fit is an independent MLlib job over the SAME cached feature
+# frame (one corpus scan, four fits — at scale the fits are the cost,
+# so the sweep parallelizes by k across FAIR-pool jobs like refine's
+# big-candidate stage; serial here since k is small). Deterministic:
+# fixed seed per k, so rows-only still reruns identically. Invariant
+# pinned in tests/test_round6c.py: withinss is non-increasing in k.
+@query("m7_kmeans_elbow")
+def m7_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import fit_kmeans, withinss
+
+    vecs = _embedding_vectors(spark, sf_dir).cache()
+    rows = []
+    for k in (2, 5, 10, 20):
+        res = fit_kmeans(vecs, k=k, seed=123)
+        cdf = spark.createDataFrame(
+            [
+                (i, j, float(x))
+                for i, c in enumerate(res.model.clusterCenters())
+                for j, x in enumerate(c)
+            ],
+            "cluster_id int, idx int, weight double",
+        )
+        wss = withinss(vecs, res.assignments, cdf)
+        total = wss.agg(F.sum("withinss").alias("t")).collect()[0]["t"]
+        rows.append((k, float(total)))
+    vecs.unpersist()
+    return spark.createDataFrame(rows, "k long, total_withinss double").select(
+        "k", F.round("total_withinss", 4).alias("total_withinss")
+    )

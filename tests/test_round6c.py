@@ -169,3 +169,14 @@ def test_f13_strip_html_semantics(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_m7_elbow_is_monotone_nonincreasing(spark):
+    # more clusters can only reduce (or hold) total within-SS — the
+    # invariant that makes the elbow curve meaningful.
+    rows = registry.QUERIES["m7_kmeans_elbow"](spark, SF_DIR).collect()
+    by_k = {r["k"]: r["total_withinss"] for r in rows}
+    ks = sorted(by_k)
+    assert ks == [2, 5, 10, 20]
+    for a, b in zip(ks, ks[1:]):
+        assert by_k[b] <= by_k[a] * 1.001, (a, b, by_k)
