@@ -858,3 +858,91 @@ def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- S12: dynamic partition overwrite ----------------------------------------------
+# The incremental-refresh write a partitioned corpus store lives by:
+# re-materialize ONE partition (lang=en here, with a derived column
+# added) while every other partition's files stay untouched. Requires
+# spark.sql.sources.partitionOverwriteMode=dynamic scoped to this write
+# — STATIC mode (the default) would delete all partitions first, which
+# at 100 TB is the difference between rewriting 2% and rewriting
+# everything. The read-back aggregate proves exactly the en rows changed
+# and everything else survived.
+@query(
+    "s12_dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS BIGINT)
+             AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s12_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_dynover_{os.path.basename(sf_dir)}")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    # incremental refresh: only the en partition, with doubled chars
+    refreshed = docs.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        refreshed.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# --- S13: latest-wins upsert (engine-level MERGE) ----------------------------------
+# The batch upsert a warehouse without a table format still needs: a
+# base snapshot plus an updates batch, merged latest-wins per key. The
+# scale idiom: unionByName the two versioned streams and keep
+# row_number()=1 per key ordered by version DESC — ONE shuffle on the
+# key (the window), no join, and the same plan handles N update batches
+# stacked in one pass. (With Delta/Iceberg this is MERGE INTO; the
+# operator here is the format-free equivalent with identical
+# semantics.) Updates: even-doc_id rows get n_chars+1000 as version 2;
+# odd rows survive from version 1.
+@query(
+    "s13_upsert_latest_wins",
+    oracle="""
+    WITH versioned AS (
+      SELECT doc_id, lang, n_chars, 1 AS version FROM documents
+      UNION ALL BY NAME
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars, 2 AS version
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    latest AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+      FROM versioned
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM latest WHERE rn = 1 GROUP BY lang
+    """,
+)
+def s13_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = docs.withColumn("version", F.lit(1))
+    updates = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("version", F.lit(2))
+    )
+    versioned = base.unionByName(updates)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    latest = versioned.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return latest.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
