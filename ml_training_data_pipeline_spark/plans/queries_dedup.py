@@ -827,7 +827,7 @@ def d14_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT doc_id,
              unnest(list_distinct(
-               [array_to_string(toks[(i+1):(i+8)], ' ')
+               [('0x'||substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')),1,15))::BIGINT
                 for i in range(0, len(toks) - 7)]
              )) AS win
       FROM toks WHERE len(toks) >= 8
@@ -853,13 +853,19 @@ def d15_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
         F.size("toks") >= 8
     )
+    # windows ship as 60-bit md5 longs, not 8-token strings: the shuffle
+    # key drops from ~50 bytes to 8 per posting (the md5 itself is
+    # codegen'd JVM work before the exchange), and the per-doc distinct
+    # runs on the hashed form. Both engines hash identically (the md5
+    # bridge), so results agree exactly even in the astronomically-
+    # unlikely collision case.
     wins = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 "array_distinct(transform(sequence(0, size(toks) - 8),"
-                " i -> concat_ws(' ', slice(toks, i+1, 8))))"
-            )
+                " i -> conv(substr(md5(concat_ws(' ', slice(toks, i+1, 8))), 1, 15), 16, 10)))"
+            ).cast("array<long>")
         ).alias("win"),
     ).localCheckpoint()
     per_win = wins.groupBy("win").agg(F.count("*").alias("n_docs_with"))
