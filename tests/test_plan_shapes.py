@@ -237,3 +237,34 @@ def test_t9_export_shuffles_by_range_on_zval(spark):
         .toString()
     )
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_ep5_is_two_scans_max(spark):
+    # the composed prep pipeline must stay one job over at most two
+    # corpus scans (fingerprint aggregate + survivor fan-in); a third
+    # scan means a stage stopped fusing.
+    import re
+
+    plan = explain_str(spark, "ep5_dedup_split_shards")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_v8_counter_probe_is_broadcast(spark):
+    # the top-20 probe joins the ≤1024-counter sketch: must broadcast,
+    # never shuffle the probe through a sort-merge join.
+    plan = explain_str(spark, "v8_count_min_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_d15_shuffle_key_is_hashed_long(spark):
+    # the stride-1 window stream must shuffle 8-byte hashes, not window
+    # text. The hashing projection sits BEFORE the localCheckpoint (so
+    # the explained plan starts from the checkpointed RDD); what must
+    # hold downstream is the key's type — every `win` attribute in the
+    # plan is a bigint (the #...L suffix), never a string.
+    import re
+
+    plan = explain_str(spark, "d15_duplicate_spans")
+    wins = re.findall(r"win#\d+(L?)", plan)
+    assert wins, plan
+    assert all(suffix == "L" for suffix in wins), plan
