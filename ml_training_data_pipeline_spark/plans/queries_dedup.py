@@ -498,7 +498,7 @@ def cur4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT doc_id,
              unnest(list_distinct(
-               [array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+               [('0x'||substr(md5(array_to_string(toks[(i*8+1):(i*8+8)], ' ')),1,15))::BIGINT
                 for i in range(0, len(toks) // 8)]
              )) AS passage
       FROM toks WHERE len(toks) >= 8
@@ -524,13 +524,15 @@ def cur5_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
         F.size("toks") >= 8
     )
+    # passages ride the shuffle as 60-bit md5 longs, not 8-token strings
+    # (the d15 discipline: 8-byte keys, identical hashing both engines).
     passages = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 "array_distinct(transform(sequence(0, (size(toks) div 8) - 1),"
-                " i -> concat_ws(' ', slice(toks, i*8+1, 8))))"
-            )
+                " i -> conv(substr(md5(concat_ws(' ', slice(toks, i*8+1, 8))), 1, 15), 16, 10)))"
+            ).cast("array<long>")
         ).alias("passage"),
     ).localCheckpoint()
     per_passage = passages.groupBy("passage").agg(
