@@ -180,3 +180,42 @@ def test_m7_elbow_is_monotone_nonincreasing(spark):
     assert ks == [2, 5, 10, 20]
     for a, b in zip(ks, ks[1:]):
         assert by_k[b] <= by_k[a] * 1.001, (a, b, by_k)
+
+
+def test_mix4_split_is_a_partition_with_sane_ratios(spark):
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.dedup import md5_long
+
+    docs = load_table(spark, SF_DIR, "documents").where(F.col("text").isNotNull())
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    assigned = docs.select("doc_id", split.alias("split"))
+    n_docs = docs.count()
+    # partition: every doc in exactly one split (assignment is a pure
+    # function of doc_id, so membership is structural; count proves
+    # completeness)
+    counts = {r["split"]: r["n"] for r in assigned.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n_docs
+    assert set(counts) == {"train", "val", "test"}
+    # hash-range ratios: train ~90% within a loose tolerance at sf0.001
+    assert 0.80 <= counts["train"] / n_docs <= 0.97, counts
+
+
+def test_ep5_survivors_are_subset_and_split(spark):
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.plans import registry
+
+    rows = registry.QUERIES["ep5_dedup_split_shards"](spark, SF_DIR).collect()
+    total = sum(r["n_docs"] for r in rows)
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("text").isNotNull()
+    ).count()
+    assert 0 < total <= n_docs  # dedup can only shrink
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(0 <= r["shard"] <= 7 for r in rows)
