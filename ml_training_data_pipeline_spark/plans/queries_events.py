@@ -638,3 +638,29 @@ def w11_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 6).alias("z"),
         (F.abs(F.col("n_events") - F.col("mu")) >= 3 * F.col("sd")).alias("is_burst"),
     )
+
+
+# --- W12: weekday × hour activity heatmap ------------------------------------------
+# The seasonality profile behind capacity planning and anomaly baselines
+# (w11's 3σ gate assumes stationarity — this query is how you check it):
+# event counts and distinct users per (ISO weekday, hour-of-day) cell,
+# 168 output rows regardless of corpus size. Pure projection off the
+# timestamp + one aggregate; cross-engine exact because both engines
+# evaluate calendar fields of the same UTC-naive timestamps identically.
+@query(
+    "w12_weekday_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS weekday,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w12_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # ISO weekday (Mon=1..Sun=7): Spark dayofweek is Sun=1..Sat=7
+    iso = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    return e.groupBy(
+        iso.cast("long").alias("weekday"), F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users"))

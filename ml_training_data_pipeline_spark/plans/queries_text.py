@@ -1732,3 +1732,72 @@ def f13_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_changed"),
         F.sum(F.length("stripped")).cast("long").alias("total_chars_after"),
     )
+
+
+# --- X20: term burstiness (Church-Gale variance-to-mean) ---------------------------
+# The statistical signal separating topical words from function words:
+# a bursty term concentrates its occurrences in few documents (high
+# variance-to-mean ratio of per-doc tf), a function word spreads evenly
+# (VMR ≈ its mean-conditional floor). Curation uses it to pick
+# keyword-worthy vocabulary and to spot template spam (pathological
+# burstiness). One groupBy(doc_id, term) + one groupBy(term) — both
+# map-side combinable; min_df=20 keeps the statistic stable. Population
+# variance over the POSTING distribution (docs containing the term),
+# computed as E[x²]−E[x]² from plain sums, identical on both engines.
+@query(
+    "x20_term_burstiness",
+    oracle=f"""
+    WITH {toks_cte()}, {unigram_cte()},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    stats AS (
+      SELECT term,
+             count(*) AS df,
+             sum(tf) AS total_tf,
+             avg(tf) AS mean_tf,
+             sum(tf * tf) / count(*) - avg(tf) * avg(tf) AS var_tf
+      FROM tf GROUP BY term HAVING count(*) >= 20
+    ),
+    scored AS (
+      SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+             round(mean_tf, 6) AS mean_tf,
+             round(CASE WHEN mean_tf > 0 THEN var_tf / mean_tf ELSE 0 END, 6) AS burstiness
+      FROM stats
+    )
+    SELECT term, df, total_tf, mean_tf, burstiness, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY burstiness DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 30
+    """,
+)
+def x20_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = term_counts(doc_tokens(docs))
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.avg("tf").alias("mean_tf"),
+            (F.sum(F.col("tf") * F.col("tf")) / F.count("*")
+             - F.avg("tf") * F.avg("tf")).alias("var_tf"),
+        )
+        .where(F.col("df") >= 20)
+    )
+    scored = stats.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("total_tf").cast("long").alias("total_tf"),
+        F.round("mean_tf", 6).alias("mean_tf"),
+        F.round(
+            F.when(F.col("mean_tf") > 0, F.col("var_tf") / F.col("mean_tf")).otherwise(0.0), 6
+        ).alias("burstiness"),
+    )
+    top = scored.orderBy(F.col("burstiness").desc(), F.col("term")).limit(30)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("burstiness").desc(), F.col("term")))
+        .cast("long"),
+    )
