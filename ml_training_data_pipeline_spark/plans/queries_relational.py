@@ -687,3 +687,53 @@ def h10_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey")
         .agg(F.sum(qty).cast("double").alias("total_qty"))
     )
+
+
+# --- H11: dormant high-balance customers (TPC-H Q22 shape) -------------------
+# Scalar-subquery threshold + NOT EXISTS anti-join + aggregate: customers
+# above the positive-balance average with NO urgent order since 1996,
+# rolled up per nation. Plan discipline: the scalar average is ONE row
+# (broadcast into the filter, never a per-row subquery execution); the
+# NOT EXISTS compiles to a LEFT ANTI join on custkey with the
+# priority/date predicates pushed into the orders scan BEFORE the join,
+# so the anti-join probes only urgent-1996 orders, not the full fact
+# table.
+@query(
+    "h11_dormant_high_balance",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT n_name,
+           count(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      )
+    GROUP BY n_name
+    """,
+)
+def h11_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    eligible = (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        eligible.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )

@@ -1801,3 +1801,50 @@ def x20_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("burstiness").desc(), F.col("term")))
         .cast("long"),
     )
+
+
+# --- X21: Heaps'-law fit per source ------------------------------------------------
+# x15's companion statistic: Heaps' law V ≈ K·N^β relates a document's
+# distinct-term count to its length; β (healthy natural text ≈ 0.4–0.7)
+# drops toward 0 for template/boilerplate sources (vocabulary saturates)
+# and rises toward 1 for ID-spam (every token novel). Fit per source by
+# least squares on (ln N_d, ln V_d) across documents — one tokenize
+# pass, one groupBy(doc), one regression aggregate per source
+# (regr_slope/regr_intercept, built-in both engines); docs under 5
+# tokens excluded (log fit degenerates).
+@query(
+    "x21_heaps_law",
+    oracle=f"""
+    WITH {toks_cte()},
+    sized AS (
+      SELECT t.doc_id, d.source,
+             len(t.toks) AS n_toks,
+             len(list_distinct(t.toks)) AS n_distinct
+      FROM toks t JOIN documents d USING (doc_id)
+      WHERE len(t.toks) >= 5
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(regr_slope(ln(CAST(n_distinct AS DOUBLE)), ln(CAST(n_toks AS DOUBLE))), 6)
+             AS heaps_beta,
+           round(regr_intercept(ln(CAST(n_distinct AS DOUBLE)), ln(CAST(n_toks AS DOUBLE))), 6)
+             AS heaps_log_k
+    FROM sized GROUP BY source
+    """,
+)
+def x21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sized = docs.select(
+        "source",
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+        F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct"),
+    ).where(F.col("n_toks") >= 5)
+    ln_v = F.log(F.col("n_distinct").cast("double"))
+    ln_n = F.log(F.col("n_toks").cast("double"))
+    return sized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.regr_slope(ln_v, ln_n), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(ln_v, ln_n), 6).alias("heaps_log_k"),
+    )
