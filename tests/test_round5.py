@@ -173,6 +173,9 @@ def test_results_invariant_to_shuffle_partitions(spark):
                 "n10_int8_quantization",
                 "j10_salted_skew_join",
                 "x19_readability",
+                # regression aggregates: partial-moment merge order is
+                # exactly where reordering could show at 1e-6
+                "x21_heaps_law",
             ):
                 pdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
                 pdf = pdf[sorted(pdf.columns)].sort_values(
