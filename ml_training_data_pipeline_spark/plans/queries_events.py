@@ -664,3 +664,40 @@ def w12_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         iso.cast("long").alias("weekday"), F.hour("ts").cast("long").alias("hour")
     ).agg(F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users"))
+
+
+# --- P10: ingest data-quality profile ----------------------------------------------
+# The dbt-test / Deequ-style integrity report an ingest pipeline gates
+# on, as ONE single-pass aggregate (every check is a conditional count
+# folded into the same map-side-combinable agg — no per-check scans):
+# row count, key uniqueness (exact distinct of event_id), null/empty
+# rates, domain violations (negative value), and timestamp sanity
+# (events after the batch's own max ts minus 0 — the max-watermark
+# consistency check collapses to max(ts) itself, reported for the
+# downstream freshness monitor).
+@query(
+    "p10_data_quality_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_distinct_ids,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_ids,
+           CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_value,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch
+    FROM events
+    """,
+)
+def p10_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("event_id").alias("n_distinct_ids"),
+        (F.count("*") - F.count_distinct("event_id")).cast("long").alias("n_dup_ids"),
+        F.sum(F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_props"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long").alias("n_negative_value"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("n_null_user"),
+        F.floor(F.max("ts").cast("double")).cast("long").alias("max_ts_epoch"),
+    )
