@@ -280,3 +280,64 @@ def test_y4m_roundtrip_identity(w, h, nf, seed):
     assert (back.width, back.height, back.n_frames) == (w, h, nf)
     for a, b in zip(frames, back.luma):
         assert np.array_equal(a, b)
+
+
+@settings(deadline=None, max_examples=20)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["hello", "<b>", "</b>", "<script>", "</script>",
+             "plain", "<div class='x'>", "a < b", "x>y"]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_strip_html_never_leaves_a_tag(pieces):
+    # whatever mix of tags/text goes in (entity-free — entities
+    # legitimately unescape to literal <...> TEXT, by design), the output
+    # must contain no live tag (no '<' followed by a letter or '/').
+    import re
+
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.functions.text import strip_html
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=4)
+    text = " ".join(pieces)
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(strip_html(F.col("text")).alias("s"))
+        .collect()
+    )
+    assert not re.search(r"<[a-zA-Z/]", row[0]["s"]), (text, row[0]["s"])
+
+
+@settings(deadline=None, max_examples=30)
+@given(st.integers(0, 10**9))
+def test_ahash_halves_are_unsigned_32bit(media_id):
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        ahash_bits,
+        synth_image_pixels,
+    )
+
+    h_lo, h_hi = ahash_bits(synth_image_pixels(media_id))
+    assert 0 <= h_lo < 2**32 and 0 <= h_hi < 2**32
+
+
+def test_bpe_fold_noop_when_pair_absent():
+    # applying a merge whose pair never occurs must leave every
+    # segmentation unchanged.
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.operators.bpe import apply_merges
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=4)
+    seg = spark.createDataFrame(
+        [("ab", ["a", "b"]), ("cd", ["c", "d"])], "term string, syms array<string>"
+    )
+    out = apply_merges(seg, [(0, "x", "y", "xy", 1)])
+    got = {r["term"]: r["syms"] for r in out.collect()}
+    assert got == {"ab": ["a", "b"], "cd": ["c", "d"]}
