@@ -399,3 +399,55 @@ def st10_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel = arriving.join(static_known, "fp", "left_anti")
     agg = novel.groupBy("lang").agg(F.count("*").alias("n_novel"))
     return run_bounded(agg, "st10_out", output_mode="complete")
+
+
+# --- EP6: full streaming ingest gate (quality + corpus dedup composed) -------------
+# The end-to-end admission pipeline a live corpus feed runs, as ONE
+# streaming plan: arriving docs (odd-id half, streamed) pass the quality
+# gate (token-count band, the st7 rule minus the lang restriction), get
+# fingerprinted, drop everything already in the known corpus (even-id
+# half, static LEFT ANTI — st10's stateless probe), and the survivors
+# roll up into per-language admission counts. Composition is the point:
+# gates chain as stream transformations with NO intermediate sink, the
+# only stateful piece is the final aggregate, and the batch oracle
+# restates the whole chain relationally.
+@query(
+    "ep6_stream_ingest_gate",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (
+      SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp, len(toks) AS n_toks
+      FROM toks
+    ),
+    known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    arriving AS (
+      SELECT f.doc_id, f.fp, d.lang
+      FROM fps f JOIN documents d USING (doc_id)
+      WHERE f.doc_id % 2 = 1 AND f.n_toks BETWEEN 5 AND 1000
+    )
+    SELECT lang, count(*) AS n_admitted
+    FROM arriving a
+    WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = a.fp)
+    GROUP BY lang
+    """,
+)
+def ep6_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint, token_count
+    from ..io.sources import load_table
+
+    static_known = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .where(F.col("n_tokens").between(5, 1000))
+        .select("lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    admitted = arriving.join(static_known, "fp", "left_anti")
+    agg = admitted.groupBy("lang").agg(F.count("*").alias("n_admitted"))
+    return run_bounded(agg, "ep6_out", output_mode="complete")
