@@ -946,3 +946,52 @@ def s13_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- S14: snapshot diff (dataset-version audit) ------------------------------------
+# The reproducibility audit between two corpus versions: FULL OUTER join
+# on the key classifies every doc as added / removed / changed /
+# unchanged (changed = fingerprint differs), rolled up per language.
+# Version B here = version A with even-id docs' text "edited" (n_chars
+# bumped) and doc_id % 7 == 0 docs dropped — the oracle states the same
+# construction. One key-partitioned join + one aggregate; at 100 TB both
+# snapshots are bucketed on the key (s9) and the join is shuffle-free.
+@query(
+    "s14_snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT doc_id, lang, n_chars FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 2 = 0 THEN n_chars + 17 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(a.lang, b.lang) AS lang,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.n_chars <> b.n_chars THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b USING (doc_id)
+    )
+    SELECT lang, status, count(*) AS n_docs
+    FROM d GROUP BY lang, status
+    """,
+)
+def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap_a = docs
+    snap_b = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars") + 17).otherwise(F.col("n_chars")),
+    )
+    a = snap_a.select("doc_id", F.col("lang").alias("lang_a"), F.col("n_chars").alias("nc_a"))
+    b = snap_b.select("doc_id", F.col("lang").alias("lang_b"), F.col("n_chars").alias("nc_b"))
+    d = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce(F.col("lang_a"), F.col("lang_b")).alias("lang"),
+        F.when(F.col("nc_a").isNull(), "added")
+        .when(F.col("nc_b").isNull(), "removed")
+        .when(F.col("nc_a") != F.col("nc_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("lang", "status").agg(F.count("*").alias("n_docs"))
