@@ -701,3 +701,46 @@ def p10_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("n_null_user"),
         F.floor(F.max("ts").cast("double")).cast("long").alias("max_ts_epoch"),
     )
+
+
+# --- W13: inter-event-time quantiles per type --------------------------------------
+# The latency/cadence profile behind session-gap and TTL tuning (w2's
+# 30-minute gap and st4's TTL are exactly the knobs this query
+# calibrates): per event type, exact p50/p90/p99 of the gap between a
+# user's consecutive events of that type. One lag window per (user,
+# type) timeline, then Spark's exact `percentile` ≡ DuckDB
+# `quantile_cont` (the x7 cross-engine idiom). Exact quantiles are the
+# sf0.1 correctness twin; at 100 TB the serving path is x8's mergeable
+# GK sketch over the same gap stream.
+@query(
+    "w13_interevent_quantiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_sec
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_sec) AS n_gaps,
+           round(quantile_cont(gap_sec, 0.50), 6) AS p50_sec,
+           round(quantile_cont(gap_sec, 0.90), 6) AS p90_sec,
+           round(quantile_cont(gap_sec, 0.99), 6) AS p99_sec
+    FROM gaps WHERE gap_sec IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def w13_interevent_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ets = F.col("ts").cast("double")
+    gaps = e.select(
+        "event_type", (ets - F.lag(ets).over(w)).alias("gap_sec")
+    ).where(F.col("gap_sec").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_sec").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_sec, 0.50)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(gap_sec, 0.90)"), 6).alias("p90_sec"),
+        F.round(F.expr("percentile(gap_sec, 0.99)"), 6).alias("p99_sec"),
+    )
