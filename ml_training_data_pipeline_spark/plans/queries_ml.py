@@ -412,3 +412,67 @@ def m7_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "k long, total_withinss double").select(
         "k", F.round("total_withinss", 4).alias("total_withinss")
     )
+
+
+def _ari_from_contingency(cells: list[tuple[int, int, int]]) -> float:
+    """Adjusted Rand Index from a (label_a, label_b, n) contingency list
+    — pure driver math over a ≤ k² table (bounded collect, job control
+    flow, not data movement)."""
+    from collections import defaultdict
+
+    def c2(n: int) -> float:
+        return n * (n - 1) / 2.0
+
+    a_tot: dict[int, int] = defaultdict(int)
+    b_tot: dict[int, int] = defaultdict(int)
+    n = 0
+    sum_ij = 0.0
+    for ca, cb, cnt in cells:
+        a_tot[ca] += cnt
+        b_tot[cb] += cnt
+        n += cnt
+        sum_ij += c2(cnt)
+    sum_a = sum(c2(v) for v in a_tot.values())
+    sum_b = sum(c2(v) for v in b_tot.values())
+    expected = sum_a * sum_b / c2(n) if n > 1 else 0.0
+    max_index = (sum_a + sum_b) / 2.0
+    denom = max_index - expected
+    return 1.0 if denom == 0 else (sum_ij - expected) / denom
+
+
+# --- M8: clustering stability audit (bootstrap agreement) --------------------------
+# 🔶 rows-only: the model-trust question m7's elbow doesn't answer — is
+# the clustering STABLE, or an artifact of the sample? Two K-means fits
+# on deterministic overlapping two-thirds subsamples (different seeds,
+# different data), agreement measured as the Adjusted Rand Index over
+# the shared third. ARI ≈ 1 → structure is real; ARI ≈ 0 → the "clusters"
+# are noise and everything downstream (refine, labeling, stratified
+# mixing) inherits that. The contingency table is ≤ k² cells (bounded
+# collect); invariants pinned in tests/test_round6c.py, including the
+# identical-fit ARI == 1 calibration case. Measured here: ARI ≈ 0.02 —
+# k-means partitions of these near-isotropic synthetic embeddings are
+# NOT stable across subsamples (consistent with n11's isotropy finding),
+# exactly the verdict this audit exists to deliver before anyone ships
+# cluster-derived labels from such a space.
+@query("m8_cluster_stability")
+def m8_cluster_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import fit_kmeans
+
+    vecs = _embedding_vectors(spark, sf_dir).cache()
+    half_a = vecs.where(F.col("doc_id") % 3 != 0)
+    half_b = vecs.where(F.col("doc_id") % 3 != 1)
+    res_a = fit_kmeans(half_a, k=10, seed=123)
+    res_b = fit_kmeans(half_b, k=10, seed=456)
+    a = res_a.assignments.select("doc_id", F.col("cluster_id").alias("ca"))
+    b = res_b.assignments.select("doc_id", F.col("cluster_id").alias("cb"))
+    overlap = a.join(b, "doc_id").where(F.col("doc_id") % 3 == 2)
+    cells = [
+        (int(r["ca"]), int(r["cb"]), int(r["n"]))
+        for r in overlap.groupBy("ca", "cb").agg(F.count("*").alias("n")).collect()
+    ]
+    vecs.unpersist()
+    n_overlap = sum(c[2] for c in cells)
+    ari = _ari_from_contingency(cells) if cells else 0.0
+    return spark.createDataFrame(
+        [(n_overlap, round(ari, 6))], "n_overlap long, ari double"
+    )

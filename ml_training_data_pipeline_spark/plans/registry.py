@@ -73,7 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "d9_simhash_banded_near_dups",
     # NEW late in round 6 (after the 50-prefix froze): oracle-backed,
     # all verified against the sf0.01 oracle locally (driver-style, from
-    # /tmp) before commit. ROUND-7 ROTATION: this block (cur5 … w13, 78
+    # /tmp) before commit. ROUND-7 ROTATION: this block (cur5 … m8, 79
     # names, all never driver-checked) now exceeds one 50-prefix — fill
     # round 7's prefix with its first 50, round 8's with the remainder
     # plus the then-stalest checked names.
@@ -101,7 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "l3_inference_cost_report", "st10_stream_dedup_gate", "f13_html_strip",
     "m7_kmeans_elbow", "s12_dynamic_partition_overwrite", "s13_upsert_latest_wins",
     "n12_ann_multitable_recall", "x20_term_burstiness", "w12_weekday_hour_heatmap", "h11_dormant_high_balance", "x21_heaps_law", "p10_data_quality_profile",
-    "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles",
+    "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles", "m8_cluster_stability",
     # Also touched this round but result-identical (verified against the
     # sf0.01 oracle locally: d10/n6/cur2/d4) or rows-only (ep2/st4/m5 —
     # a fresh row only proves they ran, which r5 already did): first in

@@ -219,3 +219,18 @@ def test_ep5_survivors_are_subset_and_split(spark):
     assert 0 < total <= n_docs  # dedup can only shrink
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     assert all(0 <= r["shard"] <= 7 for r in rows)
+
+
+def test_m8_ari_bounds_and_identical_fit_calibration(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+    from ml_training_data_pipeline_spark.plans.queries_ml import _ari_from_contingency
+
+    # calibration: a perfectly-agreeing contingency (diagonal) gives 1
+    assert _ari_from_contingency([(0, 0, 30), (1, 1, 25), (2, 2, 45)]) == 1.0
+    # independence-shaped contingency gives ~0 (not exactly: the
+    # hypergeometric adjustment leaves a small finite-n residual)
+    flat = [(i, j, 10) for i in range(3) for j in range(3)]
+    assert abs(_ari_from_contingency(flat)) < 0.05
+    row = registry.QUERIES["m8_cluster_stability"](spark, SF_DIR).collect()[0]
+    assert row["n_overlap"] > 0
+    assert -1.0 <= row["ari"] <= 1.0
