@@ -44,39 +44,11 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # (a) round-6 rotation: the 42 queries whose newest driver row is r04
-    # (round 5 checked the then-front 50-prefix), plus x8 — the one
-    # registry query that has NEVER had a driver row. Staleness first.
-    "x8_approx_profile",
-    "cur1_corpus_curation", "d5_simhash", "d6_simhash_near_dups",
-    "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
-    "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
-    "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",
-    "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",
-    "w4_argmax_per_group", "u2_vocab_intersection", "g1_rollup_totals",
-    "l2_cluster_labels", "st3_stream_enrich", "mm1_media_features",
-    "t1_sort_topk", "c5_merge_components", "d8_jaccard_capped",
-    "n5_ann_ivf_topk", "mm2_frame_samples", "x6_subword_counts",
-    "m1_kmeans_assignments", "m3_kmeans_predict_new_docs",
-    "s5_model_roundtrip", "v2_term_counts", "v3_tfidf_unigram",
-    "v6_doc_top_terms", "c2_group_centroids", "c3_group_withinss",
-    "c4_centroid_cosine_pairs", "c6_prob_coherence", "c7_quality_summary",
-    "d1_exact_dup_groups", "d2_minhash_signatures", "d3_lsh_candidate_pairs",
-    # (b) NEW this round (never driver-checked, oracle-backed): benchmark
-    # decontamination, Gopher-style repetition quality, PII redaction,
-    # token-budget sequence packing, incremental batch-vs-corpus dedup.
-    "cur3_decontaminate", "x9_repetition_quality", "x10_pii_redaction",
-    "pack1_token_budget_packing", "cur4_incremental_dedup",
-    "st7_stream_curation_gate", "x11_unigram_logprob",
-    # (c) changed THIS round, so it needs a fresh row even though r5 was
-    # green: SimHash signature rework (d9). Closes the 50-prefix.
-    "d9_simhash_banded_near_dups",
-    # NEW late in round 6 (after the 50-prefix froze): oracle-backed,
-    # all verified against the sf0.01 oracle locally (driver-style, from
-    # /tmp) before commit. ROUND-7 ROTATION: this block (cur5 … m8, 79
-    # names, all never driver-checked) now exceeds one 50-prefix — fill
-    # round 7's prefix with its first 50, round 8's with the remainder
-    # plus the then-stalest checked names.
+    # ROUND-7 PREFIX (50): the first 50 of the 79 registry names that had
+    # NEVER had a driver row entering round 7 (all were added late in
+    # round 6 after that round's prefix froze; each was verified against
+    # the sf0.01 DuckDB oracle locally, driver-style from /tmp, before
+    # its original commit). Staleness-first rotation per VERDICT r6 #1.
     "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
     "t7_training_shards", "w6_decayed_engagement", "s9_bucketed_join_roundtrip",
     "d11_containment_pairs", "x13_zipf_profile", "w7_cohort_retention",
@@ -94,7 +66,15 @@ PRIORITY: tuple[str, ...] = (
     "h6_order_priority_check", "h7_promo_revenue_share", "h8_returned_revenue_ranking",
     "d15_duplicate_spans", "t9_zorder_layout", "mm5_image_phash_groups",
     "x19_readability", "v8_count_min_heavy_hitters",
-    "st9_stream_sliding_counts", "j10_salted_skew_join",
+    "st9_stream_sliding_counts",
+    # ROUND-8 ROTATION (pre-staged; fill round 8's 50-prefix with, in
+    # order): (a) the remaining 29 never-driver-checked round-6 names
+    # below (j10 … m8), (b) any queries added NEW in round 7 — they are
+    # appended in the "NEW in round 7" block further down; move them up
+    # here when freezing round 8's prefix, (c) top up to 50 with the
+    # stalest checked names from the r5 block that follows (d10, n6,
+    # cur2, d4, ep2, st4, m5, s1, p2, p3, … in listed order).
+    "j10_salted_skew_join",
     "mix4_train_val_test_split",
     "d16_minhash_estimate_audit", "w11_rate_bursts", "n11_ann_recall_audit", "ep5_dedup_split_shards",
     "h9_customer_distribution", "h10_large_volume_customers", "pack2_overlap_chunking", "v9_bpe_merge_candidates", "v10_bpe_learned_merges", "v11_bpe_token_budget", "s11_small_file_compaction",
@@ -102,15 +82,14 @@ PRIORITY: tuple[str, ...] = (
     "m7_kmeans_elbow", "s12_dynamic_partition_overwrite", "s13_upsert_latest_wins",
     "n12_ann_multitable_recall", "x20_term_burstiness", "w12_weekday_hour_heatmap", "h11_dormant_high_balance", "x21_heaps_law", "p10_data_quality_profile",
     "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles", "m8_cluster_stability",
-    # Also touched this round but result-identical (verified against the
-    # sf0.01 oracle locally: d10/n6/cur2/d4) or rows-only (ep2/st4/m5 —
-    # a fresh row only proves they ran, which r5 already did): first in
-    # line after the prefix.
+    # NEW in round 7 go here (never driver-checked; oracle-verify
+    # locally, driver-style from /tmp, before commit; rotate into round
+    # 8's prefix right after the 29 names above):
+    # r5 block — newest driver row r5; the round-8 top-up pool (take in
+    # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
     "cur2_component_survivors", "d4_minhash_dedup",
     "ep2_build_models", "st4_stream_stateful_user_stats", "m5_refine_pipeline",
-    # Everything after is hash-green in r05 (one round fresh), still
-    # covered by tests/test_oracle_parity.py locally.
     "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
     "p4_filter_nonempty", "p6_group_count_having", "a6_distinct",
     "a9_max_watermark", "t2_topk_per_group", "j1_broadcast_lookup_join",
@@ -128,6 +107,26 @@ PRIORITY: tuple[str, ...] = (
     "s8_partitioned_sink_roundtrip", "j6_range_band_join",
     "u3_union_mixed_schemas", "t6_range_partitioned_export",
     "v4_vocab_top2000", "ep3_phase1_pipeline",
+    # r6-checked tail (freshest driver rows — hash-green in r6).
+    "x8_approx_profile",
+    "cur1_corpus_curation", "d5_simhash", "d6_simhash_near_dups",
+    "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
+    "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
+    "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",
+    "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",
+    "w4_argmax_per_group", "u2_vocab_intersection", "g1_rollup_totals",
+    "l2_cluster_labels", "st3_stream_enrich", "mm1_media_features",
+    "t1_sort_topk", "c5_merge_components", "d8_jaccard_capped",
+    "n5_ann_ivf_topk", "mm2_frame_samples", "x6_subword_counts",
+    "m1_kmeans_assignments", "m3_kmeans_predict_new_docs",
+    "s5_model_roundtrip", "v2_term_counts", "v3_tfidf_unigram",
+    "v6_doc_top_terms", "c2_group_centroids", "c3_group_withinss",
+    "c4_centroid_cosine_pairs", "c6_prob_coherence", "c7_quality_summary",
+    "d1_exact_dup_groups", "d2_minhash_signatures", "d3_lsh_candidate_pairs",
+    "cur3_decontaminate", "x9_repetition_quality", "x10_pii_redaction",
+    "pack1_token_budget_packing", "cur4_incremental_dedup",
+    "st7_stream_curation_gate", "x11_unigram_logprob",
+    "d9_simhash_banded_near_dups",
 )
 
 
