@@ -164,9 +164,16 @@ def strip_html(c: Column) -> Column:
     DuckDB/RE2), so the op is oracle-restatable. Order matters:
     block-drop before tag-strip (a stripped <script> tag would leak its
     payload), entity unescape after tag-strip (so &lt;b&gt; never turns
-    into a live tag — the classic double-unescape injection)."""
+    into a live tag — the classic double-unescape injection). An
+    UNTERMINATED <script>/<style> (no closing tag — truncated crawls)
+    falls back to dropping from the open tag to end-of-document, else
+    the generic tag-strip would remove only the open tag and leak the
+    raw payload into the cleaned text. Known heuristic limit: plain-text
+    'a < b ... >' spans look like pseudo-tags and are swallowed."""
     out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*$", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*$", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         out = F.regexp_replace(out, ent, ch)

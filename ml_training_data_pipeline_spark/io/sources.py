@@ -49,6 +49,17 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _shipped_apps.add(app_id)
 
 
+def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
+    """Session-unique scratch path for sink-roundtrip queries, keyed by
+    ``applicationId`` so concurrent sessions (bench alongside pytest,
+    parallel CI lanes) never race on the same directory with
+    ``mode=overwrite`` — two writers on one path can corrupt the
+    read-back and the file-layout audits."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    return os.path.join(tempfile.gettempdir(), f"mtdp_{label}_{sf}_{app}")
+
+
 @lru_cache(maxsize=256)
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as

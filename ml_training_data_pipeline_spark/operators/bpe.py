@@ -37,7 +37,7 @@ from .tfidf import doc_tokens, term_counts
 # can't fire).
 _MERGE_FOLD = """
 aggregate(
-  syms,
+  {COL},
   CAST(array() AS array<string>),
   (acc, x) -> CASE
     WHEN size(acc) > 0 AND element_at(acc, -1) = {L} AND x = {R}
@@ -51,6 +51,14 @@ aggregate(
 def _lit(s: str) -> str:
     """SQL string literal (single-quote escaped)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _ident(name: str) -> str:
+    """SQL column identifier (backtick-quoted). The fold template takes
+    the column as a {COL} parameter — never a post-hoc string replace,
+    which would corrupt a learned merge symbol that happens to contain
+    the column name's text."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def vocab_symbols(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -105,7 +113,7 @@ def train_bpe(
         l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
         merged = l + r
         merges.append((step, l, r, merged, freq))
-        fold = _MERGE_FOLD.format(L=_lit(l), R=_lit(r), M=_lit(merged))
+        fold = _MERGE_FOLD.format(COL="syms", L=_lit(l), R=_lit(r), M=_lit(merged))
         state = state.select("term", "tf", F.expr(fold).alias("syms"))
         if (step + 1) % checkpoint_every == 0:
             state = state.localCheckpoint()
@@ -133,8 +141,7 @@ def apply_merges(
     rules so long rule lists stay O(N) planning."""
     out = segmented
     for step, (_i, l, r, merged, _f) in enumerate(merges):
-        fold = _MERGE_FOLD.format(L=_lit(l), R=_lit(r), M=_lit(merged))
-        fold = fold.replace("syms", syms_col) if syms_col != "syms" else fold
+        fold = _MERGE_FOLD.format(COL=_ident(syms_col), L=_lit(l), R=_lit(r), M=_lit(merged))
         out = out.withColumn(syms_col, F.expr(fold))
         if (step + 1) % checkpoint_every == 0:
             out = out.localCheckpoint()

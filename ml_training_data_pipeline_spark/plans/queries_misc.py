@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table
+from ..io.sources import load_table, scratch_dir
 from ..operators.tfidf import doc_tokens
 from .oracle_fragments import toks_cte
 from .registry import query
@@ -31,7 +31,7 @@ from .registry import query
 )
 def s3_csv_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_chunks_{os.path.basename(sf_dir)}")
+    out_dir = scratch_dir(spark, "chunks", sf_dir)
     # chunked sink (S4): 4 part-files, the reference's chunk_*.csv
     docs.repartition(4).write.mode("overwrite").option("header", "true").csv(out_dir)
     back = (
@@ -242,7 +242,7 @@ def s8_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..io.sources import write_parquet
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_bylang_{os.path.basename(sf_dir)}")
+    out_dir = scratch_dir(spark, "bylang", sf_dir)
     write_parquet(docs, out_dir, partition_by=["lang"])
     back = spark.read.parquet(out_dir).where(F.col("lang") == "en")
     return back.groupBy("source").agg(
@@ -328,7 +328,7 @@ def x8_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t6_range_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_ranged_{os.path.basename(sf_dir)}")
+    out_dir = scratch_dir(spark, "ranged", sf_dir)
     (
         docs.repartitionByRange(8, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -464,8 +464,8 @@ def t7_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s9_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import token_count
 
-    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    wh = os.path.join(tempfile.gettempdir(), f"mtdp_bucketed_{suffix}")
+    wh = scratch_dir(spark, "bucketed", sf_dir)
+    suffix = os.path.basename(wh).removeprefix("mtdp_bucketed_")
     docs = load_table(spark, sf_dir, "documents")
     corpus_tbl, enrich_tbl = f"mtdp_corpus_{suffix}", f"mtdp_enrich_{suffix}"
     (
@@ -543,9 +543,7 @@ def g3_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"mtdp_jsonl_{os.path.basename(sf_dir)}"
-    )
+    out_dir = scratch_dir(spark, "jsonl", sf_dir)
     docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").option(
         "compression", "gzip"
     ).json(out_dir)
@@ -696,7 +694,7 @@ def t9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(3)
     )
-    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_zorder_{os.path.basename(sf_dir)}")
+    out_dir = scratch_dir(spark, "zorder", sf_dir)
     (
         docs.withColumn("zval", zval)
         .repartitionByRange(8, "zval")
@@ -848,7 +846,7 @@ def pack2_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    base = os.path.join(tempfile.gettempdir(), f"mtdp_compact_{os.path.basename(sf_dir)}")
+    base = scratch_dir(spark, "compact", sf_dir)
     frag_dir, compact_dir = base + "_frag", base + "_out"
     docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
@@ -881,7 +879,7 @@ def s11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s12_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out_dir = os.path.join(tempfile.gettempdir(), f"mtdp_dynover_{os.path.basename(sf_dir)}")
+    out_dir = scratch_dir(spark, "dynover", sf_dir)
     docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     # incremental refresh: only the en partition, with doubled chars
     refreshed = docs.where(F.col("lang") == "en").withColumn(

@@ -11,7 +11,7 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io.sources import load_table
+from ..io.sources import load_table, scratch_dir
 from ..operators.cluster import cluster_sizes, fit_kmeans
 from ..operators.refine import RefineConfig, refine
 from ..operators.tfidf import tfidf_long
@@ -119,7 +119,7 @@ def s5_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S6 dynamic-name sink: path templated on model params (the reference
     # templates on num_clusters + date; date omitted — nondeterminism is
     # banned on the correctness path)
-    base = os.path.join(tempfile.gettempdir(), f"mtdp_kmeans_{k}clusters_{os.path.basename(sf_dir)}")
+    base = scratch_dir(spark, f"kmeans_{k}clusters", sf_dir)
     res.model.write().overwrite().save(os.path.join(base, "model"))
     write_parquet(res.assignments, os.path.join(base, "assignments"))
     write_parquet(cluster_summary(res.features, res.assignments), os.path.join(base, "summary"))
@@ -294,7 +294,7 @@ def ep3_phase1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = tfidf_long(docs)
 
     # persist the phase-0 artifacts (the saveRDS step, 02:770-772)
-    base = os.path.join(tempfile.gettempdir(), f"mtdp_phase1_{os.path.basename(sf_dir)}")
+    base = scratch_dir(spark, "phase1", sf_dir)
     res.model.write().overwrite().save(os.path.join(base, "kmeans"))
     vec_model.write().overwrite().save(os.path.join(base, "vectorizer"))
     write_parquet(res.assignments, os.path.join(base, "assignments"))
@@ -362,9 +362,7 @@ def m6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ObservationManager is not serializable). Save→load drops the
     # summary, which is also the honest production shape: training and
     # serving never share an object graph.
-    model_dir = os.path.join(
-        tempfile.gettempdir(), f"mtdp_lrq_{os.path.basename(sf_dir)}"
-    )
+    model_dir = scratch_dir(spark, "lrq", sf_dir)
     fitted.write().overwrite().save(model_dir)
     from pyspark.ml.classification import LogisticRegressionModel
 

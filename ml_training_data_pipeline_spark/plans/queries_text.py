@@ -1703,8 +1703,12 @@ def v11_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                      regexp_replace(
                        regexp_replace(
                          regexp_replace(
-                           regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?is)<script[^>]*>.*$', ' ', 'g'),
+                         '(?is)<style[^>]*>.*$', ' ', 'g'),
                        '(?s)<[^>]+>', ' ', 'g'),
                      '&lt;', '<', 'g'),
                    '&gt;', '>', 'g'),

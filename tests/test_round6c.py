@@ -21,9 +21,9 @@ def test_t9_zorder_files_cluster_both_dims(spark):
     # files should touch at most half of the 8 lang buckets. A pure
     # length-ordered layout fails this (every length run spans all langs).
     registry.QUERIES["t9_zorder_layout"](spark, SF_DIR).collect()
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"mtdp_zorder_{os.path.basename(SF_DIR)}"
-    )
+    from ml_training_data_pipeline_spark.io.sources import scratch_dir
+
+    out_dir = scratch_dir(spark, "zorder", SF_DIR)
     files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     assert len(files) >= 4, files
     spans = []
@@ -125,9 +125,9 @@ def test_pack2_chunks_cover_every_token_with_overlap(spark):
 
 def test_s11_compaction_reduces_file_count_losslessly(spark):
     registry.QUERIES["s11_small_file_compaction"](spark, SF_DIR).collect()
-    base = os.path.join(
-        tempfile.gettempdir(), f"mtdp_compact_{os.path.basename(SF_DIR)}"
-    )
+    from ml_training_data_pipeline_spark.io.sources import scratch_dir
+
+    base = scratch_dir(spark, "compact", SF_DIR)
     frag = glob.glob(os.path.join(base + "_frag", "part-*.parquet"))
     out = glob.glob(os.path.join(base + "_out", "part-*.parquet"))
     assert len(frag) >= 32, len(frag)   # genuinely fragmented input
