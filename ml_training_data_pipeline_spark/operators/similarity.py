@@ -312,24 +312,22 @@ def prototype_classify(
     )
 
 
-def multi_table_lsh_topk(
+def multi_table_candidates(
     vectors: DataFrame,
     queries: DataFrame,
     plane_tables: list[list[list[float]]],
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Multi-table SRP-LSH ANN — the production fix for the single-table
-    recall collapse n11 measures: T independent hash tables, candidate
-    set = UNION of the query's bucket in each table, scored once. Probe
-    cost grows ~linearly in T while recall compounds (each table is an
-    independent chance to co-bucket a true neighbor). Layout: buckets go
-    LONG-format (vec_id, tbl, bucket) via one posexplode projection, the
-    candidate join key is (tbl, bucket) — still an equi-join, T× the
-    postings, nothing quadratic — and candidates are deduped per
-    (query, neighbor) BEFORE the exact scoring join, so each survivor
-    pair is scored exactly once however many tables agreed on it."""
+    """Distinct (query_id, neighbor_id) ANN candidate pairs from T
+    independent SRP hash tables — the probe-cost surface of multi-table
+    LSH, exposed so audits (n13's table sweep) can report candidate
+    volume alongside recall. Layout: buckets go LONG-format
+    (vec_id, tbl, bucket) via one posexplode projection, the candidate
+    join key is (tbl, bucket) — still an equi-join, T× the postings,
+    nothing quadratic — and pairs are deduped per (query, neighbor), so
+    a downstream scorer touches each survivor exactly once however many
+    tables agreed on it."""
 
     def buckets_long(df: DataFrame, out_id: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("vec"))
@@ -349,12 +347,29 @@ def multi_table_lsh_topk(
 
     vb = buckets_long(vectors, "neighbor_id").select("neighbor_id", "tbl", "bucket")
     qb = buckets_long(queries, "query_id").select("query_id", "tbl", "bucket")
-    cands = (
+    return (
         vb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def multi_table_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    plane_tables: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table SRP-LSH ANN — the production fix for the single-table
+    recall collapse n11 measures: T independent hash tables, candidate
+    set = UNION of the query's bucket in each table
+    (``multi_table_candidates``), scored once. Probe cost grows
+    ~linearly in T while recall compounds (each table is an independent
+    chance to co-bucket a true neighbor)."""
+    cands = multi_table_candidates(vectors, queries, plane_tables, vec_col, id_col)
     vn = with_norm(vectors, vec_col, id_col).select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), F.col("nrm")
     )

@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     # NEW in round 7 go here (never driver-checked; oracle-verify
     # locally, driver-style from /tmp, before commit; rotate into round
     # 8's prefix right after the 29 names above):
+    "n13_ann_table_sweep",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
