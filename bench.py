@@ -36,6 +36,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-contention marker (VERDICT r6 #6), sampled BEFORE Spark starts
+    # so it reflects pre-existing load, not our own executors: the same
+    # code has measured 11.9s quiet vs ~14.7s contended, so a future
+    # "regression" with host_load ≫ 0 is noise, not code.
+    try:
+        load1 = os.getloadavg()[0] / (os.cpu_count() or 1)
+    except OSError:
+        load1 = -1.0
 
     from ml_training_data_pipeline_spark.session import get_spark
 
@@ -87,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "host_load": round(load1, 3),
             }
         )
     )
