@@ -737,3 +737,336 @@ def h11_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
         )
     )
+
+
+# --- H12: two-nation trade volume (TPC-H Q7 shape) ---------------------------
+# The symmetric bilateral-flow join: supplier-nation × customer-nation
+# restricted to one unordered pair, revenue per (direction, ship-year).
+# Scale layout: both nation filters prune their dimension to ONE row and
+# broadcast into supplier/customer, which then broadcast into the fact
+# join — the only shuffle is lineitem ⨝ orders. The OR of the two
+# directions is applied AFTER the nation joins (on two tiny dims), not
+# as a cross-filter on the fact table.
+@query(
+    "h12_two_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def h12_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = n.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            pair.select(
+                F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+            )
+        ),
+        F.col("c_nationkey") == F.col("n2_key"),
+    ).select("c_custkey", "cust_nation")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --- H13: nation market share within a region (TPC-H Q8 shape) ---------------
+# Ratio-of-conditional-aggregates over a 7-way join: NATION_3's share of
+# STANDARD-part revenue delivered to EUROPE customers, per order year.
+# Both numerator and denominator are decimal partial sums in ONE
+# aggregate pass (no second join), cast to double only for the final
+# division — the conditional-share idiom that stays deterministic under
+# any partitioning.
+@query(
+    "h13_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS volume,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def h13_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    # customer side pruned to the region via the broadcast dim chain
+    n2 = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("n2_key"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"), "left_semi"
+    ).select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(28,6)")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# --- H14: top supplier by quarterly revenue (TPC-H Q15 shape) ----------------
+# Aggregate → global-max scalar → equality join back: the revenue view
+# is computed ONCE, its max is one broadcast row, and the winner(s)
+# come from an equality filter — never a global sort. Revenue values are
+# decimal sums cast to double, so the max-equality is exact on both
+# engines under any partitioning.
+@query(
+    "h14_top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def h14_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue"))
+    )
+
+
+# --- H15: small-quantity revenue (TPC-H Q17 shape) ---------------------------
+# The correlated-average rewrite: "lineitems under 20% of their part's
+# average quantity" becomes a per-part aggregate joined back to the
+# fact — one shuffle on partkey instead of a per-row subquery. The
+# threshold comparison is EXACT integer-domain decimal arithmetic
+# (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg), so no float boundary can flip
+# a row between engines.
+@query(
+    "h15_small_qty_revenue",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN per_part ON pk = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND 5 * CAST(l_quantity AS DECIMAL(18,2)) * cnt < sum_qty
+    """,
+)
+def h15_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11").select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * qty * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --- H16: disjunctive-predicate revenue (TPC-H Q19 shape) --------------------
+# OR-of-ANDs across two tables: three (brand, size-range, qty-range)
+# clauses. The part side of every clause broadcasts (2000 rows); the
+# lineitem side keeps a single scan with the qty bounds pushed down as
+# one OR predicate — Catalyst turns the whole disjunction into a single
+# broadcast-hash-join + filter, no union of three scans.
+@query(
+    "h16_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def h16_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50) & (q >= 20) & (q <= 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(clause)
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# --- H17: sole final-shipping supplier (TPC-H Q21 shape, adapted) ------------
+# The reference schema has no commit/receipt dates, so "kept the order
+# waiting" is re-stated on shipdate: in finished multi-supplier orders,
+# find the supplier who ALONE shipped on the order's last ship date.
+# The EXISTS / NOT-EXISTS pair is rewritten as per-order aggregates
+# (n_suppliers ≥ 2, exactly one supplier at max shipdate) — two
+# shuffles on orderkey, no correlated probes, and the identical
+# aggregate form runs on both engines.
+@query(
+    "h17_sole_final_supplier",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, max(l_shipdate) AS maxship,
+             count(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    at_max AS (
+      SELECT l.l_orderkey, min(l.l_suppkey) AS only_supp,
+             count(DISTINCT l.l_suppkey) AS nmax
+      FROM lineitem l JOIN per_order p
+        ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.maxship
+      GROUP BY l.l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per_order
+    JOIN at_max USING (l_orderkey)
+    JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = only_supp
+    WHERE nsupp >= 2 AND nmax = 1
+    GROUP BY s_name
+    """,
+)
+def h17_sole_final_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("maxship"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    at_max = (
+        l.join(
+            per_order.select("l_orderkey", "maxship"),
+            ["l_orderkey"],
+        )
+        .where(F.col("l_shipdate") == F.col("maxship"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("only_supp"),
+            F.countDistinct("l_suppkey").alias("nmax"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(at_max, "l_orderkey")
+        .where((F.col("nsupp") >= 2) & (F.col("nmax") == 1))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("only_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

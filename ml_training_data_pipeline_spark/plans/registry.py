@@ -86,6 +86,8 @@ PRIORITY: tuple[str, ...] = (
     # locally, driver-style from /tmp, before commit; rotate into round
     # 8's prefix right after the 29 names above):
     "n13_ann_table_sweep",
+    "h12_two_nation_volume", "h13_market_share", "h14_top_supplier_revenue",
+    "h15_small_qty_revenue", "h16_disjunctive_revenue", "h17_sole_final_supplier",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
