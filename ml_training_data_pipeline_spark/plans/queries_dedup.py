@@ -957,3 +957,49 @@ def d16_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+# --- D17: LSH candidate precision at thresholds -------------------------------------
+# The companion to d16's estimator calibration: of the pairs LSH
+# actually surfaces, what fraction clears each Jaccard bar? Low
+# precision at the target threshold means the banding config wastes
+# verification work (the 100-TB cost center); the sweep shows where the
+# candidate mass sits. Candidates and exact Jaccard come from the SAME
+# verified pipeline as d4 (threshold=0 keeps every candidate with ≥1
+# shared shingle); the threshold fan-out is a 4× explode on the tiny
+# verified-pair table, nothing corpus-sized.
+@query(
+    "d17_lsh_precision",
+    oracle=f"""
+    WITH {_CANDIDATES},
+    {_JACCARD},
+    verified AS (
+      SELECT j.jaccard
+      FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    ),
+    thr AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold)
+    SELECT t.threshold,
+           count(*) AS n_candidates,
+           count(*) FILTER (WHERE v.jaccard >= t.threshold) AS n_pass,
+           round(count(*) FILTER (WHERE v.jaccard >= t.threshold)
+                 / CAST(count(*) AS DOUBLE), 6) AS precision
+    FROM verified v CROSS JOIN thr t
+    GROUP BY t.threshold
+    """,
+)
+def d17_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, k=3, num_hashes=8, rows_per_band=2, threshold=0.0)
+    fan = pairs.select(
+        "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in (0.3, 0.5, 0.7, 0.9)])).alias("threshold"),
+    )
+    return fan.groupBy("threshold").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)).alias("n_pass"),
+        F.round(
+            F.sum(F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("precision"),
+    )

@@ -744,3 +744,45 @@ def w13_interevent_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_sec, 0.90)"), 6).alias("p90_sec"),
         F.round(F.expr("percentile(gap_sec, 0.99)"), 6).alias("p99_sec"),
     )
+
+
+# --- W14: activity concentration (Lorenz/Gini over per-user event counts) ----------
+# The "how skewed is engagement" number: Gini coefficient of the
+# per-user event-count distribution, from the Lorenz form
+# G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n with counts ranked ascending.
+# Everything up to the final division is INTEGER arithmetic (rank sums
+# over longs), so the coefficient is bit-identical across engines and
+# partitionings; ties rank by (count, user_id) — a total order, and the
+# Σ i·cᵢ term is permutation-invariant within a tie group anyway. One
+# count shuffle + one small window over n_users rows (150 at sf0.01;
+# even 100M users is a single balanced range sort at cluster scale).
+@query(
+    "w14_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM per_user
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM ranked
+    """,
+)
+def w14_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    w = Window.orderBy("c", "user_id")
+    ranked = per_user.select("c", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("c")) / (F.count("*") * F.sum("c").cast("double"))
+            - (F.count("*") + 1) / F.count("*").cast("double"),
+            6,
+        ).alias("gini"),
+    )

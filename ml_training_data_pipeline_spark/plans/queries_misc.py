@@ -993,3 +993,171 @@ def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return d.groupBy("lang", "status").agg(F.count("*").alias("n_docs"))
+
+
+# --- G5: GROUPING SETS profile ------------------------------------------------------
+# The third grouping extension beside g1 (ROLLUP) and g3 (CUBE): an
+# EXPLICIT set list — (lang, source), (lang), (source), () — is one
+# Expand + one aggregate, cheaper than CUBE when only named combinations
+# are wanted (CUBE at d dims pays 2^d expansion; a curation dashboard
+# usually needs 3-4 sets). Labels are coalesced to '(all)' (lang/source
+# are non-null by contract), so both engines emit identical rows without
+# grouping_id plumbing.
+@query(
+    "g5_grouping_sets_profile",
+    oracle="""
+    SELECT COALESCE(lang, '(all)') AS lang,
+           COALESCE(source, '(all)') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+)
+def g5_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("g5_documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, '(all)') AS lang,
+               COALESCE(source, '(all)') AS source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM g5_documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )
+
+
+# --- CUR7: length-threshold survivorship sweep --------------------------------------
+# The knob-curve pattern (n13's discipline) applied to the most common
+# curation filter: ONE query reports, for each candidate min-length
+# threshold, what fraction of documents and of character mass survives —
+# the curve a curation policy picks its cutoff from, instead of running
+# the filter N times. Thresholds fan out via a literal array explode
+# (5× row multiplication on an already-aggregated per-doc projection,
+# not on text), then one aggregate.
+@query(
+    "cur7_length_survivorship",
+    oracle="""
+    WITH thr AS (SELECT unnest([100, 200, 400, 800, 1600]) AS min_chars),
+    tot AS (SELECT count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS chars FROM documents)
+    SELECT t.min_chars,
+           count(*) FILTER (WHERE d.n_chars >= t.min_chars) AS n_survivors,
+           round(count(*) FILTER (WHERE d.n_chars >= t.min_chars) / CAST(tot.n AS DOUBLE), 6)
+             AS doc_survival,
+           round(CAST(sum(CASE WHEN d.n_chars >= t.min_chars THEN d.n_chars ELSE 0 END) AS DOUBLE)
+                 / tot.chars, 6) AS char_survival
+    FROM documents d CROSS JOIN thr t CROSS JOIN tot
+    GROUP BY t.min_chars, tot.n, tot.chars
+    """,
+)
+def cur7_length_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    thrs = [100, 200, 400, 800, 1600]
+    tot = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("double").alias("chars")
+    )
+    fan = docs.select(
+        "n_chars", F.explode(F.array(*[F.lit(t) for t in thrs])).alias("min_chars")
+    )
+    surv = F.sum(F.when(F.col("n_chars") >= F.col("min_chars"), 1).otherwise(0))
+    return (
+        fan.crossJoin(F.broadcast(tot))  # singleton stats row — job structure
+        .groupBy("min_chars", "n", "chars")
+        .agg(
+            surv.alias("n_survivors"),
+            F.round(surv / F.col("n").cast("double"), 6).alias("doc_survival"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_chars") >= F.col("min_chars"), F.col("n_chars")).otherwise(0)
+                ).cast("double")
+                / F.col("chars"),
+                6,
+            ).alias("char_survival"),
+        )
+        .select("min_chars", "n_survivors", "doc_survival", "char_survival")
+    )
+
+
+# --- T10: stratified balanced shards (global-sort-free) -----------------------------
+# t7 hash-shards documents; hash sharding balances COUNTS but not byte
+# mass when lengths are skewed. This variant round-robins WITHIN each
+# length stratum (the t9 length bands): a window partitioned BY STRATUM
+# — parallel across strata, never the single-partition global
+# row_number a naive "sort by size, deal round-robin" costs — so every
+# shard receives ~1/8 of each stratum and byte totals equalize. At
+# 100 TB, strata are the parallelism unit: make bands finer if any
+# stratum outgrows an executor's sort budget.
+@query(
+    "t10_balanced_shards",
+    oracle="""
+    WITH strat AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(least(n_chars, 799) / 100) AS INT) AS stratum
+      FROM documents
+    ),
+    rr AS (
+      SELECT n_chars,
+             (row_number() OVER (PARTITION BY stratum ORDER BY doc_id) - 1) % 8 AS shard
+      FROM strat
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM rr GROUP BY shard
+    """,
+)
+def t10_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stratum = F.floor(F.least(F.col("n_chars"), F.lit(799)) / 100).cast("int")
+    w = Window.partitionBy("stratum").orderBy("doc_id")
+    rr = docs.withColumn("stratum", stratum).select(
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 8).cast("long").alias("shard"),
+    )
+    return rr.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# --- S15: schema-evolution scan (mergeSchema over mixed-version files) --------------
+# The reader-side half of schema evolution (u3 is the DataFrame-side
+# union): an old snapshot written WITHOUT a column and a new snapshot
+# WITH it live in one dataset; spark.read.option("mergeSchema", true)
+# reconciles the footers and nulls the missing column for old files —
+# exactly how a 100-TB corpus store absorbs a new enrichment column
+# without rewriting history. Partition split is deterministic
+# (doc_id % 2); the quality column is exact-decimal so totals are
+# engine-stable.
+@query(
+    "s15_schema_evolution_scan",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, lang, n_chars, NULL::DOUBLE AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars, round((doc_id % 100) / 100.0, 2) AS quality
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) AS total_quality
+    FROM merged GROUP BY lang
+    """,
+)
+def s15_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = scratch_dir(spark, "evolve", sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", F.round((F.col("doc_id") % 100) / 100.0, 2)
+    )
+    old.write.mode("overwrite").parquet(base + "/v=1")
+    new.write.mode("overwrite").parquet(base + "/v=2")
+    back = spark.read.option("mergeSchema", "true").parquet(base + "/v=1", base + "/v=2")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.sum(F.col("quality").cast("decimal(18,2)")).cast("double").alias("total_quality"),
+    )

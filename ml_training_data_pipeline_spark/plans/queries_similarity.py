@@ -720,3 +720,49 @@ def n13_ann_table_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# --- N14: nearest-neighbor confidence margin ---------------------------------------
+# Retrieval-quality audit on top of the exact top-k: per query, the gap
+# between the best and the k-th cosine (a tiny margin means the
+# neighborhood is ambiguous — rerank or widen k before trusting it
+# downstream). Pure conditional aggregation over n1's ranked output; no
+# extra scan or shuffle beyond the top-k itself.
+@query(
+    "n14_ann_margin",
+    oracle=f"""
+    WITH {_V},
+    q AS (SELECT vec_id AS query_id, ve AS qve FROM v WHERE vec_id < 10),
+    ranked AS (
+      SELECT q.query_id,
+             round(list_inner_product(v.ve, q.qve)
+                 / (sqrt(list_inner_product(v.ve, v.ve)) * sqrt(list_inner_product(q.qve, q.qve))), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_inner_product(v.ve, q.qve)
+                   / (sqrt(list_inner_product(v.ve, v.ve)) * sqrt(list_inner_product(q.qve, q.qve))), 6) DESC,
+                 v.vec_id ASC) AS rank
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           round(max(CASE WHEN rank = 1 THEN cos_sim END), 6) AS top1_sim,
+           round(max(CASE WHEN rank = 5 THEN cos_sim END), 6) AS top5_sim,
+           round(max(CASE WHEN rank = 1 THEN cos_sim END)
+                 - max(CASE WHEN rank = 5 THEN cos_sim END), 6) AS margin
+    FROM ranked WHERE rank <= 5
+    GROUP BY query_id
+    """,
+)
+def n14_ann_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    topk = brute_force_topk(emb, probes, k=5)
+    return topk.groupBy("query_id").agg(
+        F.round(F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))), 6).alias("top1_sim"),
+        F.round(F.max(F.when(F.col("rank") == 5, F.col("cos_sim"))), 6).alias("top5_sim"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("cos_sim")))
+            - F.max(F.when(F.col("rank") == 5, F.col("cos_sim"))),
+            6,
+        ).alias("margin"),
+    )

@@ -1852,3 +1852,46 @@ def x21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_v, ln_n), 6).alias("heaps_beta"),
         F.round(F.regr_intercept(ln_v, ln_n), 6).alias("heaps_log_k"),
     )
+
+
+# --- X22: lexical diversity per source (TTR + Simpson) -----------------------------
+# The two standard diversity indices a corpus mix is tuned on: type-token
+# ratio (vocabulary breadth) and Simpson's index (probability two random
+# tokens are the same type — repetition mass). Both reduce to integer
+# aggregates over the (source, term) count table — one shuffle — with a
+# single double division at the end, so the numbers are bit-stable under
+# any partitioning. A low-TTR/high-Simpson source is boilerplate-heavy;
+# mix policies (mix3) downweight it.
+@query(
+    "x22_lexical_diversity",
+    oracle=f"""
+    WITH {toks_cte()},
+    src AS (
+      SELECT d.source, unnest(t.toks) AS term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    st AS (SELECT source, term, count(*) AS c FROM src GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+           round(sum(c * (c - 1)) / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1)), 6) AS simpson
+    FROM st GROUP BY source
+    """,
+)
+def x22_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    return st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / F.sum("c").cast("double"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.col("c") * (F.col("c") - 1))
+            / (F.sum("c").cast("double") * (F.sum("c") - 1)),
+            6,
+        ).alias("simpson"),
+    )

@@ -88,6 +88,9 @@ PRIORITY: tuple[str, ...] = (
     "n13_ann_table_sweep",
     "h12_two_nation_volume", "h13_market_share", "h14_top_supplier_revenue",
     "h15_small_qty_revenue", "h16_disjunctive_revenue", "h17_sole_final_supplier",
+    "x22_lexical_diversity", "w14_activity_gini", "n14_ann_margin",
+    "g5_grouping_sets_profile", "cur7_length_survivorship",
+    "t10_balanced_shards", "s15_schema_evolution_scan", "d17_lsh_precision",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
