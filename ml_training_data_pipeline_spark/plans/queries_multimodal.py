@@ -228,3 +228,58 @@ def mm5_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("min_media_id"),
         F.min("n_set_bits").alias("n_set_bits"),
     )
+
+
+# --- MM6: audio frame-energy profile (the VAD/silence-trim primitive) --------------
+# Fixed 40-sample frames over the real WAV roundtrip (mm3's bytes), per
+# clip: frame count, min/max frame RMS, and how many frames fall below
+# 98% of clip RMS. Because every sum in the chain is exact in doubles
+# (int16 squares), the oracle recomputes the identical statistics from
+# the signal formula — byte-level codec, Python framing, and SQL agree
+# hash-exactly.
+@query(
+    "mm6_audio_frame_profile",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 160 + (n_chars % 160) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, CAST(floor(n / 40) AS BIGINT) AS nf,
+             list_transform(range(0, n),
+               i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768 AS DOUBLE)) AS x
+      FROM m
+    ),
+    fr AS (
+      SELECT doc_id, nf,
+             list_transform(range(0, CAST(nf AS INT)),
+               f -> sqrt(list_avg(list_transform(
+                      list_slice(x, f * 40 + 1, f * 40 + 40), v -> v * v)))) AS frms,
+             sqrt(list_avg(list_transform(list_slice(x, 1, CAST(nf AS INT) * 40),
+                                          v -> v * v))) AS clip_rms
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           nf AS n_frames,
+           round(list_min(frms), 6) AS min_rms,
+           round(list_max(frms), 6) AS max_rms,
+           CAST(len(list_filter(frms, r -> r < 0.98 * clip_rms)) AS BIGINT) AS n_low,
+           true AS decoded
+    FROM fr
+    """,
+)
+def mm6_audio_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import audio_frame_profile, documents_as_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = audio_frame_profile(documents_as_audio(docs), frame_len=40)
+    return prof.select(
+        "media_id",
+        "n_frames",
+        F.round("min_rms", 6).alias("min_rms"),
+        F.round("max_rms", 6).alias("max_rms"),
+        "n_low",
+        "decoded",
+    )

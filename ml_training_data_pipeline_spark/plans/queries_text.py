@@ -5,7 +5,7 @@ stated once in oracle_fragments.py and mirrored by functions/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import analysis
@@ -1894,4 +1894,93 @@ def x22_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c").cast("double") * (F.sum("c") - 1)),
             6,
         ).alias("simpson"),
+    )
+
+
+# --- X23: language-ID confusion audit ----------------------------------------------
+# The audit-trilogy discipline applied to x3: the heuristic detector's
+# predictions cross-tabulated against the recorded lang label, with each
+# cell's share of its true-label row — the number that says WHERE the
+# detector is wrong (which language pairs bleed into each other), not
+# just how often. Integer counts + one tiny window; the prediction CTE
+# is x3's oracle verbatim, so the audit and the operator can never
+# drift apart.
+@query(
+    "x23_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT d.lang AS lang_true, p.lang_detected, count(*) AS n_docs,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE), 6)
+             AS share_of_true
+    FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_detected
+    """,
+)
+def x23_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pred = docs.select(
+        F.col("lang").alias("lang_true"),
+        analysis.detect_language(F.col("text")).alias("lang_detected"),
+    )
+    cell = pred.groupBy("lang_true", "lang_detected").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang_true")
+    return cell.select(
+        "lang_true",
+        "lang_detected",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
+            "share_of_true"
+        ),
+    )
+
+
+# --- V12: vocabulary coverage curve (OOV-rate sweep) -------------------------------
+# The vocab-size knob curve: what fraction of corpus token MASS does a
+# top-K vocabulary cover, for K in {500, 1000, 2000, 4000}? The number
+# that picks V4's cutoff (and the embedding-table size downstream)
+# from measurement. The ranked-vocab window runs over the VOCAB table
+# (bounded by distinct terms, like v4 — never corpus-sized), the K
+# fan-out is a 4× explode on that same table, and coverage is an exact
+# integer mass ratio.
+@query(
+    "v12_vocab_coverage",
+    oracle=f"""
+    WITH {toks_cte()},
+    {unigram_cte()},
+    tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tc),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tc),
+    ks AS (SELECT unnest([500, 1000, 2000, 4000]) AS k)
+    SELECT k,
+           CAST(sum(CASE WHEN rn <= k THEN c ELSE 0 END) AS BIGINT) AS covered_mass,
+           round(sum(CASE WHEN rn <= k THEN c ELSE 0 END) / tot.n, 6) AS coverage
+    FROM ranked CROSS JOIN ks CROSS JOIN tot
+    GROUP BY k, tot.n
+    """,
+)
+def v12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = tc.agg(F.sum("c").cast("double").alias("n"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tc.select("c", F.row_number().over(w).alias("rn"))
+    fan = ranked.select(
+        "c", "rn", F.explode(F.array(*[F.lit(k) for k in (500, 1000, 2000, 4000)])).alias("k")
+    )
+    return (
+        fan.crossJoin(F.broadcast(tot))  # singleton stats row
+        .groupBy("k", "n")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_mass"),
+            F.round(
+                F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0)) / F.col("n"),
+                6,
+            ).alias("coverage"),
+        )
+        .select("k", "covered_mass", "coverage")
     )

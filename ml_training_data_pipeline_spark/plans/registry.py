@@ -91,6 +91,8 @@ PRIORITY: tuple[str, ...] = (
     "x22_lexical_diversity", "w14_activity_gini", "n14_ann_margin",
     "g5_grouping_sets_profile", "cur7_length_survivorship",
     "t10_balanced_shards", "s15_schema_evolution_scan", "d17_lsh_precision",
+    "x23_langid_confusion", "v12_vocab_coverage", "h18_nation_profit",
+    "mm6_audio_frame_profile",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
