@@ -1161,3 +1161,83 @@ def s15_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("quality").cast("long").alias("n_with_quality"),
         F.sum(F.col("quality").cast("decimal(18,2)")).cast("double").alias("total_quality"),
     )
+
+
+# --- P11: referential-integrity audit ----------------------------------------------
+# Ingest-time FK validation across the whole relational schema: one row
+# per foreign-key edge with its orphan count — the check a pipeline
+# runs BEFORE joining 100 TB of facts against dims (orphans silently
+# vanish in inner joins and silently null in outer ones). Each edge is
+# a LEFT ANTI join with the dim side broadcast; the seven checks union
+# into one plan so the facts are scanned once per fact table, not per
+# edge.
+@query(
+    "p11_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_suppkey IS NULL)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_regionkey IS NULL)
+    """,
+)
+def p11_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name: str, fact: DataFrame, key: str, dim: DataFrame, dim_key: str) -> DataFrame:
+        orphans = fact.join(
+            F.broadcast(dim.select(dim_key)), F.col(key) == F.col(dim_key), "left_anti"
+        )
+        return (
+            fact.agg(F.count("*").alias("n_rows"))
+            .crossJoin(F.broadcast(orphans.agg(F.count("*").alias("n_orphans"))))
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey")
+    parts = [
+        edge("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", l, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+        edge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out

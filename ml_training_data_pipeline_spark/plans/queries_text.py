@@ -1984,3 +1984,85 @@ def v12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "covered_mass", "coverage")
     )
+
+
+# --- X24: boilerplate template families (shared leading prefix) --------------------
+# Template spam detection at the cheapest possible grain: documents
+# sharing their first five tokens are one "template family" (form
+# letters, scraped page chrome, generated boilerplate). One groupBy on
+# a 60-bit md5 of the prefix — the key rides the shuffle as a LONG (the
+# d15/cur5 discipline), never as the prefix text. Families of one are
+# dropped; survivors get the canonical min-doc exemplar.
+@query(
+    "x24_template_families",
+    oracle=f"""
+    WITH {toks_cte()},
+    pref AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(list_slice(toks, 1, 5), ' ')), 1, 15))::BIGINT
+               AS prefix_hash
+      FROM toks WHERE len(toks) >= 5
+    )
+    SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS exemplar_doc_id
+    FROM pref GROUP BY prefix_hash HAVING count(*) >= 2
+    """,
+)
+def x24_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    pref = toks.select(
+        "doc_id",
+        md5_long(F.array_join(F.slice("toks", 1, 5), " ")).alias("prefix_hash"),
+    )
+    return (
+        pref.groupBy("prefix_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("exemplar_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# --- MIX5: mixture entropy (effective source count) --------------------------------
+# The one-number health check on a corpus mix: Shannon entropy of the
+# source distribution and its exponential — the "effective number of
+# sources" a sampler actually sees (20 sources at eff≈3 means three
+# dominate). Read next to mix3: temperature reweighting should push
+# eff_sources toward the nominal count. Integer counts → one tiny
+# 20-row aggregate; only the final entropy sum is floating-point.
+@query(
+    "mix5_mixture_entropy",
+    oracle="""
+    WITH per_source AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS k FROM per_source)
+    SELECT tot.k AS n_sources,
+           CAST(tot.n AS BIGINT) AS n_docs,
+           round(-sum((c / tot.n) * ln(c / tot.n)), 6) AS entropy,
+           round(exp(-sum((c / tot.n) * ln(c / tot.n))), 6) AS eff_sources
+    FROM per_source CROSS JOIN tot
+    GROUP BY tot.k, tot.n
+    """,
+)
+def mix5_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("c"))
+    tot = per_source.agg(
+        F.sum("c").cast("double").alias("n"), F.count("*").alias("k")
+    )
+    h = -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))
+    return (
+        per_source.crossJoin(F.broadcast(tot))  # singleton stats row
+        .groupBy("k", "n")
+        .agg(
+            F.round(h, 6).alias("entropy"),
+            F.round(F.exp(h), 6).alias("eff_sources"),
+        )
+        .select(
+            F.col("k").alias("n_sources"),
+            F.col("n").cast("long").alias("n_docs"),
+            "entropy",
+            "eff_sources",
+        )
+    )
