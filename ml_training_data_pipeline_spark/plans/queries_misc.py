@@ -138,7 +138,7 @@ def w4_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference: intersect(dtm_vocab, lda_vocab) (04_cluster_refiner.R:195-207).
 @query(
     "u2_vocab_intersection",
-    oracle="""
+    oracle=r"""
     WITH en_terms AS (
       SELECT DISTINCT unnest(string_split(trim(regexp_replace(regexp_replace(lower(d.text),
         '[^a-z0-9\s\x0b]', '', 'g'), '[\s\x0b]+', ' ', 'g')), ' ')) AS term

@@ -1,0 +1,121 @@
+"""Round-7 invariants: plan guards for the new queries (broadcast
+discipline, partitioned windows) and behavioral invariants the DuckDB
+oracle can't state (sweep monotonicity, codec error isolation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_training_data_pipeline_spark.plans import registry
+from tests.conftest import SF_DIR
+
+registry._load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_t10_window_is_partitioned_not_global(spark):
+    # the whole point of stratified round-robin: the row_number window
+    # partitions by stratum (parallel), never a single-partition global
+    # sort. A global window would show "Window [...]" fed by an Exchange
+    # SinglePartition.
+    plan = _plan(registry.QUERIES["t10_balanced_shards"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_h12_h18_no_cartesian_and_broadcast_dims(spark):
+    for name in ("h12_two_nation_volume", "h13_market_share", "h18_nation_profit"):
+        plan = _plan(registry.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_p11_all_anti_joins_broadcast(spark):
+    # every FK edge checks via a broadcast anti-join; a SortMergeJoin here
+    # means a dim failed to broadcast and the audit would shuffle 100 TB.
+    plan = _plan(registry.QUERIES["p11_referential_integrity"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 7, plan
+
+
+def test_cur7_survivorship_monotone(spark):
+    rows = (
+        registry.QUERIES["cur7_length_survivorship"](spark, SF_DIR)
+        .orderBy("min_chars")
+        .collect()
+    )
+    assert len(rows) == 5
+    for a, b in zip(rows, rows[1:]):
+        assert a["doc_survival"] >= b["doc_survival"]
+        assert a["char_survival"] >= b["char_survival"]
+        assert a["n_survivors"] >= b["n_survivors"]
+
+
+def test_n13_sweep_monotone_in_tables(spark):
+    rows = (
+        registry.QUERIES["n13_ann_table_sweep"](spark, SF_DIR)
+        .orderBy("n_tables")
+        .collect()
+    )
+    assert [r["n_tables"] for r in rows] == [1, 2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        # prefix configs: candidate sets only grow, so recall can't drop
+        assert b["mean_recall_at_5"] >= a["mean_recall_at_5"], rows
+        assert b["avg_candidates"] >= a["avg_candidates"], rows
+
+
+def test_audio_frame_profile_error_isolation(spark):
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        audio_frame_profile,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not a riff container"), "{}")],
+        "media_id long, modality string, content binary, meta string",
+    )
+    rows = audio_frame_profile(media).collect()
+    assert len(rows) == 1
+    assert rows[0]["decoded"] is False
+    assert rows[0]["n_frames"] is None and rows[0]["min_rms"] is None
+
+
+def test_audio_frame_profile_bounds(spark):
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        audio_frame_profile,
+        documents_as_audio,
+    )
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    rows = audio_frame_profile(documents_as_audio(docs), frame_len=40).collect()
+    assert rows
+    for r in rows:
+        assert r["decoded"] is True
+        assert r["n_frames"] >= 4  # 160+ samples / 40
+        assert 0.0 <= r["min_rms"] <= r["max_rms"]
+        assert 0 <= r["n_low"] <= r["n_frames"]
+
+
+def test_scratch_dir_is_session_unique(spark):
+    from ml_training_data_pipeline_spark.io.sources import scratch_dir
+
+    d1 = scratch_dir(spark, "x", SF_DIR)
+    assert spark.sparkContext.applicationId.replace("-", "_") in d1
+    assert d1 == scratch_dir(spark, "x", SF_DIR)  # stable within a session
+
+
+def test_bpe_merge_symbol_containing_column_name(spark):
+    # ADVICE r6: a learned merge symbol that literally contains the
+    # target column's name must not corrupt the fold SQL now that the
+    # column is a template parameter.
+    from ml_training_data_pipeline_spark.operators.bpe import apply_merges
+
+    seg = spark.createDataFrame(
+        [(1, ["sym", "s", "x"])], "term long, cols array<string>"
+    )
+    merges = [(0, "sym", "s", "syms", 1), (1, "syms", "x", "symsx", 1)]
+    out = apply_merges(seg, merges, syms_col="cols").collect()
+    assert out[0]["cols"] == ["symsx"]
