@@ -216,3 +216,44 @@ def l3_inference_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_toks") * 3.0 / 1e6 + F.sum("c_toks") * 15.0 / 1e6, 6
         ).alias("est_cost_usd"),
     )
+
+
+# --- L4: inference cache-hit report (dedupe before you pay) ------------------------
+# The standard cost lever in front of l3's invoice: identical prompts
+# collapse to ONE inference call through a response cache keyed on the
+# prompt hash. This report prices the lever — request volume, distinct
+# prompts, the hits a cache would serve, and the spend fraction saved —
+# straight off the same prompt constructor the enrichment path uses, so
+# the number is the real dedup rate of the corpus's prompt stream (d1's
+# duplicate mass seen through the LLM-billing lens). One hash groupBy;
+# the cache itself would be the st10 bucketed-static-table pattern.
+@query(
+    "l4_llm_cache_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT md5('{TOPIC_PROMPT_PREFIX}' || text) AS pk
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT count(*) AS n_requests,
+           count(DISTINCT pk) AS n_unique_prompts,
+           count(*) - count(DISTINCT pk) AS n_cache_hits,
+           round((count(*) - count(DISTINCT pk)) / CAST(count(*) AS DOUBLE), 6)
+             AS hit_rate
+    FROM base
+    """,
+)
+def l4_llm_cache_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.llm import topic_prompt
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    pk = docs.select(F.md5(topic_prompt(F.col("text"))).alias("pk"))
+    return pk.agg(
+        F.count("*").alias("n_requests"),
+        F.countDistinct("pk").alias("n_unique_prompts"),
+        (F.count("*") - F.countDistinct("pk")).alias("n_cache_hits"),
+        F.round(
+            (F.count("*") - F.countDistinct("pk")) / F.count("*").cast("double"), 6
+        ).alias("hit_rate"),
+    )

@@ -451,3 +451,30 @@ def ep6_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted = arriving.join(static_known, "fp", "left_anti")
     agg = admitted.groupBy("lang").agg(F.count("*").alias("n_admitted"))
     return run_bounded(agg, "ep6_out", output_mode="complete")
+
+
+# --- ST11: unwindowed running counters (the forever-aggregate shape) ---------------
+# The one stateful shape st1-st10 skip: a GLOBAL keyed aggregate with no
+# window and no watermark — live per-type counters that never expire.
+# State is bounded by KEY CARDINALITY (here: event types), which is the
+# design rule this query documents: unwindowed aggregates are safe
+# exactly when the key domain is small and closed; per-user/per-doc keys
+# need st4's TTL state instead. Complete output mode re-emits the full
+# counter table per batch. Values sum as decimals so the totals are
+# partition-order-stable.
+@query(
+    "st11_stream_type_totals",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def st11_stream_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return run_bounded(agg, "st11_out", output_mode="complete")
