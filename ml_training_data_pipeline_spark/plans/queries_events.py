@@ -786,3 +786,60 @@ def w14_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- W15: daily-activity autocorrelation (lag-1) -----------------------------------
+# The load-forecasting primitive: is tomorrow's volume predictable from
+# today's? Per event type: densify the type's own day span (w9's
+# in-row sequence, zeros included — silence is signal), lag by one day,
+# and correlate. Counts are integers, so the correlation inputs are
+# exact; corr() itself matches DuckDB to 6dp over distributed groups
+# (the x15/x21 regr_* precedent). One small window per type over
+# span-bounded rows — never the raw fact table.
+@query(
+    "w15_daily_autocorr",
+    oracle="""
+    WITH days AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1 FROM days GROUP BY event_type
+    ),
+    cal AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM spans),
+    filled AS (
+      SELECT c.event_type, c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      FROM cal c LEFT JOIN days d ON c.event_type = d.event_type AND c.day = d.day
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY day) AS n_prev
+      FROM filled
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(corr(n, n_prev), 6) AS lag1_autocorr
+    FROM lagged WHERE n_prev IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def w15_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    days = e.select("event_type", day.alias("day")).groupBy("event_type", "day").agg(
+        F.count("*").alias("n")
+    )
+    spans = days.groupBy("event_type").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = spans.select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    filled = cal.join(days, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = filled.select(
+        "event_type", "n", F.lag("n").over(w).alias("n_prev")
+    ).where(F.col("n_prev").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("n", "n_prev"), 6).alias("lag1_autocorr"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table, scratch_dir
+from ..functions.text import tokenize
 from ..operators.tfidf import doc_tokens
 from .oracle_fragments import toks_cte
 from .registry import query
@@ -1240,4 +1241,121 @@ def p11_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for q in parts[1:]:
         out = out.unionAll(q)
+    return out
+
+
+# --- X25: lexicon screening report --------------------------------------------------
+# Blocklist screening mechanics (toxicity/spam/incident lexicons in
+# production — the lexicon here is a placeholder over the synthetic
+# vocabulary): flag every document whose token set intersects the
+# lexicon, report flag rates per source. The lexicon ships as an array
+# LITERAL into an arrays_overlap predicate — no join, fully
+# pushdown-friendly, and the screening pass stays one narrow projection
+# at any corpus size (a 10k-term production lexicon would broadcast
+# instead).
+@query(
+    "x25_lexicon_screen",
+    oracle=f"""
+    WITH {toks_cte()}
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN len(list_intersect(t.toks,
+                 ['slow', 'fail', 'error', 'crash', 'leak'])) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN len(list_intersect(t.toks,
+                 ['slow', 'fail', 'error', 'crash', 'leak'])) > 0
+               THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS flag_rate
+    FROM toks t JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = F.array(*[F.lit(t) for t in ("slow", "fail", "error", "crash", "leak")])
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    flagged = docs.select(
+        "source", F.arrays_overlap(tokenize(F.col("text")), lex).alias("hit")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.round(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)) / F.count("*").cast("double"), 6
+        ).alias("flag_rate"),
+    )
+
+
+# --- EP7: dataset card (the release datasheet, one query) ---------------------------
+# The summary table a dataset release ships: corpus size, token mass,
+# language spread, duplicate mass, length profile — every number an
+# already-oracle-checked operator's headline stat, unioned into one
+# (metric, value) table so a release pipeline materializes the card in
+# a single job. Exact-integer or single-division statistics only.
+@query(
+    "ep7_dataset_card",
+    oracle=f"""
+    WITH {toks_cte()},
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS f FROM toks),
+    tokn AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS v FROM toks),
+    langs AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+    SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+    UNION ALL
+    SELECT 'n_tokens', v FROM tokn
+    UNION ALL
+    SELECT 'n_langs', CAST(count(*) AS DOUBLE) FROM langs
+    UNION ALL
+    SELECT 'top_lang_share',
+           round(max(c) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) FROM langs
+    UNION ALL
+    SELECT 'exact_dup_rate',
+           round(1.0 - count(DISTINCT f) / CAST(count(*) AS DOUBLE), 6) FROM fp
+    UNION ALL
+    SELECT 'mean_doc_chars',
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) FROM documents
+    UNION ALL
+    SELECT 'short_doc_rate',
+           round(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) FROM documents
+    """,
+)
+def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_text = docs.where(F.col("text").isNotNull())
+    toks = with_text.select(F.size(tokenize(F.col("text"))).alias("nt"))
+    fp = with_text.select(fingerprint(F.col("text")).alias("f"))
+    langs = docs.groupBy("lang").agg(F.count("*").alias("c"))
+
+    def one(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"), F.col("value").cast("double"))
+
+    n_docs = docs.agg(F.count("*").cast("double").alias("value"))
+    n_tokens = toks.agg(F.sum("nt").cast("double").alias("value"))
+    n_langs = langs.agg(F.count("*").cast("double").alias("value"))
+    top_share = langs.crossJoin(F.broadcast(n_docs.select(F.col("value").alias("nd")))).agg(
+        F.round(F.max("c") / F.first("nd"), 6).alias("value")
+    )
+    dup_rate = fp.agg(
+        F.round(1.0 - F.countDistinct("f") / F.count("*").cast("double"), 6).alias("value")
+    )
+    mean_chars = docs.agg(
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("value")
+    )
+    short_rate = docs.agg(
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("value")
+    )
+    out = one("n_docs", n_docs)
+    for m, df in (
+        ("n_tokens", n_tokens),
+        ("n_langs", n_langs),
+        ("top_lang_share", top_share),
+        ("exact_dup_rate", dup_rate),
+        ("mean_doc_chars", mean_chars),
+        ("short_doc_rate", short_rate),
+    ):
+        out = out.unionAll(one(m, df))
     return out
