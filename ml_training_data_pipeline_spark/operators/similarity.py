@@ -185,6 +185,26 @@ def ivf_topk(
     ``nprobe == nlist`` degenerates to exact brute force (the recall
     knob is explicit). Returns (query_id, neighbor_id, cos_sim, rank)."""
     centers, assigned = ivf_assignments(vectors, nlist, seed, vec_col, id_col)
+    return ivf_probe_topk(
+        centers, assigned, vectors, queries, nprobe=nprobe, k=k,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def ivf_probe_topk(
+    centers: list[list[float]],
+    assigned: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The probe stage of IVF ANN, taking a PRE-BUILT index (centers +
+    cell assignments) — so a sweep over nprobe (n15) pays the KMeans
+    build once, which is also the production serving shape: the index is
+    an artifact, probes are queries."""
     spark = vectors.sparkSession
     centers_df = spark.createDataFrame(
         list(enumerate(centers)), schema="cell int, center array<double>"

@@ -843,3 +843,40 @@ def w15_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.round(F.corr("n", "n_prev"), 6).alias("lag1_autocorr"),
     )
+
+
+# --- J13: user co-activity pairs (windowed co-occurrence self-join) ----------------
+# The co-occurrence-matrix primitive on the events face (x16 is the
+# same shape over terms): users present in the same 5-minute window,
+# paired, counted, thresholded. The self-join key is the WINDOW — the
+# sub-quadratic trick is joining per-window presence sets (distinct,
+# bounded by active users per window) instead of raw events; a hot
+# window fans out quadratically in its ACTIVE USERS only, the d8-style
+# cap point if window population ever explodes at scale.
+@query(
+    "j13_coactivity_pairs",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 300) AS BIGINT) AS win, user_id
+      FROM events
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_windows
+    FROM pres a JOIN pres b ON a.win = b.win AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    HAVING count(*) >= 3
+    """,
+)
+def j13_coactivity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pres = e.select(
+        F.floor(F.col("ts").cast("double") / 300).cast("long").alias("win"), "user_id"
+    ).distinct()
+    a = pres.select("win", F.col("user_id").alias("user_a"))
+    b = pres.select("win", F.col("user_id").alias("user_b"))
+    return (
+        a.join(b, "win")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_windows"))
+        .where(F.col("n_windows") >= 3)
+    )

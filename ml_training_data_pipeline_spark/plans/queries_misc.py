@@ -1359,3 +1359,34 @@ def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionAll(one(m, df))
     return out
+
+
+# --- U5: vocabulary symmetric difference --------------------------------------------
+# Completes the set algebra over vocabularies (u2 ∩, u4 −): terms
+# exclusive to source_00 vs exclusive to the rest, tagged by side — the
+# two-way "what does each half know that the other doesn't" diff a
+# domain-shift investigation starts from. Two distincts + two anti
+# semantics via EXCEPT; one shuffle each on the bounded vocab tables.
+@query(
+    "u5_vocab_symmetric_diff",
+    oracle=f"""
+    WITH {toks_cte()},
+    tok AS (
+      SELECT d.source, unnest(t.toks) AS term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    a AS (SELECT DISTINCT term FROM tok WHERE source = 'source_00'),
+    b AS (SELECT DISTINCT term FROM tok WHERE source <> 'source_00')
+    SELECT term, 'only_source_00' AS side FROM (SELECT term FROM a EXCEPT SELECT term FROM b)
+    UNION ALL
+    SELECT term, 'only_rest' FROM (SELECT term FROM b EXCEPT SELECT term FROM a)
+    """,
+)
+def u5_vocab_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+    a = tok.where(F.col("source") == "source_00").select("term").distinct()
+    b = tok.where(F.col("source") != "source_00").select("term").distinct()
+    only_a = a.exceptAll(b).distinct().select("term", F.lit("only_source_00").alias("side"))
+    only_b = b.exceptAll(a).distinct().select("term", F.lit("only_rest").alias("side"))
+    return only_a.unionAll(only_b)

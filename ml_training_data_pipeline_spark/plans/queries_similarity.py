@@ -766,3 +766,45 @@ def n14_ann_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("margin"),
     )
+
+
+# --- N15: IVF nprobe sweep (the n13 curve for the other index) ---------------------
+# Completes the ANN configuration story: recall@5 per nprobe ∈
+# {1,2,4,8,16} over ONE prebuilt 16-cell IVF index (the KMeans build is
+# paid once — ivf_probe_topk takes the index as an artifact, the
+# production serving shape). nprobe=nlist degenerates to exact brute
+# force, so the curve must END at recall 1.0 — pinned in
+# tests/test_round7.py along with monotonicity. Estimator-backed
+# (KMeans cells aren't SQL-expressible) → rows-only driver check, like
+# n5.
+@query("n15_ivf_nprobe_sweep")
+def n15_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assignments, ivf_probe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    centers, assigned = ivf_assignments(emb, nlist=16, seed=123)
+    assigned = assigned.localCheckpoint()  # one index build, five probe passes
+    rows = None
+    for nprobe in (1, 2, 4, 8, 16):
+        approx = ivf_probe_topk(centers, assigned, emb, probes, nprobe=nprobe, k=5).select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+        hit = exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        row = hit.agg(
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            F.round(
+                F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_recall_at_5"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

@@ -119,3 +119,16 @@ def test_bpe_merge_symbol_containing_column_name(spark):
     merges = [(0, "sym", "s", "syms", 1), (1, "syms", "x", "symsx", 1)]
     out = apply_merges(seg, merges, syms_col="cols").collect()
     assert out[0]["cols"] == ["symsx"]
+
+
+def test_n15_ivf_sweep_monotone_and_exact_at_full_probe(spark):
+    rows = (
+        registry.QUERIES["n15_ivf_nprobe_sweep"](spark, SF_DIR)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert b["mean_recall_at_5"] >= a["mean_recall_at_5"], rows
+    # nprobe == nlist scans every cell: exact brute force, recall 1.0
+    assert rows[-1]["mean_recall_at_5"] == 1.0, rows
