@@ -1003,3 +1003,59 @@ def d17_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("precision"),
     )
+
+
+# --- X26: cross-language duplicate leakage ------------------------------------------
+# d12's matrix rotated onto the LANGUAGE axis, at two grains: whole-doc
+# fingerprints (exact content under different lang labels — mislabeled
+# metadata / copy-through; an honest ZERO on a clean corpus) and x24's
+# 5-token template prefixes (shared boilerplate crossing language
+# labels — the leak that actually shows up in practice). One
+# fingerprint groupBy per grain, lang-pair expansion bounded by
+# langs-per-fingerprint; real translation dups need embedding
+# similarity (n4's path).
+@query(
+    "x26_crosslang_dups",
+    oracle=f"""
+    WITH {toks_cte()},
+    keyed AS (
+      SELECT 'document' AS grain, t.doc_id, d.lang,
+             md5(array_to_string(t.toks, ' ')) AS fp
+      FROM toks t JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT 'template5', t.doc_id, d.lang,
+             md5(array_to_string(list_slice(t.toks, 1, 5), ' '))
+      FROM toks t JOIN documents d USING (doc_id)
+      WHERE len(t.toks) >= 5
+    ),
+    per AS (SELECT DISTINCT grain, fp, lang FROM keyed)
+    SELECT a.grain, a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared_fps
+    FROM per a JOIN per b ON a.grain = b.grain AND a.fp = b.fp AND a.lang < b.lang
+    GROUP BY a.grain, a.lang, b.lang
+    """,
+)
+def x26_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    doc_grain = docs.select(
+        F.lit("document").alias("grain"), "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    toks = docs.select("lang", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    tmpl_grain = toks.select(
+        F.lit("template5").alias("grain"),
+        "lang",
+        F.md5(F.array_join(F.slice("toks", 1, 5), " ")).alias("fp"),
+    )
+    per = doc_grain.unionAll(tmpl_grain).distinct()
+    a = per.select("grain", "fp", F.col("lang").alias("lang_a"))
+    b = per.select("grain", "fp", F.col("lang").alias("lang_b"))
+    return (
+        a.join(b, ["grain", "fp"])
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("grain", "lang_a", "lang_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+    )

@@ -1126,3 +1126,41 @@ def h18_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+# --- H19: order-to-ship latency distribution ---------------------------------------
+# The operational-SLA profile: days from order to line shipment,
+# percentiles per order priority. One orderkey join, then exact
+# interpolated percentiles per priority (Spark percentile() ≡ DuckDB
+# quantile_cont over integer day gaps — the w13 precedent). At scale
+# the quantile is the per-group sort; approx_percentile is the knob
+# when groups outgrow memory (x8 shows the sketch face).
+@query(
+    "h19_ship_latency_quantiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0) AS BIGINT) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(quantile_cont(days, 0.50), 6) AS p50_days,
+           round(quantile_cont(days, 0.90), 6) AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def h19_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    days = F.floor(
+        (F.col("l_shipdate").cast("double") - F.col("o_orderdate").cast("double")) / 86400.0
+    ).cast("long")
+    lat = l.join(o, l.l_orderkey == o.o_orderkey).select("o_orderpriority", days.alias("days"))
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.expr("percentile(days, 0.50)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.90)"), 6).alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
