@@ -69,11 +69,11 @@ PRIORITY: tuple[str, ...] = (
     "st9_stream_sliding_counts",
     # ROUND-8 ROTATION (pre-staged; fill round 8's 50-prefix with, in
     # order): (a) the remaining 29 never-driver-checked round-6 names
-    # below (j10 … m8), (b) any queries added NEW in round 7 — they are
-    # appended in the "NEW in round 7" block further down; move them up
-    # here when freezing round 8's prefix, (c) top up to 50 with the
-    # stalest checked names from the r5 block that follows (d10, n6,
-    # cur2, d4, ep2, st4, m5, s1, p2, p3, … in listed order).
+    # below (j10 … m8), (b) the first 21 of the 32 round-7 additions
+    # (n13 … d17 in the "NEW in round 7" block below). ROUND-9: the
+    # remaining 11 round-7 names (x23 … h19), any round-8 additions,
+    # then the stalest checked names from the r5 block (d10, n6, cur2,
+    # d4, ep2, st4, m5, s1, p2, p3, … in listed order) to fill 50.
     "j10_salted_skew_join",
     "mix4_train_val_test_split",
     "d16_minhash_estimate_audit", "w11_rate_bursts", "n11_ann_recall_audit", "ep5_dedup_split_shards",

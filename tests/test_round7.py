@@ -132,3 +132,26 @@ def test_n15_ivf_sweep_monotone_and_exact_at_full_probe(spark):
         assert b["mean_recall_at_5"] >= a["mean_recall_at_5"], rows
     # nprobe == nlist scans every cell: exact brute force, recall 1.0
     assert rows[-1]["mean_recall_at_5"] == 1.0, rows
+
+
+def test_doc_counts_match_registry():
+    # ADVICE r6: README/SURVEY query totals drifted from the registry.
+    # Derive the numbers from the registry and require both docs to
+    # state them exactly, so the drift can't recur.
+    import os
+    import re
+
+    n_q = len(registry.QUERIES)
+    n_o = len(registry.ORACLE_SQL)
+    n_r = n_q - n_o
+    root = os.path.join(os.path.dirname(__file__), "..")
+    readme = open(os.path.join(root, "README.md")).read()
+    survey = open(os.path.join(root, "SURVEY.md")).read()
+    m = re.search(r"\((\d+) queries, (\d+) oracle-backed; (\d+) estimator", readme)
+    assert m, "README query-total sentence not found"
+    assert tuple(map(int, m.groups())) == (n_q, n_o, n_r), (m.groups(), n_q, n_o, n_r)
+    m = re.search(r"\*\*(\d+) named queries, (\d+)\s+oracle-backed\*\*", survey)
+    assert m, "SURVEY query-total sentence not found"
+    assert tuple(map(int, m.groups())) == (n_q, n_o), (m.groups(), n_q, n_o)
+    m = re.search(r"the (\d+) rows-only", survey)
+    assert m and int(m.group(1)) == n_r, (m and m.group(1), n_r)
