@@ -155,3 +155,70 @@ def test_doc_counts_match_registry():
     assert tuple(map(int, m.groups())) == (n_q, n_o), (m.groups(), n_q, n_o)
     m = re.search(r"the (\d+) rows-only", survey)
     assert m and int(m.group(1)) == n_r, (m and m.group(1), n_r)
+
+
+def test_components_converge_on_10k_chain(spark):
+    # VERDICT r6 #8's adversarial case, run against the EXISTING
+    # pointer-doubling implementation: a 10k-node path graph (diameter
+    # 9999) must converge in ~log2(d) rounds, far inside max_iter=25 —
+    # which holds for any diameter to 2^25, so no large-star/small-star
+    # variant is needed for real dup graphs.
+    from ml_training_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    out = connected_components(edges)
+    comps = out.agg(
+        F.count_distinct("component_id").alias("k"),
+        F.min("component_id").alias("mn"),
+        F.count("*").alias("cnt"),
+    ).collect()[0]
+    assert (comps["k"], comps["mn"], comps["cnt"]) == (1, 0, n)
+
+
+def test_strip_html_drops_unterminated_script(spark):
+    from ml_training_data_pipeline_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            (1, "before <script>var x = 'payload';"),          # no closing tag
+            (2, "a <style type='x'> p { color: red }"),        # no closing tag
+            (3, "keep <script>drop</script> tail"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", strip_html(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == "before"        # payload gone, not leaked
+    assert got[2] == "a"
+    assert got[3] == "keep tail"
+
+
+def test_w14_gini_bounds_and_uniform_zero(spark):
+    # Gini of a perfectly uniform distribution is 0 by construction
+    # (up to the (n+1)/n sample correction: exactly 0 for equal counts).
+    from ml_training_data_pipeline_spark.plans import registry as reg
+
+    ev = spark.createDataFrame(
+        [(u, i) for u in range(8) for i in range(5)], "user_id long, event_id long"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ev.createOrReplaceTempView("_gini_uniform")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c", "user_id")
+    ranked = per_user.select("c", F.row_number().over(w).alias("i"))
+    row = ranked.agg(
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("c"))
+            / (F.count("*") * F.sum("c").cast("double"))
+            - (F.count("*") + 1) / F.count("*").cast("double"),
+            6,
+        ).alias("gini")
+    ).collect()[0]
+    assert row["gini"] == 0.0
+    # and on the real table the coefficient is a proper fraction
+    real = reg.QUERIES["w14_activity_gini"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= real["gini"] < 1.0
