@@ -1059,3 +1059,59 @@ def x26_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grain", "lang_a", "lang_b")
         .agg(F.count("*").alias("n_shared_fps"))
     )
+
+
+# --- X27: effective token mass after dedup ------------------------------------------
+# The training-data accounting number: raw token mass vs the mass that
+# SURVIVES exact dedup (d1's min-doc-id policy), per source — "10 B raw
+# tokens" routinely shrinks to far less effective data, and mixing
+# weights (mix3) computed on raw counts overweight duplicate-heavy
+# sources. One fingerprint groupBy + a survivor semi-join against the
+# per-doc token counts; all integer arithmetic until the final ratio.
+@query(
+    "x27_effective_tokens",
+    oracle=f"""
+    WITH {toks_cte()},
+    tc AS (
+      SELECT t.doc_id, d.source, len(t.toks) AS n_toks,
+             md5(array_to_string(t.toks, ' ')) AS fp
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM tc GROUP BY fp)
+    SELECT source,
+           CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM keep)
+                         THEN n_toks ELSE 0 END) AS BIGINT) AS effective_tokens,
+           round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM keep)
+                          THEN n_toks ELSE 0 END) / CAST(sum(n_toks) AS DOUBLE), 6)
+             AS effective_ratio
+    FROM tc GROUP BY source
+    """,
+)
+def x27_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint, token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    keep = tc.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    surv = tc.join(keep, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("s_doc_id"), F.col("n_toks").alias("s_toks"),
+        F.col("source").alias("s_source"),
+    )
+    raw = tc.groupBy("source").agg(F.sum("n_toks").cast("long").alias("raw_tokens"))
+    eff = surv.groupBy(F.col("s_source").alias("source")).agg(
+        F.sum("s_toks").cast("long").alias("effective_tokens")
+    )
+    return raw.join(eff, "source").select(
+        "source",
+        "raw_tokens",
+        "effective_tokens",
+        F.round(
+            F.col("effective_tokens") / F.col("raw_tokens").cast("double"), 6
+        ).alias("effective_ratio"),
+    )

@@ -97,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "st11_stream_type_totals", "l4_llm_cache_report",
     "w15_daily_autocorr", "x25_lexicon_screen", "ep7_dataset_card",
     "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff", "j13_coactivity_pairs",
-    "x26_crosslang_dups", "h19_ship_latency_quantiles",
+    "x26_crosslang_dups", "h19_ship_latency_quantiles", "x27_effective_tokens",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
