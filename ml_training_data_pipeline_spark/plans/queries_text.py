@@ -2066,3 +2066,32 @@ def mix5_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_sources",
         )
     )
+
+
+# --- V13: BPE compression curve (subword count vs merge budget) --------------------
+# 🔶 rows-only: the sweep-audit pattern (n13/n15/cur7/v12) applied to
+# the tokenizer trainer — total corpus subword count after 0/2/4/8
+# learned merges, i.e. the compression-per-merge curve that decides how
+# long a BPE training run is worth continuing. One vocabulary pass per
+# config off a SINGLE training run's rule list (prefixes of the same
+# learning order, like n13's table prefixes); subword totals are exact
+# integers. Monotone nonincreasing by construction — pinned in
+# tests/test_round7.py.
+@query("v13_bpe_compression_curve")
+def v13_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_token_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, n_merges=8)
+    rows = None
+    for n in (0, 2, 4, 8):
+        counts = encode_token_counts(docs, merges[:n])
+        row = counts.agg(
+            F.lit(n).cast("long").alias("n_merges"),
+            F.sum("n_subwords").cast("long").alias("total_subwords"),
+            F.round(
+                F.sum("n_chars_sym").cast("double") / F.sum("n_subwords"), 6
+            ).alias("chars_per_subword"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

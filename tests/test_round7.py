@@ -222,3 +222,43 @@ def test_w14_gini_bounds_and_uniform_zero(spark):
     # and on the real table the coefficient is a proper fraction
     real = reg.QUERIES["w14_activity_gini"](spark, SF_DIR).collect()[0]
     assert 0.0 <= real["gini"] < 1.0
+
+
+def test_t10_round_robin_balance_within_stratum(spark):
+    # round-robin inside each stratum ⇒ per-shard doc counts differ by
+    # at most 1 within a stratum — the balance property the layout
+    # exists for.
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    stratum = F.floor(F.least(F.col("n_chars"), F.lit(799)) / 100).cast("int")
+    w = Window.partitionBy("stratum").orderBy("doc_id")
+    rr = docs.withColumn("stratum", stratum).select(
+        "stratum", ((F.row_number().over(w) - 1) % 8).alias("shard")
+    )
+    spread = (
+        rr.groupBy("stratum", "shard")
+        .count()
+        .groupBy("stratum")
+        .agg((F.max("count") - F.min("count")).alias("spread"))
+        .agg(F.max("spread").alias("max_spread"))
+        .collect()[0]
+    )
+    assert spread["max_spread"] <= 1
+
+
+def test_v13_compression_monotone(spark):
+    rows = (
+        registry.QUERIES["v13_bpe_compression_curve"](spark, SF_DIR)
+        .orderBy("n_merges")
+        .collect()
+    )
+    assert [r["n_merges"] for r in rows] == [0, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        # each extra merge can only shrink (or hold) the subword count
+        assert b["total_subwords"] <= a["total_subwords"], rows
+        assert b["chars_per_subword"] >= a["chars_per_subword"], rows
+    # zero merges ⇒ every subword is one char
+    assert rows[0]["chars_per_subword"] == 1.0
