@@ -1115,3 +1115,46 @@ def x27_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("effective_tokens") / F.col("raw_tokens").cast("double"), 6
         ).alias("effective_ratio"),
     )
+
+
+# --- D18: duplicate-component size histogram ----------------------------------------
+# The shape of duplication, not just its mass: how many near-dup groups
+# have 2 docs vs 5 vs 50? A corpus whose dup mass sits in a few giant
+# components (template spam) needs different policy than one with many
+# pairs (mirrors). Two tiny aggregates on top of d10's closure; the
+# oracle re-derives the closure with the same recursive CTE, so the
+# histogram is hash-checked end-to-end.
+@query(
+    "d18_component_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_CANDIDATES},
+    {_JACCARD},
+    pairs AS (
+      SELECT j.doc_a, j.doc_b
+      FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component_id FROM reach GROUP BY node),
+    csizes AS (SELECT component_id, count(*) AS size FROM comp GROUP BY component_id)
+    SELECT size, count(*) AS n_components,
+           CAST(size * count(*) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY size
+    """,
+)
+def d18_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_dedup(docs, threshold=0.5))
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").alias("n_components"),
+        (F.col("size") * F.count("*")).cast("long").alias("n_docs"),
+    )

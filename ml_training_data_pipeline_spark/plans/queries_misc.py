@@ -1390,3 +1390,132 @@ def u5_vocab_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_a = a.exceptAll(b).distinct().select("term", F.lit("only_source_00").alias("side"))
     only_b = b.exceptAll(a).distinct().select("term", F.lit("only_rest").alias("side"))
     return only_a.unionAll(only_b)
+
+
+# --- X28: per-source length-distribution drift (exact KS statistic) ----------------
+# Distribution-level drift detection beyond x14's unigram KL: the exact
+# two-sample Kolmogorov-Smirnov statistic between each source's doc
+# lengths and the REST of the corpus. The max |ΔCDF| is attained at an
+# observed value, so the statistic is exact over the (source × distinct
+# length) grid — bounded by sources × |length domain|, never corpus-
+# sized. All counts integer; one division and one max at the end.
+@query(
+    "x28_length_drift_ks",
+    oracle="""
+    WITH vc AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+    tot AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_tot FROM vc GROUP BY v),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM vc GROUP BY source),
+    n_all AS (SELECT CAST(sum(c_tot) AS BIGINT) AS n FROM tot),
+    grid AS (
+      SELECT s.source, t.v, t.c_tot, coalesce(vc.c, 0) AS c_s
+      FROM (SELECT DISTINCT source FROM vc) s
+      CROSS JOIN tot t
+      LEFT JOIN vc ON vc.source = s.source AND vc.v = t.v
+    ),
+    cum AS (
+      SELECT source, v,
+             sum(c_s) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+             sum(c_tot) OVER (PARTITION BY source ORDER BY v) AS cum_tot
+      FROM grid
+    )
+    SELECT c.source,
+           ns.n_s AS n_docs,
+           round(max(abs(cum_s / CAST(ns.n_s AS DOUBLE)
+                 - (cum_tot - cum_s) / CAST(n_all.n - ns.n_s AS DOUBLE))), 6) AS ks_stat
+    FROM cum c JOIN ns ON c.source = ns.source CROSS JOIN n_all
+    GROUP BY c.source, ns.n_s, n_all.n
+    """,
+)
+def x28_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy("source", F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
+    tot = vc.groupBy("v").agg(F.sum("c").cast("long").alias("c_tot"))
+    ns = vc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    n_all = tot.agg(F.sum("c_tot").cast("long").alias("n"))
+    sources = vc.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(tot))  # sources × length-domain grid (bounded)
+        .join(vc, ["source", "v"], "left")
+        .select("source", "v", "c_tot", F.coalesce("c", F.lit(0)).alias("c_s"))
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cum = grid.select(
+        "source",
+        "v",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_tot").over(w).alias("cum_tot"),
+    )
+    return (
+        cum.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_all))  # singleton stats row
+        .groupBy("source", "n_s", "n")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_s") / F.col("n_s").cast("double")
+                        - (F.col("cum_tot") - F.col("cum_s"))
+                        / (F.col("n") - F.col("n_s")).cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select("source", F.col("n_s").alias("n_docs"), "ks_stat")
+    )
+
+
+# --- PACK3: packing-efficiency audit ------------------------------------------------
+# The audit pattern over pack1: per source, sequences actually used vs
+# the theoretical floor ceil(total_tokens / budget), and the fill
+# fraction. Cumulative packing can only waste within-sequence tail
+# space, so efficiency is a direct read on how adversarial the length
+# distribution is to the 2048 budget — the number that justifies (or
+# not) moving to a smarter packer.
+@query(
+    "pack3_packing_efficiency",
+    oracle=f"""
+    WITH {toks_cte()},
+    counted AS (
+      SELECT t.doc_id, d.source, len(t.toks) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+      FROM counted
+    )
+    SELECT source,
+           count(DISTINCT seq_id) AS n_seqs,
+           CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT) AS lower_bound,
+           round(CAST(ceil(sum(n_tokens) / 2048.0) AS BIGINT)
+                 / CAST(count(DISTINCT seq_id) AS DOUBLE), 6) AS efficiency,
+           round(sum(n_tokens) / (count(DISTINCT seq_id) * 2048.0), 6) AS fill_rate
+    FROM packed GROUP BY source
+    """,
+)
+def pack3_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counted = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = counted.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast("long"),
+    )
+    return packed.groupBy("source").agg(
+        F.countDistinct("seq_id").alias("n_seqs"),
+        F.ceil(F.sum("n_tokens") / 2048.0).cast("long").alias("lower_bound"),
+        F.round(
+            F.ceil(F.sum("n_tokens") / 2048.0).cast("long")
+            / F.countDistinct("seq_id").cast("double"),
+            6,
+        ).alias("efficiency"),
+        F.round(F.sum("n_tokens") / (F.countDistinct("seq_id") * 2048.0), 6).alias(
+            "fill_rate"
+        ),
+    )

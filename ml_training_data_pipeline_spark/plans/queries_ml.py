@@ -474,3 +474,64 @@ def m8_cluster_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_overlap, round(ari, 6))], "n_overlap long, ari double"
     )
+
+
+# --- M9: classifier decision-threshold sweep ----------------------------------------
+# 🔶 rows-only: the audit pattern over m6 — precision/recall at cutoffs
+# 0.3/0.5/0.7 on the positive-class probability, the curve a deployment
+# picks its operating point from. Two deliberate differences from m6
+# keep the curve informative on THIS corpus: the label threshold sits
+# at the quality-score median (0.7 — at m6's 0.5 every document is
+# positive and every cutoff scores a vacuous 1.0), and the model is the
+# DEGRADED two-feature one (punct_ratio, n_tokens only) so the
+# classifier is genuinely imperfect. Predicted-positive count
+# and recall are nonincreasing in the cutoff — pinned in
+# tests/test_round7.py.
+@query("m9_classifier_threshold_sweep")
+def m9_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from ..functions import analysis
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        analysis.punct_ratio(t).alias("punct_ratio"),
+        analysis.token_count(t).cast("double").alias("n_tokens"),
+        (analysis.quality_score(t) >= 0.7).cast("double").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["punct_ratio", "n_tokens"],
+        outputCol="features",
+    ).transform(feats)
+    lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
+    scored = (
+        lr.fit(assembled)
+        .transform(assembled)
+        .select("label", vector_to_array("probability").getItem(1).alias("p1"))
+        .localCheckpoint()  # one fit+score, three cutoff passes
+    )
+    rows = None
+    for cutoff in (0.3, 0.5, 0.7):
+        pred = (F.col("p1") >= cutoff).cast("long")
+        row = scored.agg(
+            F.lit(cutoff).alias("cutoff"),
+            F.sum(pred).cast("long").alias("n_pred_pos"),
+            F.round(
+                F.sum(F.when((pred == 1) & (F.col("label") == 1.0), 1).otherwise(0))
+                / F.greatest(F.sum(pred), F.lit(1)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.sum(F.when((pred == 1) & (F.col("label") == 1.0), 1).otherwise(0))
+                / F.greatest(
+                    F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0)), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

@@ -69,9 +69,9 @@ PRIORITY: tuple[str, ...] = (
     "st9_stream_sliding_counts",
     # ROUND-8 ROTATION (pre-staged; fill round 8's 50-prefix with, in
     # order): (a) the remaining 29 never-driver-checked round-6 names
-    # below (j10 … m8), (b) the first 21 of the 34 round-7 additions
+    # below (j10 … m8), (b) the first 21 of the 38 round-7 additions
     # (n13 … mix5 in the "NEW in round 7" block below). ROUND-9: the
-    # remaining 13 round-7 names (p11 … v13), any round-8 additions,
+    # remaining 17 round-7 names (p11 … m9), any round-8 additions,
     # then the stalest checked names from the r5 block (d10, n6, cur2,
     # d4, ep2, st4, m5, s1, p2, p3, … in listed order) to fill 50.
     "j10_salted_skew_join",
@@ -99,6 +99,8 @@ PRIORITY: tuple[str, ...] = (
     "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff", "j13_coactivity_pairs",
     "x26_crosslang_dups", "h19_ship_latency_quantiles", "x27_effective_tokens",
     "v13_bpe_compression_curve",
+    "d18_component_size_histogram", "x28_length_drift_ks",
+    "pack3_packing_efficiency", "m9_classifier_threshold_sweep",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",

@@ -262,3 +262,16 @@ def test_v13_compression_monotone(spark):
         assert b["chars_per_subword"] >= a["chars_per_subword"], rows
     # zero merges ⇒ every subword is one char
     assert rows[0]["chars_per_subword"] == 1.0
+
+
+def test_m9_threshold_sweep_monotone(spark):
+    rows = (
+        registry.QUERIES["m9_classifier_threshold_sweep"](spark, SF_DIR)
+        .orderBy("cutoff")
+        .collect()
+    )
+    assert [round(r["cutoff"], 1) for r in rows] == [0.3, 0.5, 0.7]
+    for a, b in zip(rows, rows[1:]):
+        # raising the cutoff can only shrink the predicted-positive set
+        assert b["n_pred_pos"] <= a["n_pred_pos"], rows
+        assert b["recall"] <= a["recall"], rows
