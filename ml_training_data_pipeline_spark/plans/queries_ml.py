@@ -508,8 +508,15 @@ def m9_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         outputCol="features",
     ).transform(feats)
     lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
+    # save -> load before serving, same reason as m6 above: the fresh
+    # fit's training summary pins the SparkSession, which stops being
+    # serializable once any Observation has been registered.
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model_dir = scratch_dir(spark, "lrq_sweep", sf_dir)
+    lr.fit(assembled).write().overwrite().save(model_dir)
     scored = (
-        lr.fit(assembled)
+        LogisticRegressionModel.load(model_dir)
         .transform(assembled)
         .select("label", vector_to_array("probability").getItem(1).alias("p1"))
         .localCheckpoint()  # one fit+score, three cutoff passes
