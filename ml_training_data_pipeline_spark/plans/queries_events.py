@@ -750,12 +750,16 @@ def w13_interevent_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The "how skewed is engagement" number: Gini coefficient of the
 # per-user event-count distribution, from the Lorenz form
 # G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n with counts ranked ascending.
-# Everything up to the final division is INTEGER arithmetic (rank sums
-# over longs), so the coefficient is bit-identical across engines and
-# partitionings; ties rank by (count, user_id) — a total order, and the
-# Σ i·cᵢ term is permutation-invariant within a tie group anyway. One
-# count shuffle + one small window over n_users rows (150 at sf0.01;
-# even 100M users is a single balanced range sort at cluster scale).
+# Everything up to the final division is INTEGER arithmetic, so the
+# coefficient is bit-identical across engines and partitionings. Scale
+# shape: ranks are NEVER materialized per user (a no-partition
+# row_number over 100M users is a single-partition funnel — the t1
+# trap). Σᵢ i·cᵢ is permutation-invariant within a tie group, so it
+# collapses to the tie-group closed form Σ_v v·(off_v·m_v + m_v(m_v+1)/2)
+# over DISTINCT count values v (m_v users, off_v users below) — the
+# only window runs over that value-histogram table, bounded by max
+# per-user activity, not user cardinality. The oracle states the plain
+# ranked form; both are exact integers, so they hash-match.
 @query(
     "w14_activity_gini",
     oracle="""
@@ -775,14 +779,19 @@ def w13_interevent_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w14_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
-    w = Window.orderBy("c", "user_id")
-    ranked = per_user.select("c", F.row_number().over(w).alias("i"))
-    return ranked.agg(
-        F.count("*").alias("n_users"),
-        F.sum("c").cast("long").alias("n_events"),
+    by_c = per_user.groupBy("c").agg(F.count("*").alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    with_off = by_c.withColumn("off", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    # all-integer: m(m+1) is even, so `div 2` is exact at any tie-group
+    # size (a float /2 would round past 2^53)
+    rank_sum = F.expr("c * (off * m + (m * (m + 1)) div 2)")
+    return with_off.agg(
+        F.sum("m").alias("n_users"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n_events"),
         F.round(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("c")) / (F.count("*") * F.sum("c").cast("double"))
-            - (F.count("*") + 1) / F.count("*").cast("double"),
+            F.lit(2.0) * F.sum(rank_sum)
+            / (F.sum("m") * F.sum(F.col("c") * F.col("m")).cast("double"))
+            - (F.sum("m") + 1) / F.sum("m").cast("double"),
             6,
         ).alias("gini"),
     )
