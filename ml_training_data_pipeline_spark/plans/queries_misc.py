@@ -1290,6 +1290,10 @@ def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already-oracle-checked operator's headline stat, unioned into one
 # (metric, value) table so a release pipeline materializes the card in
 # a single job. Exact-integer or single-division statistics only.
+# Scale shape: TWO corpus scans total — a cheap lang-grouped aggregate
+# feeds every length/lang metric, and one tokenize pass computes token
+# count AND fingerprint in the same projection for the token/dup
+# metrics (a naive per-metric union pays one scan per row of the card).
 @query(
     "ep7_dataset_card",
     oracle=f"""
@@ -1321,43 +1325,40 @@ def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    with_text = docs.where(F.col("text").isNotNull())
-    toks = with_text.select(F.size(tokenize(F.col("text"))).alias("nt"))
-    fp = with_text.select(fingerprint(F.col("text")).alias("f"))
-    langs = docs.groupBy("lang").agg(F.count("*").alias("c"))
-
-    def one(metric: str, df: DataFrame) -> DataFrame:
-        return df.select(F.lit(metric).alias("metric"), F.col("value").cast("double"))
-
-    n_docs = docs.agg(F.count("*").cast("double").alias("value"))
-    n_tokens = toks.agg(F.sum("nt").cast("double").alias("value"))
-    n_langs = langs.agg(F.count("*").cast("double").alias("value"))
-    top_share = langs.crossJoin(F.broadcast(n_docs.select(F.col("value").alias("nd")))).agg(
-        F.round(F.max("c") / F.first("nd"), 6).alias("value")
+    # scan 1: lang-grouped aggregate carries every length/lang metric
+    langs = docs.groupBy("lang").agg(
+        F.count("*").alias("c"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("short"),
     )
-    dup_rate = fp.agg(
-        F.round(1.0 - F.countDistinct("f") / F.count("*").cast("double"), 6).alias("value")
+    base = langs.agg(
+        F.sum("c").cast("double").alias("n_docs"),
+        F.count("*").cast("double").alias("n_langs"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_lang_share"),
+        F.round(F.sum("chars").cast("double") / F.sum("c"), 6).alias("mean_doc_chars"),
+        F.round(F.sum("short") / F.sum("c").cast("double"), 6).alias("short_doc_rate"),
     )
-    mean_chars = docs.agg(
-        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("value")
+    # scan 2: tokenize ONCE, token count + fingerprint from one projection
+    tokfp = docs.where(F.col("text").isNotNull()).select(
+        F.size(tokenize(F.col("text"))).alias("nt"),
+        fingerprint(F.col("text")).alias("f"),
     )
-    short_rate = docs.agg(
-        F.round(
-            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
-            / F.count("*").cast("double"),
-            6,
-        ).alias("value")
+    tok_stats = tokfp.agg(
+        F.sum("nt").cast("double").alias("n_tokens"),
+        F.round(1.0 - F.countDistinct("f") / F.count("*").cast("double"), 6).alias(
+            "exact_dup_rate"
+        ),
     )
-    out = one("n_docs", n_docs)
-    for m, df in (
-        ("n_tokens", n_tokens),
-        ("n_langs", n_langs),
-        ("top_lang_share", top_share),
-        ("exact_dup_rate", dup_rate),
-        ("mean_doc_chars", mean_chars),
-        ("short_doc_rate", short_rate),
-    ):
-        out = out.unionAll(one(m, df))
+    # 1×1 broadcast crossJoin, then unpivot the single stats row
+    wide = base.crossJoin(F.broadcast(tok_stats))
+    metrics = (
+        "n_docs", "n_tokens", "n_langs", "top_lang_share",
+        "exact_dup_rate", "mean_doc_chars", "short_doc_rate",
+    )
+    out = None
+    for m in metrics:
+        row = wide.select(F.lit(m).alias("metric"), F.col(m).cast("double").alias("value"))
+        out = row if out is None else out.unionAll(row)
     return out
 
 
