@@ -1039,13 +1039,15 @@ def x26_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    doc_grain = docs.select(
-        F.lit("document").alias("grain"), "lang", fingerprint(F.col("text")).alias("fp")
+    # ONE tokenize pass feeds both grains (fingerprint is md5 over the
+    # same token array the template prefix slices)
+    toks = docs.select("lang", tokenize(F.col("text")).alias("toks"))
+    doc_grain = toks.select(
+        F.lit("document").alias("grain"),
+        "lang",
+        F.md5(F.array_join("toks", " ")).alias("fp"),
     )
-    toks = docs.select("lang", tokenize(F.col("text")).alias("toks")).where(
-        F.size("toks") >= 5
-    )
-    tmpl_grain = toks.select(
+    tmpl_grain = toks.where(F.size("toks") >= 5).select(
         F.lit("template5").alias("grain"),
         "lang",
         F.md5(F.array_join(F.slice("toks", 1, 5), " ")).alias("fp"),
@@ -1092,12 +1094,15 @@ def x27_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import fingerprint, token_count
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # THREE consumers (survivor keys, survivor join, raw totals) — the
+    # d4 discipline: materialize the doc-level projection once instead
+    # of re-tokenizing the corpus per consumer.
     tc = docs.select(
         "doc_id",
         "source",
         token_count(F.col("text")).alias("n_toks"),
         fingerprint(F.col("text")).alias("fp"),
-    )
+    ).localCheckpoint()
     keep = tc.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     surv = tc.join(keep, "doc_id", "left_semi").select(
         F.col("doc_id").alias("s_doc_id"), F.col("n_toks").alias("s_toks"),

@@ -1169,9 +1169,10 @@ def s15_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per foreign-key edge with its orphan count — the check a pipeline
 # runs BEFORE joining 100 TB of facts against dims (orphans silently
 # vanish in inner joins and silently null in outer ones). Each edge is
-# a LEFT ANTI join with the dim side broadcast; the seven checks union
-# into one plan so the facts are scanned once per fact table, not per
-# edge.
+# a LEFT ANTI join with the dim side broadcast. Each fact table's key
+# projection is materialized ONCE (localCheckpoint) and all its edges
+# probe that — without it the lazy union re-scans lineitem for every
+# one of its three edges (and again for each count).
 @query(
     "p11_referential_integrity",
     oracle="""
@@ -1222,8 +1223,16 @@ def p11_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
         )
 
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .localCheckpoint()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .localCheckpoint()
+    )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey")
@@ -1429,7 +1438,13 @@ def u5_vocab_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x28_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    vc = docs.groupBy("source", F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
+    # (source × length) counts: tiny after one corpus scan, THREE
+    # consumers (totals, per-source n, grid join) — materialize once
+    vc = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
     tot = vc.groupBy("v").agg(F.sum("c").cast("long").alias("c_tot"))
     ns = vc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     n_all = tot.agg(F.sum("c_tot").cast("long").alias("n"))

@@ -1963,7 +1963,9 @@ def v12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.where(F.col("text").isNotNull()).select(
         F.explode(tokenize(F.col("text"))).alias("term")
     )
-    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    # vocab-sized after one corpus pass; TWO consumers (total mass +
+    # ranked fan-out) — materialize instead of re-tokenizing per branch
+    tc = tok.groupBy("term").agg(F.count("*").alias("c")).localCheckpoint()
     tot = tc.agg(F.sum("c").cast("double").alias("n"))
     w = Window.orderBy(F.desc("c"), F.asc("term"))
     ranked = tc.select("c", F.row_number().over(w).alias("rn"))
