@@ -1358,8 +1358,9 @@ def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_rate"
         ),
     )
-    # 1×1 broadcast crossJoin, then unpivot the single stats row
-    wide = base.crossJoin(F.broadcast(tok_stats))
+    # 1×1 broadcast crossJoin, materialized (a single row!) so the
+    # 7-branch unpivot union can't re-execute the scans per branch
+    wide = base.crossJoin(F.broadcast(tok_stats)).localCheckpoint()
     metrics = (
         "n_docs", "n_tokens", "n_langs", "top_lang_share",
         "exact_dup_rate", "mean_doc_chars", "short_doc_rate",

@@ -275,3 +275,15 @@ def test_m9_threshold_sweep_monotone(spark):
         # raising the cutoff can only shrink the predicted-positive set
         assert b["n_pred_pos"] <= a["n_pred_pos"], rows
         assert b["recall"] <= a["recall"], rows
+
+
+def test_ep7_unpivot_does_not_rescan_per_metric(spark):
+    # the card's 7-branch unpivot union runs off the materialized 1×1
+    # stats row: the final plan must contain ZERO parquet scans (both
+    # corpus passes happen before the checkpoint), so adding a metric
+    # row costs nothing.
+    df = registry.QUERIES["ep7_dataset_card"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, plan
+    rows = {r["metric"]: r["value"] for r in df.collect()}
+    assert rows["n_docs"] > 0 and 0.0 <= rows["exact_dup_rate"] <= 1.0
