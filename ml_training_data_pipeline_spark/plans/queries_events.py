@@ -877,9 +877,13 @@ def w15_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j13_coactivity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    pres = e.select(
-        F.floor(F.col("ts").cast("double") / 300).cast("long").alias("win"), "user_id"
-    ).distinct()
+    pres = (
+        e.select(
+            F.floor(F.col("ts").cast("double") / 300).cast("long").alias("win"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()  # both self-join sides read THIS, not the fact table twice
+    )
     a = pres.select("win", F.col("user_id").alias("user_a"))
     b = pres.select("win", F.col("user_id").alias("user_b"))
     return (

@@ -915,7 +915,7 @@ def h14_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev).cast("double").alias("total_revenue")
-    )
+    ).localCheckpoint()  # supplier-sized; max scalar + winner filter share it
     best = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1047,7 +1047,7 @@ def h17_sole_final_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = l.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("maxship"),
         F.countDistinct("l_suppkey").alias("nsupp"),
-    )
+    ).localCheckpoint()  # two consumers: the at-max scan and the final join
     at_max = (
         l.join(
             per_order.select("l_orderkey", "maxship"),

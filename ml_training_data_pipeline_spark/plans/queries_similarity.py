@@ -685,7 +685,13 @@ def n13_ann_table_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    # ground truth is shared by every sweep branch — materialize once
+    # (50 rows) instead of re-scoring the corpus per config
+    exact = (
+        brute_force_topk(emb, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     n_q = probes.agg(F.count("*").alias("nq"))
     rows = None
     for T in _SWEEP_TS:
@@ -783,7 +789,11 @@ def n15_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    exact = (
+        brute_force_topk(emb, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # shared by all five probe branches
+    )
     centers, assigned = ivf_assignments(emb, nlist=16, seed=123)
     assigned = assigned.localCheckpoint()  # one index build, five probe passes
     rows = None
