@@ -44,11 +44,50 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-7 PREFIX (50): the first 50 of the 79 registry names that had
-    # NEVER had a driver row entering round 7 (all were added late in
-    # round 6 after that round's prefix froze; each was verified against
-    # the sf0.01 DuckDB oracle locally, driver-style from /tmp, before
-    # its original commit). Staleness-first rotation per VERDICT r6 #1.
+    # ROUND-8 PREFIX (50), exactly as pre-staged by the round-7 rotation
+    # comment and VERDICT r7 #1: (a) the 29 round-6 additions that have
+    # never had a driver row (j10 … m8), then (b) the first 21 of the 38
+    # round-7 additions (n13 … mix5). Every name was verified against the
+    # sf0.01 DuckDB oracle locally, driver-style from /tmp, before its
+    # original commit; x22/v12 were re-verified after their round-8 fixes
+    # (ADVICE Simpson guard; VERDICT limit-then-window).
+    "j10_salted_skew_join",
+    "mix4_train_val_test_split",
+    "d16_minhash_estimate_audit", "w11_rate_bursts", "n11_ann_recall_audit", "ep5_dedup_split_shards",
+    "h9_customer_distribution", "h10_large_volume_customers", "pack2_overlap_chunking", "v9_bpe_merge_candidates", "v10_bpe_learned_merges", "v11_bpe_token_budget", "s11_small_file_compaction",
+    "l3_inference_cost_report", "st10_stream_dedup_gate", "f13_html_strip",
+    "m7_kmeans_elbow", "s12_dynamic_partition_overwrite", "s13_upsert_latest_wins",
+    "n12_ann_multitable_recall", "x20_term_burstiness", "w12_weekday_hour_heatmap", "h11_dormant_high_balance", "x21_heaps_law", "p10_data_quality_profile",
+    "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles", "m8_cluster_stability",
+    "n13_ann_table_sweep",
+    "h12_two_nation_volume", "h13_market_share", "h14_top_supplier_revenue",
+    "h15_small_qty_revenue", "h16_disjunctive_revenue", "h17_sole_final_supplier",
+    "x22_lexical_diversity", "w14_activity_gini", "n14_ann_margin",
+    "g5_grouping_sets_profile", "cur7_length_survivorship",
+    "t10_balanced_shards", "s15_schema_evolution_scan", "d17_lsh_precision",
+    "x23_langid_confusion", "v12_vocab_coverage", "h18_nation_profit",
+    "mm6_audio_frame_profile",
+    "x24_template_families", "mix5_mixture_entropy",
+    # ROUND-9 ROTATION (pre-staged; fill round 9's 50-prefix with, in
+    # order): (a) the remaining 17 never-driver-checked round-7 names
+    # below (p11 … m9), (b) any round-8 additions (the "NEW in round 8"
+    # block below), (c) the stalest checked names from the r5 block
+    # (d10, n6, cur2, d4, ep2, st4, m5, s1, p2, p3, … in listed order)
+    # to fill 50. x27 carries its round-8 ADVICE fix (left join keeps
+    # zero-survivor sources) — keep it in the round-9 prefix.
+    "p11_referential_integrity",
+    "st11_stream_type_totals", "l4_llm_cache_report",
+    "w15_daily_autocorr", "x25_lexicon_screen", "ep7_dataset_card",
+    "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff", "j13_coactivity_pairs",
+    "x26_crosslang_dups", "h19_ship_latency_quantiles", "x27_effective_tokens",
+    "v13_bpe_compression_curve",
+    "d18_component_size_histogram", "x28_length_drift_ks",
+    "pack3_packing_efficiency", "m9_classifier_threshold_sweep",
+    # NEW in round 8 go here (never driver-checked; oracle-verify
+    # locally, driver-style from /tmp, before commit; rotate into round
+    # 9's prefix right after the 17 names above):
+    # ROUND-7 PREFIX (50, all hash-green or rows-only-by-design in
+    # CORRECTNESS_r07 — the freshest driver rows in the registry).
     "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
     "t7_training_shards", "w6_decayed_engagement", "s9_bucketed_join_roundtrip",
     "d11_containment_pairs", "x13_zipf_profile", "w7_cohort_retention",
@@ -67,40 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "d15_duplicate_spans", "t9_zorder_layout", "mm5_image_phash_groups",
     "x19_readability", "v8_count_min_heavy_hitters",
     "st9_stream_sliding_counts",
-    # ROUND-8 ROTATION (pre-staged; fill round 8's 50-prefix with, in
-    # order): (a) the remaining 29 never-driver-checked round-6 names
-    # below (j10 … m8), (b) the first 21 of the 38 round-7 additions
-    # (n13 … mix5 in the "NEW in round 7" block below). ROUND-9: the
-    # remaining 17 round-7 names (p11 … m9), any round-8 additions,
-    # then the stalest checked names from the r5 block (d10, n6, cur2,
-    # d4, ep2, st4, m5, s1, p2, p3, … in listed order) to fill 50.
-    "j10_salted_skew_join",
-    "mix4_train_val_test_split",
-    "d16_minhash_estimate_audit", "w11_rate_bursts", "n11_ann_recall_audit", "ep5_dedup_split_shards",
-    "h9_customer_distribution", "h10_large_volume_customers", "pack2_overlap_chunking", "v9_bpe_merge_candidates", "v10_bpe_learned_merges", "v11_bpe_token_budget", "s11_small_file_compaction",
-    "l3_inference_cost_report", "st10_stream_dedup_gate", "f13_html_strip",
-    "m7_kmeans_elbow", "s12_dynamic_partition_overwrite", "s13_upsert_latest_wins",
-    "n12_ann_multitable_recall", "x20_term_burstiness", "w12_weekday_hour_heatmap", "h11_dormant_high_balance", "x21_heaps_law", "p10_data_quality_profile",
-    "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles", "m8_cluster_stability",
-    # NEW in round 7 go here (never driver-checked; oracle-verify
-    # locally, driver-style from /tmp, before commit; rotate into round
-    # 8's prefix right after the 29 names above):
-    "n13_ann_table_sweep",
-    "h12_two_nation_volume", "h13_market_share", "h14_top_supplier_revenue",
-    "h15_small_qty_revenue", "h16_disjunctive_revenue", "h17_sole_final_supplier",
-    "x22_lexical_diversity", "w14_activity_gini", "n14_ann_margin",
-    "g5_grouping_sets_profile", "cur7_length_survivorship",
-    "t10_balanced_shards", "s15_schema_evolution_scan", "d17_lsh_precision",
-    "x23_langid_confusion", "v12_vocab_coverage", "h18_nation_profit",
-    "mm6_audio_frame_profile",
-    "x24_template_families", "mix5_mixture_entropy", "p11_referential_integrity",
-    "st11_stream_type_totals", "l4_llm_cache_report",
-    "w15_daily_autocorr", "x25_lexicon_screen", "ep7_dataset_card",
-    "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff", "j13_coactivity_pairs",
-    "x26_crosslang_dups", "h19_ship_latency_quantiles", "x27_effective_tokens",
-    "v13_bpe_compression_curve",
-    "d18_component_size_histogram", "x28_length_drift_ks",
-    "pack3_packing_efficiency", "m9_classifier_threshold_sweep",
     # r5 block — newest driver row r5; the round-8 top-up pool (take in
     # listed order). All remain covered by tests/test_oracle_parity.py.
     "d10_neardup_components", "n6_embedding_dedup_groups",
