@@ -168,12 +168,16 @@ def strip_html(c: Column) -> Column:
     UNTERMINATED <script>/<style> (no closing tag — truncated crawls)
     falls back to dropping from the open tag to end-of-document, else
     the generic tag-strip would remove only the open tag and leak the
-    raw payload into the cleaned text. Known heuristic limit: plain-text
+    raw payload into the cleaned text. The open-tag match requires the
+    tag NAME to be exactly script/style — ``(>|[\\s/][^>]*>)`` is the
+    RE2-safe (lookaround-free) spelling of ``(?=[\\s>/])`` — so a custom
+    element like <script-loader> gets the generic tag-strip, never a
+    whole-tail drop (ADVICE r7). Known heuristic limit: plain-text
     'a < b ... >' spans look like pseudo-tags and are swallowed."""
-    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
-    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
-    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*$", " ")
-    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*$", " ")
+    out = F.regexp_replace(c, r"(?is)<script(>|[\s/][^>]*>).*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style(>|[\s/][^>]*>).*?</style>", " ")
+    out = F.regexp_replace(out, r"(?is)<script(>|[\s/][^>]*>).*$", " ")
+    out = F.regexp_replace(out, r"(?is)<style(>|[\s/][^>]*>).*$", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         out = F.regexp_replace(out, ent, ch)

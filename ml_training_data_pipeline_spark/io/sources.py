@@ -10,8 +10,11 @@ multi-file scan makes the explicit union disappear.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import time
 import zipfile
 from functools import lru_cache
 
@@ -49,15 +52,60 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _shipped_apps.add(app_id)
 
 
+_scratch_created: set[str] = set()
+_stale_pruned = False
+
+
+def _cleanup_scratch() -> None:
+    """atexit: remove every scratch tree this process handed out —
+    app-id-keyed paths are never reused across runs, so without this
+    each bench/CI invocation leaks its whole sink output (ADVICE r7)."""
+    for path in _scratch_created:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
+def _prune_stale_scratch(tmp: str) -> None:
+    """Best-effort removal of mtdp_* scratch trees left by PRIOR
+    application IDs (crashed runs never reach atexit). Age-gated at 2h
+    so a concurrent live session's fresh trees are never touched."""
+    global _stale_pruned
+    if _stale_pruned:
+        return
+    _stale_pruned = True
+    cutoff = time.time() - 2 * 3600
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        full = os.path.join(tmp, name)
+        if not name.startswith("mtdp_") or full in _scratch_created:
+            continue
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
     """Session-unique scratch path for sink-roundtrip queries, keyed by
     ``applicationId`` so concurrent sessions (bench alongside pytest,
     parallel CI lanes) never race on the same directory with
     ``mode=overwrite`` — two writers on one path can corrupt the
-    read-back and the file-layout audits."""
+    read-back and the file-layout audits. Every path handed out is
+    removed at interpreter exit; stale trees from crashed prior runs
+    are pruned (age-gated) on first use."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     app = spark.sparkContext.applicationId.replace("-", "_")
-    return os.path.join(tempfile.gettempdir(), f"mtdp_{label}_{sf}_{app}")
+    tmp = tempfile.gettempdir()
+    _prune_stale_scratch(tmp)
+    path = os.path.join(tmp, f"mtdp_{label}_{sf}_{app}")
+    _scratch_created.add(path)
+    return path
 
 
 @lru_cache(maxsize=256)

@@ -172,7 +172,7 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     nlist: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     k: int = 5,
     seed: int = 123,
     vec_col: str = "embedding",
@@ -183,7 +183,10 @@ def ivf_topk(
     within them — candidate volume is nprobe/nlist of the corpus, and
     the probe is an equi-join on cell (sub-quadratic, shuffle-bounded).
     ``nprobe == nlist`` degenerates to exact brute force (the recall
-    knob is explicit). Returns (query_id, neighbor_id, cos_sim, rank)."""
+    knob is explicit). The default nprobe=8 is the measured knee of
+    n15's sweep on the synthetic space (recall@5 = 0.88 probing half
+    the cells; 16 reaches 1.00) — the serving default embodies the
+    audit's answer. Returns (query_id, neighbor_id, cos_sim, rank)."""
     centers, assigned = ivf_assignments(vectors, nlist, seed, vec_col, id_col)
     return ivf_probe_topk(
         centers, assigned, vectors, queries, nprobe=nprobe, k=k,
@@ -196,7 +199,7 @@ def ivf_probe_topk(
     assigned: DataFrame,
     vectors: DataFrame,
     queries: DataFrame,
-    nprobe: int = 4,
+    nprobe: int = 8,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

@@ -1112,12 +1112,20 @@ def x27_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     eff = surv.groupBy(F.col("s_source").alias("source")).agg(
         F.sum("s_toks").cast("long").alias("effective_tokens")
     )
-    return raw.join(eff, "source").select(
+    # LEFT join: a source whose every document duplicates a lower-doc_id
+    # doc from another source has zero survivors but must still appear
+    # with effective_tokens=0, as the oracle's conditional sum does
+    # (ADVICE r7 — an inner join drops it on duplicate-heavy data).
+    return raw.join(eff, "source", "left").select(
         "source",
         "raw_tokens",
-        "effective_tokens",
+        F.coalesce(F.col("effective_tokens"), F.lit(0).cast("long")).alias(
+            "effective_tokens"
+        ),
         F.round(
-            F.col("effective_tokens") / F.col("raw_tokens").cast("double"), 6
+            F.coalesce(F.col("effective_tokens"), F.lit(0))
+            / F.col("raw_tokens").cast("double"),
+            6,
         ).alias("effective_ratio"),
     )
 

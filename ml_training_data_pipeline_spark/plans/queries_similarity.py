@@ -128,13 +128,13 @@ def n4_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inverted file, nprobe nearest cells probed per query, exact cosine only
 # within them. Estimator-backed (cell centers aren't SQL-expressible) →
 # rows-only driver check; recall/exactness invariants live in
-# tests/test_similarity_ivf.py (nprobe=nlist ≡ brute force).
+# tests/test_similarity_ivf.py (nprobe=nlist ≡ brute force). Serves on
+# the DEFAULT nprobe — n15's measured recall-0.88 knee (nprobe=8), so
+# the serving path embodies the sweep's answer rather than a guess.
 @query("n5_ann_ivf_topk")
 def n5_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), nlist=16, nprobe=4, k=5, seed=123
-    )
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), nlist=16, k=5, seed=123)
 
 
 # --- N6: embedding near-dup GROUPS (closure over n4's pair graph) ----------------

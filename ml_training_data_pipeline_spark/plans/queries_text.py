@@ -1705,10 +1705,10 @@ def v11_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                          regexp_replace(
                            regexp_replace(
                              regexp_replace(
-                               regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                           '(?is)<script[^>]*>.*$', ' ', 'g'),
-                         '(?is)<style[^>]*>.*$', ' ', 'g'),
+                               regexp_replace(text, '(?is)<script(>|[\\s/][^>]*>).*?</script>', ' ', 'g'),
+                             '(?is)<style(>|[\\s/][^>]*>).*?</style>', ' ', 'g'),
+                           '(?is)<script(>|[\\s/][^>]*>).*$', ' ', 'g'),
+                         '(?is)<style(>|[\\s/][^>]*>).*$', ' ', 'g'),
                        '(?s)<[^>]+>', ' ', 'g'),
                      '&lt;', '<', 'g'),
                    '&gt;', '>', 'g'),
@@ -1875,7 +1875,9 @@ def x21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
            round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
-           round(sum(c * (c - 1)) / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1)), 6) AS simpson
+           CASE WHEN sum(c) > 1
+                THEN round(sum(c * (c - 1)) / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1)), 6)
+           END AS simpson
     FROM st GROUP BY source
     """,
 )
@@ -1889,10 +1891,16 @@ def x22_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_tokens"),
         F.count("*").alias("n_types"),
         F.round(F.count("*") / F.sum("c").cast("double"), 6).alias("ttr"),
-        F.round(
-            F.sum(F.col("c") * (F.col("c") - 1))
-            / (F.sum("c").cast("double") * (F.sum("c") - 1)),
-            6,
+        # one-token sources make the denominator 0; Spark non-ANSI 0/0 is
+        # NULL while DuckDB yields NaN — CASE to NULL on BOTH engines so
+        # degenerate sources agree (ADVICE r7)
+        F.when(
+            F.sum("c") > 1,
+            F.round(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                / (F.sum("c").cast("double") * (F.sum("c") - 1)),
+                6,
+            ),
         ).alias("simpson"),
     )
 
@@ -1938,10 +1946,10 @@ def x23_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The vocab-size knob curve: what fraction of corpus token MASS does a
 # top-K vocabulary cover, for K in {500, 1000, 2000, 4000}? The number
 # that picks V4's cutoff (and the embedding-table size downstream)
-# from measurement. The ranked-vocab window runs over the VOCAB table
-# (bounded by distinct terms, like v4 — never corpus-sized), the K
-# fan-out is a 4× explode on that same table, and coverage is an exact
-# integer mass ratio.
+# from measurement. The rank window runs over a TakeOrdered top-4000
+# slice of the vocab table (limit-then-window, like v4 — never a
+# single-partition sort of the full vocabulary), the K fan-out is a 4×
+# explode on that slice, and coverage is an exact integer mass ratio.
 @query(
     "v12_vocab_coverage",
     oracle=f"""
@@ -1967,8 +1975,14 @@ def v12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranked fan-out) — materialize instead of re-tokenizing per branch
     tc = tok.groupBy("term").agg(F.count("*").alias("c")).localCheckpoint()
     tot = tc.agg(F.sum("c").cast("double").alias("n"))
-    w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = tc.select("c", F.row_number().over(w).alias("rn"))
+    # limit-then-window (v4's own pattern, operators/tfidf.py:152): only
+    # ranks <= max(K)=4000 can contribute to covered_mass (the denominator
+    # comes from `tot`), so TakeOrderedAndProject keeps N rows per
+    # partition and the rank window runs over <=4000 rows — never a
+    # single-partition sort of a 10^7-term vocabulary.
+    top = tc.orderBy(F.desc("c"), F.asc("term")).limit(4000)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), F.asc("term"))
+    ranked = top.select("c", F.row_number().over(w).alias("rn"))
     fan = ranked.select(
         "c", "rn", F.explode(F.array(*[F.lit(k) for k in (500, 1000, 2000, 4000)])).alias("k")
     )

@@ -1,0 +1,159 @@
+"""Round-8 invariants: the v12 limit-then-window plan guard (VERDICT r7
+task 2) and fixture tests pinning the four ADVICE r7 fixes — x27's
+zero-survivor sources, x22's one-token Simpson guard, strip_html's
+exact-tag-name match, and scratch_dir's stale-tree pruning."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ml_training_data_pipeline_spark.io import sources
+from ml_training_data_pipeline_spark.plans import registry
+from tests.conftest import SF_DIR
+
+registry._load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_v12_limit_then_window(spark):
+    # the rank window must run over a TakeOrdered top-4000 slice, never a
+    # single-partition sort of the full vocabulary (VERDICT r7: at 100 TB
+    # the vocab is 10^7-10^8 terms and a global window is the funnel the
+    # w14 commit bans). v4's own pattern, applied to the audit that picks
+    # v4's cutoff.
+    df = registry.QUERIES["v12_vocab_coverage"](spark, SF_DIR)
+    plan = _plan(df)
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln and "row_number" in ln]
+    assert win, plan
+    # the window's direct input is the bounded TakeOrdered slice — not an
+    # Exchange SinglePartition over the full vocab (the one SinglePartition
+    # elsewhere in the plan is `tot`'s one-row global sum, which is fine)
+    assert "TakeOrderedAndProject" in lines[win[0] + 1], plan
+    assert "SinglePartition" not in lines[win[0] + 1], plan
+
+
+def _docs_fixture(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return sf_dir, con
+
+
+def _compare(spark_df, con, sql):
+    a = spark_df.toPandas()
+    b = con.execute(sql).fetchdf()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(by=cols, ignore_index=True)
+    b = b[cols].sort_values(by=cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    return a
+
+
+def test_x27_zero_survivor_source_kept(spark, tmp_path):
+    # source 'b' contributes nothing but duplicates of a lower-doc_id doc
+    # in source 'a': the old inner join dropped it; the oracle (and now
+    # the engine) emit it with effective_tokens=0 (ADVICE r7).
+    sf_dir, con = _docs_fixture(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma", "en", "a"),
+            (2, "alpha beta gamma", "en", "b"),
+            (3, "alpha beta gamma", "en", "b"),
+            (4, "delta epsilon", "en", "a"),
+        ],
+    )
+    out = _compare(
+        registry.QUERIES["x27_effective_tokens"](spark, sf_dir),
+        con,
+        registry.ORACLE_SQL["x27_effective_tokens"],
+    )
+    b_row = out[out["source"] == "b"].iloc[0]
+    assert b_row["effective_tokens"] == 0
+    assert b_row["effective_ratio"] == 0.0
+
+
+def test_x22_one_token_source_simpson_null(spark, tmp_path):
+    # a one-token source makes Simpson's denominator sum(c)*(sum(c)-1)=0;
+    # without the CASE guard Spark says NULL while DuckDB says NaN
+    # (ADVICE r7). Both engines must now agree on NULL.
+    sf_dir, con = _docs_fixture(
+        spark,
+        tmp_path,
+        [
+            (1, "solo", "en", "tiny"),
+            (2, "alpha beta alpha gamma", "en", "big"),
+        ],
+    )
+    out = _compare(
+        registry.QUERIES["x22_lexical_diversity"](spark, sf_dir),
+        con,
+        registry.ORACLE_SQL["x22_lexical_diversity"],
+    )
+    tiny = out[out["source"] == "tiny"].iloc[0]
+    assert pd.isna(tiny["simpson"])
+    big = out[out["source"] == "big"].iloc[0]
+    assert big["simpson"] == pytest.approx(2 * 1 / (4.0 * 3), abs=1e-6)
+
+
+def test_strip_html_exact_tag_name_only(spark):
+    # <script-loader> is NOT a script tag: the generic tag-strip removes
+    # the tags, the payload survives (ADVICE r7 — the old prefix match
+    # dropped the whole tail). Real script tags, attributed/unterminated
+    # ones included, still drop with their payloads.
+    from ml_training_data_pipeline_spark.functions.text import strip_html
+
+    rows = [
+        (1, "before <script-loader>keep me</script-loader> after"),
+        (2, "before <script>drop me</script> after"),
+        (3, "before <script src='x.js'>drop me"),  # unterminated + attrs
+        (4, "before <style-guide>keep</style-guide> after"),
+        (5, "before <style>h1{}</style> after"),
+        (6, "a <scriptx>not script</scriptx> b"),
+    ]
+    out = dict(
+        spark.createDataFrame(rows, "doc_id int, text string")
+        .select("doc_id", strip_html(F.col("text")).alias("s"))
+        .collect()
+    )
+    assert out[1] == "before keep me after"
+    assert out[2] == "before after"
+    assert out[3] == "before"
+    assert out[4] == "before keep after"
+    assert out[5] == "before after"
+    assert out[6] == "a not script b"
+
+
+def test_scratch_dir_registers_and_prunes(spark, tmp_path, monkeypatch):
+    # every handed-out path is tracked for atexit removal; stale mtdp_*
+    # trees from PRIOR runs (crashed runs never reach atexit) are pruned
+    # age-gated on first use, while fresh trees survive (ADVICE r7).
+    monkeypatch.setattr(sources.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_stale_pruned", False)
+    stale = tmp_path / "mtdp_old_sf0_001_app_dead"
+    fresh = tmp_path / "mtdp_new_sf0_001_app_live"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - 3 * 3600
+    os.utime(stale, (old, old))
+    path = sources.scratch_dir(spark, "probe", "/root/testdata/sf0.001")
+    assert path in sources._scratch_created
+    assert not stale.exists(), "3h-old tree from a prior app must be pruned"
+    assert fresh.exists(), "fresh tree (possibly a live concurrent session) must survive"

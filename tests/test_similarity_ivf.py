@@ -53,3 +53,15 @@ def test_ivf_rank_contract(spark, emb):
         ranks = sorted(grp["rank"])
         assert ranks == list(range(1, len(ranks) + 1))
         assert (grp.sort_values("rank")["cos_sim"].diff().dropna() <= 1e-12).all()
+
+
+def test_serving_default_is_measured_knee():
+    # n15's sweep measured recall@5 = 0.88 at nprobe=8 (1.00 at 16) on a
+    # 16-cell index; the serving default must embody that audit, not a
+    # guess. A default drift here silently changes n5's output.
+    import inspect
+
+    from ml_training_data_pipeline_spark.operators.similarity import ivf_probe_topk
+
+    assert inspect.signature(ivf_topk).parameters["nprobe"].default == 8
+    assert inspect.signature(ivf_probe_topk).parameters["nprobe"].default == 8
