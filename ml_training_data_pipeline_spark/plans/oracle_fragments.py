@@ -75,3 +75,29 @@ def stopword_list_sql() -> str:
     """The engine's stopword list as a SQL array literal."""
     inner = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
     return f"[{inner}]"
+
+
+def quality_cte() -> str:
+    """CTE `qual(doc_id, quality_score)` — the x2/cur1 composite quality
+    formula (functions/analysis.quality_score), restated once so every
+    oracle that bands on quality shares the exact expression. Requires
+    the `toks` CTE upstream."""
+    return f"""
+    qstats AS (
+      SELECT t.doc_id,
+             length(d.text) AS n_chars,
+             length(regexp_replace(d.text, '[^\\s\\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             len(t.toks) AS n_toks,
+             len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
+             list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    qual AS (
+      SELECT doc_id,
+        round(
+          least(CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END * 4, 1.0) * 0.4
+          + (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum_chars AS DOUBLE) / n_chars ELSE 0.0 END * 5, 1.0)) * 0.3
+          + (CASE WHEN n_toks > 0 AND CAST(tok_chars AS DOUBLE) / n_toks BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+        6) AS quality_score
+      FROM qstats
+    )"""

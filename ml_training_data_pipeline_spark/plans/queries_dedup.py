@@ -25,7 +25,7 @@ from ..operators.dedup import (
     simhash_banded_near_dups,
     simhash_near_dups,
 )
-from .oracle_fragments import stopword_list_sql, toks_cte
+from .oracle_fragments import quality_cte, stopword_list_sql, toks_cte
 from .registry import query
 
 H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
@@ -1170,4 +1170,100 @@ def d18_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(
         F.count("*").alias("n_components"),
         (F.col("size") * F.count("*")).cast("long").alias("n_docs"),
+    )
+
+
+# --- CUR8: dedup × quality interaction audit ----------------------------------------
+# The policy-interaction number curation reviews ask for: WHAT does
+# near-dup dedup remove, by quality band? If duplicates concentrate in
+# the low-quality band, dedup is doing double duty and the quality
+# gate's marginal value shrinks; if they're uniform, the two filters
+# are independent and both earn their cost. Removal status is d10's
+# closure under the min-doc_id survivor policy (minhash-LSH pairs at
+# Jaccard >= 0.5 — the same recursive-CTE oracle as d18, so the closure
+# is hash-checked end-to-end); bands use the x2/cur1 composite quality
+# score (shared CTE, so this audit can never drift from the gate it
+# audits). Mean quality is decimal-summed (the 6dp-rounded score × 1e6
+# is integer-valued) so parallel partial sums bit-match the oracle.
+@query(
+    "cur8_dedup_quality_interaction",
+    oracle=f"""
+    WITH RECURSIVE {_CANDIDATES},
+    {_JACCARD},
+    pairs AS (
+      SELECT j.doc_a, j.doc_b
+      FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    ),
+    removed AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(label)
+    ),
+    {quality_cte()},
+    labeled AS (
+      SELECT q.quality_score,
+             CASE WHEN q.doc_id IN (SELECT doc_id FROM removed)
+                  THEN 'removed' ELSE 'kept' END AS status,
+             CASE WHEN q.quality_score < 0.5 THEN 'low'
+                  WHEN q.quality_score < 0.75 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM qual q
+    )
+    SELECT band, status, count(*) AS n_docs,
+      round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY band) AS DOUBLE), 6)
+        AS share_of_band,
+      round(sum(CAST(round(quality_score * 1000000) AS BIGINT))
+            / 1000000.0 / count(*), 6) AS mean_quality
+    FROM labeled GROUP BY band, status
+    """,
+)
+def cur8_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    comp = connected_components(minhash_dedup(docs, threshold=0.5))
+    removed = comp.where(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id", F.lit(1).alias("rm")
+    )
+    # removed is component-members-only (tiny vs corpus) — broadcast the
+    # status join instead of shuffling the whole quality projection
+    labeled = (
+        docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+        .join(F.broadcast(removed), "doc_id", "left")
+        .select(
+            F.when(F.col("rm").isNotNull(), "removed").otherwise("kept").alias(
+                "status"
+            ),
+            F.when(F.col("q") < 0.5, "low")
+            .when(F.col("q") < 0.75, "mid")
+            .otherwise("high")
+            .alias("band"),
+            "q",
+        )
+    )
+    cell = labeled.groupBy("band", "status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round(F.col("q") * 1000000).cast("long")).alias("q6"),
+    )
+    wb = Window.partitionBy("band")
+    return cell.select(
+        "band",
+        "status",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(wb).cast("double"), 6
+        ).alias("share_of_band"),
+        F.round(F.col("q6") / F.lit(1000000.0) / F.col("n_docs"), 6).alias(
+            "mean_quality"
+        ),
     )

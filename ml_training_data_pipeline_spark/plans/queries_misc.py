@@ -1536,3 +1536,188 @@ def pack3_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_rate"
         ),
     )
+
+
+# --- X29: per-source token-count PSI (drift over a SECOND length column) ------------
+# Completes the drift pair VERDICT r7 asked for: x28 is the exact KS
+# statistic over n_chars; x29 is the Population Stability Index over
+# TOKEN counts — the monitoring statistic retraining pipelines actually
+# alert on (binned, so it names WHERE the mass moved, and additive over
+# bins). Bins are global token-count deciles derived by exact integer
+# arithmetic on the value HISTOGRAM (smallest v with cum >= ceil(i*N/10)
+# — quantile_disc restated so both engines bin identically; no
+# interpolated percentile whose last-ulp could flip a boundary doc).
+# Everything is integer until the final ln; each source sums <= 10
+# bin contributions. One corpus scan; every later stage is bounded by
+# |token-count domain| or sources x 10.
+@query(
+    "x29_token_psi",
+    oracle=f"""
+    WITH {toks_cte()},
+    tc AS (
+      SELECT d.source, len(t.toks) AS v
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    vc AS (SELECT source, v, count(*) AS c FROM tc GROUP BY 1, 2),
+    g AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_tot FROM vc GROUP BY v),
+    n_all AS (SELECT CAST(sum(c_tot) AS BIGINT) AS n FROM g),
+    cum AS (SELECT v, sum(c_tot) OVER (ORDER BY v) AS cum_tot FROM g),
+    marks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS i),
+    breaks AS (
+      SELECT m.i, min(c.v) AS b
+      FROM marks m CROSS JOIN n_all JOIN cum c ON c.cum_tot >= (m.i * n_all.n + 9) // 10
+      GROUP BY m.i
+    ),
+    binned AS (
+      SELECT vc.source, vc.v, vc.c,
+             1 + sum(CASE WHEN vc.v > b.b THEN 1 ELSE 0 END) AS bin
+      FROM vc CROSS JOIN breaks b
+      GROUP BY vc.source, vc.v, vc.c
+    ),
+    sbin AS (SELECT source, bin, CAST(sum(c) AS BIGINT) AS c_s FROM binned GROUP BY 1, 2),
+    gbin AS (SELECT bin, CAST(sum(c_s) AS BIGINT) AS c_bin FROM sbin GROUP BY bin),
+    ns AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sbin GROUP BY source),
+    grid AS (
+      SELECT s.source, gb.bin, gb.c_bin, coalesce(sb.c_s, 0) AS c_s
+      FROM (SELECT DISTINCT source FROM sbin) s
+      CROSS JOIN gbin gb
+      LEFT JOIN sbin sb ON sb.source = s.source AND sb.bin = gb.bin
+    )
+    SELECT g.source, ns.n_s AS n_docs,
+      round(sum(CASE WHEN g.c_s > 0 AND g.c_bin - g.c_s > 0
+        THEN (g.c_s / CAST(ns.n_s AS DOUBLE)
+              - (g.c_bin - g.c_s) / CAST(n_all.n - ns.n_s AS DOUBLE))
+             * ln((g.c_s / CAST(ns.n_s AS DOUBLE))
+                  / ((g.c_bin - g.c_s) / CAST(n_all.n - ns.n_s AS DOUBLE)))
+        ELSE 0.0 END), 6) AS psi,
+      CAST(sum(CASE WHEN g.c_s = 0 OR g.c_bin - g.c_s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_skipped_bins
+    FROM grid g JOIN ns USING (source) CROSS JOIN n_all
+    GROUP BY g.source, ns.n_s, n_all.n
+    """,
+)
+def x29_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = docs.select("source", token_count(F.col("text")).alias("v"))
+    # (source × token-count) histogram: tiny after one corpus scan, THREE
+    # consumers (global histogram, bin join, via-sbin totals) — the x28
+    # materialize-once discipline
+    vc = tc.groupBy("source", "v").agg(F.count("*").alias("c")).localCheckpoint()
+    g = vc.groupBy("v").agg(F.sum("c").cast("long").alias("c_tot"))
+    n_all = g.agg(F.sum("c_tot").cast("long").alias("n"))
+    # cumulative over the token-count DOMAIN (distinct values, never
+    # corpus-sized) — the constant partition key keeps WindowExec off the
+    # implicit-single-partition warning path while staying one partition
+    # of a bounded input (the v4/v12 rationale)
+    wv = Window.partitionBy(F.lit(0)).orderBy("v")
+    cum = g.select("v", F.sum("c_tot").over(wv).alias("cum_tot"))
+    marks = spark.range(1, 10).select(F.col("id").cast("int").alias("i"))
+    # decile breakpoints: smallest v whose cumulative count reaches
+    # ceil(i*N/10) — 9-row broadcast against the bounded cum table
+    breaks = (
+        cum.join(
+            F.broadcast(marks.crossJoin(n_all)),
+            F.col("cum_tot") >= F.expr("(i * n + 9) div 10"),
+        )
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+    )
+    binned = (
+        vc.crossJoin(F.broadcast(breaks))  # histogram × 9 breakpoints
+        .groupBy("source", "v", "c")
+        .agg(
+            (F.lit(1) + F.sum(F.when(F.col("v") > F.col("b"), 1).otherwise(0))).alias(
+                "bin"
+            )
+        )
+    )
+    # sources × ≤10 bins: THREE consumers (global bins, per-source n, grid)
+    sbin = (
+        binned.groupBy("source", "bin")
+        .agg(F.sum("c").cast("long").alias("c_s"))
+        .localCheckpoint()
+    )
+    gbin = sbin.groupBy("bin").agg(F.sum("c_s").cast("long").alias("c_bin"))
+    ns = sbin.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
+    grid = (
+        sbin.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(gbin))
+        .join(sbin, ["source", "bin"], "left")
+        .select("source", "bin", "c_bin", F.coalesce("c_s", F.lit(0)).alias("c_s"))
+    )
+    p_s = F.col("c_s") / F.col("n_s").cast("double")
+    p_r = (F.col("c_bin") - F.col("c_s")) / (F.col("n") - F.col("n_s")).cast("double")
+    live = (F.col("c_s") > 0) & (F.col("c_bin") - F.col("c_s") > 0)
+    return (
+        grid.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_all))  # singleton stats row
+        .groupBy("source", "n_s", "n")
+        .agg(
+            F.round(
+                F.sum(F.when(live, (p_s - p_r) * F.log(p_s / p_r)).otherwise(0.0)), 6
+            ).alias("psi"),
+            F.sum(F.when(live, 0).otherwise(1)).cast("long").alias("n_skipped_bins"),
+        )
+        .select("source", F.col("n_s").alias("n_docs"), "psi", "n_skipped_bins")
+    )
+
+
+# --- G6: source × lang chi-squared independence audit -------------------------------
+# The stratification sanity check mixture design needs: is language mix
+# independent of source? Pearson chi-squared over the FULL margin grid
+# (zero cells included — that's where dependence hides), reported as
+# per-source contributions so the alert names the offending source, not
+# just "the corpus drifted". Expected counts are exact integer products
+# over a double N; each source sums |langs| cells. One corpus scan, then
+# everything is margins-sized.
+@query(
+    "g6_source_lang_chi2",
+    oracle="""
+    WITH o AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM o GROUP BY source),
+    k AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM o GROUP BY lang),
+    n_all AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM o),
+    grid AS (
+      SELECT r.source, k.lang, r.n_src, k.n_lang, coalesce(o.n, 0) AS obs
+      FROM r CROSS JOIN k
+      LEFT JOIN o ON o.source = r.source AND o.lang = k.lang
+    )
+    SELECT g.source, g.n_src AS n_docs,
+      round(sum(
+        (g.obs - g.n_src * g.n_lang / CAST(n_all.n AS DOUBLE))
+        * (g.obs - g.n_src * g.n_lang / CAST(n_all.n AS DOUBLE))
+        / (g.n_src * g.n_lang / CAST(n_all.n AS DOUBLE))
+      ), 6) AS chi2_contrib
+    FROM grid g CROSS JOIN n_all
+    GROUP BY g.source, g.n_src
+    """,
+)
+def g6_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # contingency cells: tiny after one corpus scan, THREE consumers
+    # (row margins, column margins, grid join) — materialize once
+    o = docs.groupBy("source", "lang").agg(F.count("*").alias("n")).localCheckpoint()
+    r = o.groupBy("source").agg(F.sum("n").cast("long").alias("n_src"))
+    k = o.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    n_all = o.agg(F.sum("n").cast("long").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(k))  # sources × langs margin grid (bounded)
+        .join(o, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "n_src", "n_lang", F.coalesce("n", F.lit(0)).alias("obs")
+        )
+    )
+    e = F.col("n_src") * F.col("n_lang") / F.col("n").cast("double")
+    return (
+        grid.crossJoin(F.broadcast(n_all))  # singleton stats row
+        .groupBy("source", "n_src")
+        .agg(
+            F.round(F.sum((F.col("obs") - e) * (F.col("obs") - e) / e), 6).alias(
+                "chi2_contrib"
+            )
+        )
+        .select("source", F.col("n_src").alias("n_docs"), "chi2_contrib")
+    )

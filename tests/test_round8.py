@@ -157,3 +157,46 @@ def test_scratch_dir_registers_and_prunes(spark, tmp_path, monkeypatch):
     assert path in sources._scratch_created
     assert not stale.exists(), "3h-old tree from a prior app must be pruned"
     assert fresh.exists(), "fresh tree (possibly a live concurrent session) must survive"
+
+
+def test_doc_count_test_still_enforced():
+    # registry grew this round (x29/g6/cur8) — the totals in README/SURVEY
+    # are re-checked by test_round7.py::test_doc_counts_match_registry;
+    # this probe just pins that the three new names registered.
+    for name in (
+        "x29_token_psi",
+        "g6_source_lang_chi2",
+        "cur8_dedup_quality_interaction",
+    ):
+        assert name in registry.QUERIES and name in registry.ORACLE_SQL, name
+
+
+def test_x29_psi_invariants(spark):
+    rows = registry.QUERIES["x29_token_psi"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # PSI is a sum of (p_s - p_r) ln(p_s/p_r) terms, each >= 0
+        assert r["psi"] >= 0.0, r
+        assert 0 <= r["n_skipped_bins"] <= 10, r
+    # identical-ish sources on synthetic data: drift should be mild
+    assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_g6_chi2_invariants(spark):
+    rows = registry.QUERIES["g6_source_lang_chi2"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["chi2_contrib"] >= 0.0, r
+
+
+def test_cur8_shares_sum_to_one(spark):
+    import collections
+
+    rows = registry.QUERIES["cur8_dedup_quality_interaction"](spark, SF_DIR).collect()
+    by_band = collections.defaultdict(float)
+    for r in rows:
+        assert r["status"] in ("kept", "removed")
+        assert r["band"] in ("low", "mid", "high")
+        by_band[r["band"]] += r["share_of_band"]
+    for band, tot in by_band.items():
+        assert abs(tot - 1.0) < 1e-6, (band, tot)
