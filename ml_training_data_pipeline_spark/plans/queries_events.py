@@ -893,3 +893,80 @@ def j13_coactivity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_windows"))
         .where(F.col("n_windows") >= 3)
     )
+
+
+# --- W16: CUSUM change-point over daily volume --------------------------------------
+# Completes the drift-detection trio along the missing axis: x28/x29
+# compare DISTRIBUTIONS across sources; w16 finds WHEN a stream's level
+# shifted. Classic mean-anchored CUSUM: S_t = Σ_{i<=t}(c_i − μ) over the
+# per-type daily-count series; the change point is the day of max |S_t|
+# (the standard CUSUM estimator). Per-row arithmetic is integer cum −
+# rank×μ with identical IEEE ops on both engines, so the argmax is
+# parity-stable. All windows partition by event_type over the DAY domain
+# (bounded by the calendar, never event-sized); one corpus scan.
+@query(
+    "w16_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS mu,
+             count(*) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    cus AS (
+      SELECT d.event_type, d.day,
+             sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day)
+               - row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) * s.mu
+               AS cusum
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, day, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rn
+      FROM cus
+    )
+    SELECT r.event_type, CAST(s.n_days AS BIGINT) AS n_days,
+           r.day AS change_day,
+           round(r.cusum, 6) AS peak_cusum,
+           round(s.mu, 6) AS daily_mean
+    FROM ranked r JOIN stats s USING (event_type)
+    WHERE r.rn = 1
+    """,
+)
+def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    daily = (
+        e.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("c").cast("double") / F.count("*")).alias("mu"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    cus = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "mu",
+        (F.sum("c").over(wd) - F.row_number().over(wd) * F.col("mu")).alias("cusum"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("cusum")).desc(), "day")
+    return (
+        cus.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("change_day"),
+            F.round("cusum", 6).alias("peak_cusum"),
+            F.round("mu", 6).alias("daily_mean"),
+        )
+    )

@@ -1721,3 +1721,35 @@ def g6_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("n_src").alias("n_docs"), "chi2_contrib")
     )
+
+
+# --- S16: ORC sink → source roundtrip -----------------------------------------------
+# The third columnar interchange beside parquet and CSV/JSONL: Spark
+# ships a native ORC reader/writer (predicate pushdown + column pruning,
+# same as parquet), and mixed lakes routinely hand a pipeline ORC
+# inputs. Write the documents projection as zlib ORC, read it back with
+# an EXPLICIT schema (inference is an extra footer pass per file), and
+# aggregate — the roundtrip is transparent to the oracle, which states
+# the aggregate directly (the s3/s10 discipline).
+@query(
+    "s16_orc_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents WHERE text IS NOT NULL GROUP BY source
+    """,
+)
+def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out_dir = scratch_dir(spark, "orc", sf_dir)
+    docs.select("doc_id", "source", "n_chars").write.mode("overwrite").option(
+        "compression", "zlib"
+    ).orc(out_dir)
+    back = spark.read.schema("doc_id long, source string, n_chars long").orc(out_dir)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

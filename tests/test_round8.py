@@ -200,3 +200,34 @@ def test_cur8_shares_sum_to_one(spark):
         by_band[r["band"]] += r["share_of_band"]
     for band, tot in by_band.items():
         assert abs(tot - 1.0) < 1e-6, (band, tot)
+
+
+def test_w16_finds_the_level_shift(spark, tmp_path):
+    # 20 days at ~10 events/day then 10 days at ~50/day: the CUSUM
+    # S_t = Σ(c_i − μ) is most negative exactly at the last low day, so
+    # the reported change point must be the regime boundary.
+    import numpy as np
+
+    base = 86400 * 20000  # arbitrary epoch anchor
+    ts, etype = [], []
+    for d in range(30):
+        n = 10 if d < 20 else 50
+        for i in range(n):
+            ts.append((base + d * 86400 + i * 60) * 1_000_000_000)
+            etype.append("click")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(ts), dtype="int64"),
+            "ts": pd.to_datetime(np.array(ts, dtype="int64"), utc=False),
+            "user_id": np.zeros(len(ts), dtype="int64"),
+            "event_type": etype,
+        }
+    )
+    pdf.to_parquet(os.path.join(str(tmp_path), "events.parquet"), index=False)
+    rows = registry.QUERIES["w16_cusum_changepoint"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] == 30
+    assert r["change_day"] == 20000 + 19, r  # last day of the low regime
+    assert r["peak_cusum"] < 0  # level shifted UP, so the dip is negative
+    assert abs(r["daily_mean"] - 700 / 30) < 1e-6
