@@ -335,22 +335,22 @@ def prototype_classify(
     )
 
 
-def multi_table_candidates(
+def multi_table_candidates_long(
     vectors: DataFrame,
     queries: DataFrame,
     plane_tables: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Distinct (query_id, neighbor_id) ANN candidate pairs from T
-    independent SRP hash tables — the probe-cost surface of multi-table
-    LSH, exposed so audits (n13's table sweep) can report candidate
-    volume alongside recall. Layout: buckets go LONG-format
+    """(query_id, neighbor_id, tbl) ANN candidate pairs PER TABLE from T
+    independent SRP hash tables — the sweep-friendly long form: because
+    a pair joins in table t iff it co-buckets in t, a prefix-T config's
+    candidate set is exactly ``.where(tbl < T).distinct()``, so a
+    table-count sweep (n13) hashes the corpus ONCE for all tables
+    instead of once per config. Layout: buckets go LONG-format
     (vec_id, tbl, bucket) via one posexplode projection, the candidate
     join key is (tbl, bucket) — still an equi-join, T× the postings,
-    nothing quadratic — and pairs are deduped per (query, neighbor), so
-    a downstream scorer touches each survivor exactly once however many
-    tables agreed on it."""
+    nothing quadratic."""
 
     def buckets_long(df: DataFrame, out_id: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("vec"))
@@ -373,8 +373,73 @@ def multi_table_candidates(
     return (
         vb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "tbl")
+    )
+
+
+def multi_table_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    plane_tables: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id) ANN candidate pairs from T
+    independent SRP hash tables — the probe-cost surface of multi-table
+    LSH, exposed so audits (n13's table sweep) can report candidate
+    volume alongside recall. Pairs are deduped per (query, neighbor), so
+    a downstream scorer touches each survivor exactly once however many
+    tables agreed on it."""
+    return (
+        multi_table_candidates_long(vectors, queries, plane_tables, vec_col, id_col)
         .select("query_id", "neighbor_id")
         .distinct()
+    )
+
+
+def score_pairs(
+    vectors: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine for a pre-built (query_id, neighbor_id) pair set —
+    the shared scoring stage of every candidate-generation strategy.
+    One corpus join, queries broadcast. Returns
+    (query_id, neighbor_id, cos_sim)."""
+    vn = with_norm(vectors, vec_col, id_col).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), F.col("nrm")
+    )
+    qn = with_norm(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    return (
+        pairs.join(vn, "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        _as_double(F.col("nvec")), _as_double(F.col("qvec")), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def rank_topk(scored: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query rank filter over (query_id, neighbor_id, cos_sim)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
     )
 
 
@@ -393,32 +458,4 @@ def multi_table_lsh_topk(
     ~linearly in T while recall compounds (each table is an independent
     chance to co-bucket a true neighbor)."""
     cands = multi_table_candidates(vectors, queries, plane_tables, vec_col, id_col)
-    vn = with_norm(vectors, vec_col, id_col).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"), F.col("nrm")
-    )
-    qn = with_norm(queries, vec_col, id_col).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
-    )
-    scored = (
-        cands.join(vn, "neighbor_id")
-        .join(F.broadcast(qn), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        _as_double(F.col("nvec")), _as_double(F.col("qvec")), lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nrm") * F.col("qnrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
-    )
+    return rank_topk(score_pairs(vectors, queries, cands, vec_col, id_col), k)
