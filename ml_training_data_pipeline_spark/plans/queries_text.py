@@ -12,6 +12,7 @@ from ..functions import analysis
 from ..functions.text import (
     ALL_STOPWORDS,
     clean_text,
+    ngrams_up_to,
     remove_stopwords,
     tokenize,
 )
@@ -2111,3 +2112,78 @@ def v13_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# --- V14: per-source OOV rate against the serving vocabulary ------------------------
+# v12 picks the vocab size from the GLOBAL coverage curve; v14 reports
+# the operational consequence per source — what fraction of each
+# source's 1-3-gram mass falls outside v4's top-2000 tf-idf vocabulary
+# (the embedding-table OOV rate a serving stack monitors). A source
+# with an outlier OOV rate is the one the vocabulary underserves
+# (code, another language, templated noise). Two corpus scans (the ep7
+# bound): one builds the vocab exactly as v4 does (rounded weights, so
+# the rank-2000 boundary is parity-stable), one splits per-source mass
+# against the broadcast membership flag; plus corpus_size's
+# metadata-cheap rlike count.
+@query(
+    "v14_oov_by_source",
+    oracle=f"""
+    WITH {toks_cte()}, {ngram_cte(3)},
+    counts AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM counts),
+    totals AS (
+      SELECT term,
+             round(sum(tf) * ln(CAST(n.n_docs AS DOUBLE) / count(*)), 6) AS total_weight
+      FROM counts CROSS JOIN n GROUP BY term, n.n_docs
+    ),
+    vocab AS (SELECT term FROM totals ORDER BY total_weight DESC, term LIMIT 2000),
+    st AS (
+      SELECT d.source, t.term, count(*) AS c
+      FROM tok t JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE c END)
+                AS BIGINT) AS oov_grams,
+           round(sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE c END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS oov_rate
+    FROM st GROUP BY source
+    """,
+)
+def v14_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import (
+        corpus_size,
+        doc_tokens,
+        term_counts,
+        top_vocabulary_from_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = term_counts(doc_tokens(docs, ngram_max=3))
+    vocab = top_vocabulary_from_counts(counts, corpus_size(docs), top_n=2000).select(
+        "term", F.lit(1).alias("in_vocab")
+    )
+    # second scan: per-source n-gram mass (source rides the explode, so
+    # no join back to documents)
+    tok_rows = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(F.array(tokenize(F.col("text")))).alias("_toks")
+    )
+    st = (
+        tok_rows.where(F.size("_toks") > 0)
+        .select("source", F.explode(ngrams_up_to(F.col("_toks"), 3)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    oov_mass = F.sum(F.when(F.col("in_vocab").isNotNull(), 0).otherwise(F.col("c")))
+    return (
+        st.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            oov_mass.cast("long").alias("oov_grams"),
+            F.round(oov_mass / F.sum("c").cast("double"), 6).alias("oov_rate"),
+        )
+    )

@@ -231,3 +231,16 @@ def test_w16_finds_the_level_shift(spark, tmp_path):
     assert r["change_day"] == 20000 + 19, r  # last day of the low regime
     assert r["peak_cusum"] < 0  # level shifted UP, so the dip is negative
     assert abs(r["daily_mean"] - 700 / 30) < 1e-6
+
+
+def test_v14_oov_consistent_with_vocab(spark):
+    # every source's OOV mass is a sub-mass of its total, and because the
+    # vocabulary is global top-2000 by tf-idf (on 17k+ distinct 1-3-grams
+    # at sf0.01, 31 unigrams would be trivially covered), SOME mass must
+    # be out-of-vocabulary for the audit to bite.
+    rows = registry.QUERIES["v14_oov_by_source"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 <= r["oov_grams"] <= r["n_grams"], r
+        assert abs(r["oov_rate"] - r["oov_grams"] / r["n_grams"]) < 1e-6, r
+    assert any(r["oov_grams"] > 0 for r in rows)
