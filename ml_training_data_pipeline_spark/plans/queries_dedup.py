@@ -1267,3 +1267,79 @@ def cur8_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFram
             "mean_quality"
         ),
     )
+
+
+# --- CUR9: train→eval split contamination audit --------------------------------------
+# cur3 decontaminates against an EXTERNAL benchmark; cur9 audits the
+# pipeline's own mix4 hash-range splits for INTERNAL leakage — eval docs
+# sharing word-3-shingles with the train split (near-dup docs that
+# landed on opposite sides of the hash boundary inflate eval scores
+# exactly like benchmark contamination). Split assignment is mix4's
+# pure md5 projection, so no join is needed to label shingles; the
+# leaked-shingle check is one equi-join of the (small) eval shingle set
+# against the distinct train shingles. Reported per eval split over
+# docs with >=1 shingle (>=3 tokens).
+@query(
+    "cur9_split_leakage",
+    oracle=f"""
+    WITH {_SHINGLES},
+    lab AS (
+      SELECT doc_id, shingle,
+             CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sh
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM lab WHERE split = 'train'),
+    ev AS (
+      SELECT l.split, l.doc_id, l.shingle,
+             CASE WHEN l.shingle IN (SELECT shingle FROM train_sh) THEN 1 ELSE 0 END AS hit
+      FROM lab l WHERE l.split <> 'train'
+    )
+    SELECT split,
+           count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS n_contaminated_docs,
+           round(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END)
+                 / CAST(count(DISTINCT doc_id) AS DOUBLE), 6) AS doc_leak_rate,
+           count(*) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_leaked_shingles,
+           round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS shingle_leak_rate
+    FROM ev GROUP BY split
+    """,
+)
+def cur9_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sh = doc_shingles(docs, k=3)
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    lab = sh.select(
+        "doc_id",
+        "shingle",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    train_sh = (
+        lab.where(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = lab.where(F.col("split") != "train").join(train_sh, "shingle", "left")
+    return ev.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct(F.when(F.col("hit") == 1, F.col("doc_id"))).alias(
+            "n_contaminated_docs"
+        ),
+        F.round(
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("doc_id")))
+            / F.countDistinct("doc_id").cast("double"),
+            6,
+        ).alias("doc_leak_rate"),
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_leaked_shingles"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*").cast("double"), 6
+        ).alias("shingle_leak_rate"),
+    )

@@ -244,3 +244,37 @@ def test_v14_oov_consistent_with_vocab(spark):
         assert 0 <= r["oov_grams"] <= r["n_grams"], r
         assert abs(r["oov_rate"] - r["oov_grams"] / r["n_grams"]) < 1e-6, r
     assert any(r["oov_grams"] > 0 for r in rows)
+
+
+def test_x29_degenerate_single_value_psi_zero(spark, tmp_path):
+    # every doc has the SAME token count: all nine decile breakpoints
+    # collapse onto that one value, every source's mass lands in bin 1,
+    # and PSI must be exactly 0 with no skipped bins — on both engines
+    # (the tie-heavy edge where interpolated-percentile binning would
+    # diverge; the integer-histogram rule cannot).
+    sf_dir, con = _docs_fixture(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma", "en", "a"),
+            (2, "delta epsilon zeta", "en", "a"),
+            (3, "eta theta iota", "en", "b"),
+            (4, "kappa lambda mu", "en", "b"),
+        ],
+    )
+    out = _compare(
+        registry.QUERIES["x29_token_psi"](spark, sf_dir),
+        con,
+        registry.ORACLE_SQL["x29_token_psi"],
+    )
+    assert (out["psi"] == 0.0).all()
+    assert (out["n_skipped_bins"] == 0).all()
+
+
+def test_cur9_rates_are_consistent(spark):
+    rows = registry.QUERIES["cur9_split_leakage"](spark, SF_DIR).collect()
+    assert {r["split"] for r in rows} <= {"val", "test"}
+    for r in rows:
+        assert 0 <= r["n_contaminated_docs"] <= r["n_docs"], r
+        assert 0 <= r["n_leaked_shingles"] <= r["n_shingles"], r
+        assert abs(r["doc_leak_rate"] - r["n_contaminated_docs"] / r["n_docs"]) < 1e-6
