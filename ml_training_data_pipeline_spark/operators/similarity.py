@@ -208,7 +208,25 @@ def ivf_probe_topk(
     cell assignments) — so a sweep over nprobe (n15) pays the KMeans
     build once, which is also the production serving shape: the index is
     an artifact, probes are queries."""
-    spark = vectors.sparkSession
+    probes = (
+        _query_cell_ranks(centers, queries, vec_col, id_col)
+        .where(F.col("p") <= nprobe)
+        .drop("p")
+    )
+    return rank_topk(_ivf_score_probes(assigned, vectors, probes, vec_col, id_col), k)
+
+
+def _query_cell_ranks(
+    centers: list[list[float]],
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, qvec, qnrm, cell, p) — every IVF cell ranked by
+    distance per query (p=1 is the nearest cell). Q × nlist rows, tiny.
+    A config's probe set is ``p <= nprobe``, so an nprobe sweep can rank
+    once and filter per config."""
+    spark = queries.sparkSession
     centers_df = spark.createDataFrame(
         list(enumerate(centers)), schema="cell int, center array<double>"
     )
@@ -216,7 +234,6 @@ def ivf_probe_topk(
         F.col("vec_id").alias("query_id"), _as_double(F.col("vec")).alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
-    # Q × nlist probe ranking — tiny (query batch × cell count)
     qd = q.crossJoin(F.broadcast(centers_df)).select(
         "query_id", "qvec", "qnrm", "cell",
         F.aggregate(
@@ -226,23 +243,50 @@ def ivf_probe_topk(
         ).alias("dist2"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
-    probes = (
-        qd.withColumn("p", F.row_number().over(wq))
-        .where(F.col("p") <= nprobe)
-        .select("query_id", "qvec", "qnrm", "cell")
+    return qd.withColumn("p", F.row_number().over(wq)).select(
+        "query_id", "qvec", "qnrm", "cell", "p"
     )
+
+
+def _ivf_score_probes(
+    assigned: DataFrame,
+    vectors: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine of every corpus vector in a probed cell — keeps any
+    extra probe columns (e.g. the sweep's probe rank ``p``)."""
     vn = assigned.join(with_norm(vectors, vec_col, id_col).select("vec_id", "nrm"), "vec_id")
-    scored = (
+    extra = [c for c in probes.columns if c not in ("query_id", "qvec", "qnrm", "cell")]
+    return (
         vn.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6).alias("cos_sim"),
+            *extra,
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def ivf_probe_scored_all(
+    centers: list[list[float]],
+    assigned: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, p) over ALL cells — the sweep
+    form (n15): cosine is scored once for the full-probe superset and a
+    config nprobe's scored candidate set is exactly ``p <= nprobe``
+    (scores don't depend on nprobe). The full-probe branch of the sweep
+    computes this anyway; tagging by probe rank lets every other branch
+    reuse it."""
+    probes = _query_cell_ranks(centers, queries, vec_col, id_col)
+    return _ivf_score_probes(assigned, vectors, probes, vec_col, id_col)
 
 
 def embedding_near_dups(

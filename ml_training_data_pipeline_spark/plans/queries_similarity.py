@@ -807,7 +807,11 @@ def n14_ann_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n5.
 @query("n15_ivf_nprobe_sweep")
 def n15_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_assignments, ivf_probe_topk
+    from ..operators.similarity import (
+        ivf_assignments,
+        ivf_probe_scored_all,
+        rank_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
@@ -818,9 +822,16 @@ def n15_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centers, assigned = ivf_assignments(emb, nlist=16, seed=123)
     assigned = assigned.localCheckpoint()  # one index build, five probe passes
+    # scores don't depend on nprobe and the full-probe branch scores the
+    # whole corpus anyway — score ONCE tagged by probe rank p; each
+    # config is p <= nprobe (the n13 score-once discipline). Probe-batch
+    # × corpus sized, the same volume the nprobe=16 branch produced.
+    scored_all = ivf_probe_scored_all(centers, assigned, emb, probes).localCheckpoint()
     rows = None
     for nprobe in (1, 2, 4, 8, 16):
-        approx = ivf_probe_topk(centers, assigned, emb, probes, nprobe=nprobe, k=5).select(
+        approx = rank_topk(
+            scored_all.where(F.col("p") <= nprobe).drop("p"), k=5
+        ).select(
             F.col("query_id").alias("a_query_id"),
             F.col("neighbor_id").alias("a_neighbor_id"),
         )
