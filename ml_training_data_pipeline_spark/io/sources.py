@@ -68,9 +68,10 @@ atexit.register(_cleanup_scratch)
 
 
 def _prune_stale_scratch(tmp: str) -> None:
-    """Best-effort removal of mtdp_* scratch trees left by PRIOR
-    application IDs (crashed runs never reach atexit). Age-gated at 2h
-    so a concurrent live session's fresh trees are never touched."""
+    """Best-effort removal of mtdp_* scratch left by PRIOR runs (crashed
+    runs never reach atexit): sink trees from old application IDs and
+    per-pid addPyFile package zips alike. Age-gated at 2h so a
+    concurrent live session's fresh artifacts are never touched."""
     global _stale_pruned
     if _stale_pruned:
         return
@@ -80,13 +81,18 @@ def _prune_stale_scratch(tmp: str) -> None:
         names = os.listdir(tmp)
     except OSError:
         return
+    own_zip = f"mtdp_spark_pkg_{os.getpid()}.zip"
     for name in names:
         full = os.path.join(tmp, name)
-        if not name.startswith("mtdp_") or full in _scratch_created:
+        if not name.startswith("mtdp_") or full in _scratch_created or name == own_zip:
             continue
         try:
-            if os.path.isdir(full) and os.path.getmtime(full) < cutoff:
+            if os.path.getmtime(full) >= cutoff:
+                continue
+            if os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
         except OSError:
             pass
 

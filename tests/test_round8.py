@@ -149,13 +149,17 @@ def test_scratch_dir_registers_and_prunes(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sources, "_stale_pruned", False)
     stale = tmp_path / "mtdp_old_sf0_001_app_dead"
     fresh = tmp_path / "mtdp_new_sf0_001_app_live"
+    stale_zip = tmp_path / "mtdp_spark_pkg_99999.zip"
     stale.mkdir()
     fresh.mkdir()
+    stale_zip.write_bytes(b"zip")
     old = time.time() - 3 * 3600
     os.utime(stale, (old, old))
+    os.utime(stale_zip, (old, old))
     path = sources.scratch_dir(spark, "probe", "/root/testdata/sf0.001")
     assert path in sources._scratch_created
     assert not stale.exists(), "3h-old tree from a prior app must be pruned"
+    assert not stale_zip.exists(), "3h-old per-pid package zip must be pruned"
     assert fresh.exists(), "fresh tree (possibly a live concurrent session) must survive"
 
 
