@@ -65,3 +65,29 @@ def test_serving_default_is_measured_knee():
 
     assert inspect.signature(ivf_topk).parameters["nprobe"].default == 8
     assert inspect.signature(ivf_probe_topk).parameters["nprobe"].default == 8
+
+
+def test_sweep_path_equals_serving_path(spark, emb):
+    # the n15 score-once form (ivf_probe_scored_all filtered to
+    # p <= nprobe, then ranked) must reproduce ivf_probe_topk exactly —
+    # the sweep and the serving path may never drift apart.
+    from ml_training_data_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_probe_scored_all,
+        ivf_probe_topk,
+        rank_topk,
+    )
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") < 5)
+    centers, assigned = ivf_assignments(emb, nlist=8, seed=123)
+    assigned = assigned.localCheckpoint()
+    scored_all = ivf_probe_scored_all(centers, assigned, emb, queries)
+    for nprobe in (2, 5, 8):
+        via_sweep = rank_topk(
+            scored_all.where(F.col("p") <= nprobe).drop("p"), k=5
+        )
+        direct = ivf_probe_topk(centers, assigned, emb, queries, nprobe=nprobe, k=5)
+        a = {tuple(r) for r in via_sweep.collect()}
+        b = {tuple(r) for r in direct.collect()}
+        assert a == b, f"nprobe={nprobe}: sweep path diverged from serving path"
