@@ -1235,11 +1235,13 @@ def cur8_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFram
     removed = comp.where(F.col("doc_id") != F.col("component_id")).select(
         "doc_id", F.lit(1).alias("rm")
     )
-    # removed is component-members-only (tiny vs corpus) — broadcast the
-    # status join instead of shuffling the whole quality projection
+    # removed is component-members-only — usually small, but its size is
+    # DATA-DEPENDENT (a template-spam corpus can near-dup 30% of its
+    # docs), so no forced broadcast: AQE picks broadcast when the
+    # runtime size allows and falls back to a shuffle join when not
     labeled = (
         docs.select("doc_id", quality_score(F.col("text")).alias("q"))
-        .join(F.broadcast(removed), "doc_id", "left")
+        .join(removed, "doc_id", "left")
         .select(
             F.when(F.col("rm").isNotNull(), "removed").otherwise("kept").alias(
                 "status"
