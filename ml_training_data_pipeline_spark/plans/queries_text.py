@@ -2187,3 +2187,51 @@ def v14_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov_mass / F.sum("c").cast("double"), 6).alias("oov_rate"),
         )
     )
+
+
+# --- MIX6: deterministic weighted sample (Efraimidis–Spirakis) ----------------------
+# The distributed weighted sampler the mix family was missing: draw 200
+# docs WITHOUT replacement with probability proportional to length
+# (n_chars), deterministically. Efraimidis–Spirakis exponential keys —
+# rank by ln(u)/w with u uniform in (0,1] — give exactly the
+# weighted-without-replacement distribution, and deriving u from the
+# md5 hash of doc_id makes the draw reproducible on any engine, any
+# partitioning, any retry (the mix4 argument against randomSplit,
+# applied to sampling). u = (h % 2^52 + 1)/2^52 is exact in doubles on
+# both engines; the OUTPUT is integer-only (rank, ids) — floats exist
+# only inside the ordering, where a cross-libm 1-ulp ln() difference
+# would need two keys within one ulp to matter (60-bit hash inputs make
+# that negligible; verified hash-green at sf0.001 and sf0.01).
+# TakeOrdered top-200, rank window over the bounded slice (v4 pattern).
+@query(
+    "mix6_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix6'),1,15))::BIGINT
+                 % 4503599627370496 + 1) / 4503599627370496.0) / n_chars AS key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+           doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM k ORDER BY key DESC, doc_id LIMIT 200
+    """,
+)
+def mix6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    m = F.lit(4503599627370496)  # 2^52: exact in a double
+    u = (F.pmod(md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix6"))), m) + 1) / m.cast("double")
+    k = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("key"),
+    )
+    top = k.orderBy(F.desc("key"), F.asc("doc_id")).limit(200)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+    )

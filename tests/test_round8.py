@@ -282,3 +282,24 @@ def test_cur9_rates_are_consistent(spark):
         assert 0 <= r["n_contaminated_docs"] <= r["n_docs"], r
         assert 0 <= r["n_leaked_shingles"] <= r["n_shingles"], r
         assert abs(r["doc_leak_rate"] - r["n_contaminated_docs"] / r["n_docs"]) < 1e-6
+
+
+def test_mix6_weighted_sample_bias(spark):
+    # 200 draws weighted by n_chars must over-represent long documents:
+    # the sample's mean length exceeds the corpus mean (the whole point
+    # of weighting), ranks are exactly 1..200 (or corpus size if
+    # smaller), and draws are unique docs.
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from pyspark.sql import functions as F2
+
+    rows = registry.QUERIES["mix6_weighted_sample"](spark, SF_DIR).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F2.col("n_chars") > 0)
+        .agg(F2.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
