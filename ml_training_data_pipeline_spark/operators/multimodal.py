@@ -683,3 +683,89 @@ def audio_frame_profile(media: DataFrame, frame_len: int = 40) -> DataFrame:
             "n_low long, decoded boolean"
         ),
     )
+
+
+def synth_rgb_pixels(media_id: int, width: int = 8, height: int = 8) -> np.ndarray:
+    """Deterministic engine-portable RGB raster: channel value (ch, r, c)
+    is ``(media_id*7 + ch*11 + r*3 + c) % 256`` — restatable as a DuckDB
+    list comprehension, so stats computed off the REAL P6 byte roundtrip
+    stay oracle-checkable (the color-channel counterpart to
+    synth_image_pixels)."""
+    r = np.arange(height, dtype=np.int64).reshape(-1, 1, 1)
+    c = np.arange(width, dtype=np.int64).reshape(1, -1, 1)
+    ch = np.arange(3, dtype=np.int64).reshape(1, 1, -1)
+    return ((media_id * 7 + ch * 11 + r * 3 + c) % 256).astype(np.uint8)
+
+
+def documents_as_rgb_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adapter: fabricate a deterministic 8×8 RGB raster per document and
+    pack it through the REAL netpbm P6 encoder — the COLOR leg of the
+    image pipeline (documents_as_images covers grayscale P5)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_netpbm(DecodedImage(8, 8, "RGB", synth_rgb_pixels(int(mid))))
+                for mid in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "image",
+                    "content": content,
+                    "meta": "{}",
+                }
+            )
+
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(id_col)
+        .mapInPandas(op, schema=MEDIA_SCHEMA)
+    )
+
+
+def extract_image_channel_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas per-channel stats off the real color decode: per blob,
+    decode (PIL or built-in netpbm P6), emit one row per channel with
+    mean / min / max. The 8×8 channel mean is a 64-int sum over a
+    power-of-two divisor — exact in doubles, so the stats bit-match a
+    cross-engine recomputation from the generator formula (proving the
+    3-channel interleaved byte roundtrip lossless). Per-record error
+    isolation: undecodable blobs yield decoded=false rows, never a task
+    failure."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "channel": [], "mean_px": [],
+                "min_px": [], "max_px": [], "decoded": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    img = decode_image(bytes(blob))
+                    px = np.asarray(img.pixels, dtype=np.float64)
+                    if px.ndim != 3 or px.shape[2] != 3:
+                        raise ValueError("channel stats expect an RGB image")
+                    for ch in range(3):
+                        out["media_id"].append(int(mid))
+                        out["channel"].append(ch)
+                        out["mean_px"].append(float(px[:, :, ch].mean()))
+                        out["min_px"].append(int(px[:, :, ch].min()))
+                        out["max_px"].append(int(px[:, :, ch].max()))
+                        out["decoded"].append(True)
+                except Exception:
+                    out["media_id"].append(int(mid))
+                    out["channel"].append(-1)
+                    out["mean_px"].append(float("nan"))
+                    out["min_px"].append(-1)
+                    out["max_px"].append(-1)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "media_id long, channel long, mean_px double, "
+            "min_px long, max_px long, decoded boolean"
+        ),
+    )

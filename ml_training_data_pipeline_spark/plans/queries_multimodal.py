@@ -283,3 +283,51 @@ def mm6_audio_frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_low",
         "decoded",
     )
+
+
+# --- MM7: per-channel color stats off a REAL P6 RGB roundtrip ----------------------
+# The COLOR leg the image family was missing: mm1/mm5 exercise grayscale
+# P5; mm7 pushes a deterministic 8×8 RGB raster through the built-in
+# netpbm P6 encoder, back through the real 3-channel interleaved
+# decoder, and into per-channel mean/min/max. The 64-pixel channel mean
+# divides by a power of two — exact in doubles — so the oracle
+# recomputes the stats from the generator formula and the hash match
+# proves the color byte roundtrip lossless end-to-end.
+@query(
+    "mm7_image_channel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, ch.ch,
+             [CAST((d.doc_id*7 + ch.ch*11 + (k//8)*3 + (k%8)) % 256 AS DOUBLE)
+              for k in range(0, 64)] AS p
+      FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS ch) ch
+      WHERE d.text IS NOT NULL
+    )
+    SELECT doc_id AS media_id,
+           CAST(ch AS BIGINT) AS channel,
+           round(list_avg(p), 6) AS mean_px,
+           CAST(list_min(p) AS BIGINT) AS min_px,
+           CAST(list_max(p) AS BIGINT) AS max_px,
+           true AS decoded
+    FROM px
+    """,
+)
+def mm7_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        documents_as_rgb_images,
+        extract_image_channel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = extract_image_channel_stats(documents_as_rgb_images(docs))
+    # rounding in JVM F.round (HALF_UP ≡ DuckDB), not Python (banker's)
+    return stats.select(
+        "media_id",
+        "channel",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+        "decoded",
+    )

@@ -303,3 +303,44 @@ def test_mix6_weighted_sample_bias(spark):
     )
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_mm7_rgb_roundtrip_and_error_isolation(spark):
+    # P6 encode → decode is pixel-identical for the synthetic RGB raster
+    # (the color analogue of the P5 property test), and a corrupt blob
+    # yields a decoded=false row instead of a task failure.
+    import numpy as np
+    import pandas as pd
+
+    from ml_training_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        decode_image,
+        encode_netpbm,
+        extract_image_channel_stats,
+        synth_rgb_pixels,
+    )
+
+    for mid in (0, 1, 37, 255, 1000):
+        px = synth_rgb_pixels(mid)
+        back = decode_image(encode_netpbm(DecodedImage(8, 8, "RGB", px)))
+        assert back.mode == "RGB"
+        assert np.array_equal(np.asarray(back.pixels), px)
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "modality": ["image", "image"],
+                "content": [
+                    encode_netpbm(DecodedImage(8, 8, "RGB", synth_rgb_pixels(1))),
+                    b"not an image",
+                ],
+                "meta": ["{}", "{}"],
+            }
+        )
+    )
+    rows = extract_image_channel_stats(media).collect()
+    ok = [r for r in rows if r["decoded"]]
+    bad = [r for r in rows if not r["decoded"]]
+    assert len(ok) == 3 and {r["channel"] for r in ok} == {0, 1, 2}
+    assert len(bad) == 1 and bad[0]["media_id"] == 2
