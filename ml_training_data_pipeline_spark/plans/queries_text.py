@@ -1715,7 +1715,7 @@ def v11_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                    '&gt;', '>', 'g'),
                  '&quot;', '"', 'g'),
                '&#39;', '''', 'g'),
-             '\\s+', ' ', 'g')) AS stripped
+             '[\\s\\x0b]+', ' ', 'g')) AS stripped
       FROM documents WHERE text IS NOT NULL
     )
     SELECT lang,

@@ -341,3 +341,56 @@ def test_bpe_fold_noop_when_pair_absent():
     out = apply_merges(seg, [(0, "x", "y", "xy", 1)])
     got = {r["term"]: r["syms"] for r in out.collect()}
     assert got == {"ab": ["a", "b"], "cd": ["c", "d"]}
+
+
+_HTML_FRAGMENTS = [
+    "<script>", "</script>", "<script src='x.js'>", "<script-loader>",
+    "</script-loader>", "<style>", "</style>", "<style-guide>", "<b>", "</b>",
+    "<p class='q'>", "payload", "var x = 1;", "hello world", "a < b", "x > y",
+    "&lt;", "&gt;", "&amp;", "&quot;", "&#39;", " ", "\t", "\n", "\x0b", ".",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_HTML_FRAGMENTS), min_size=0, max_size=12).map("".join),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_strip_html_contract_spark_vs_duckdb(texts):
+    # strip_html must produce byte-identical output on Spark (Java regex)
+    # and DuckDB (RE2) for adversarial tag soup — balanced, unterminated,
+    # and lookalike script/style tags, entities, and the \x0b whitespace
+    # Java's \s includes but RE2's doesn't (the f13 oracle spells
+    # [\s\x0b] for exactly that reason).
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.functions.text import strip_html
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", strip_html(F.col("text")).alias("s")
+    )
+    got = {r["doc_id"]: r["s"] for r in df.collect()}
+    chain = "text"
+    for pat in (
+        r"(?is)<script(>|[\s/][^>]*>).*?</script>",
+        r"(?is)<style(>|[\s/][^>]*>).*?</style>",
+        r"(?is)<script(>|[\s/][^>]*>).*$",
+        r"(?is)<style(>|[\s/][^>]*>).*$",
+        r"(?s)<[^>]+>",
+    ):
+        chain = f"regexp_replace({chain}, '{pat}', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
+        chain = f"replace({chain}, '{ent}', '{ch}')"
+    chain = rf"trim(regexp_replace({chain}, '[\s\x0b]+', ' ', 'g'))"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute(f"SELECT doc_id, {chain} FROM t").fetchall())
+    assert got == want
