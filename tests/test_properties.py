@@ -394,3 +394,43 @@ def test_strip_html_contract_spark_vs_duckdb(texts):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = dict(con.execute(f"SELECT doc_id, {chain} FROM t").fetchall())
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quality_score_contract_spark_vs_duckdb(texts):
+    # the x2/cur1 composite quality formula must agree cross-engine on
+    # arbitrary unicode (cur8 BANDS on this value with strict <
+    # thresholds, so a last-ulp divergence would flip a band). Uses the
+    # shared quality_cte fragment — the same SQL cur8's oracle runs.
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.functions.analysis import quality_score
+    from ml_training_data_pipeline_spark.plans.oracle_fragments import (
+        quality_cte,
+        toks_cte,
+    )
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    got = {r["doc_id"]: r["q"] for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"WITH {toks_cte()}, {quality_cte()} SELECT doc_id, quality_score FROM qual"
+        ).fetchall()
+    )
+    assert got == want
