@@ -85,7 +85,7 @@ _JACCARD = """
     "d1_exact_dup_groups",
     oracle=f"""
     WITH {toks_cte()},
-    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks)
+    fps AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks)
     SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
     FROM fps GROUP BY fp
     """,
@@ -448,7 +448,7 @@ def cur3_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {toks_cte()},
     fps AS (
-      SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks
+      SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks
     ),
     corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
     batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 >= 8),
@@ -773,7 +773,7 @@ def cur6_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {toks_cte()},
     fps AS (
-      SELECT t.doc_id, d.source, md5(array_to_string(t.toks, ' ')) AS fp
+      SELECT t.doc_id, d.source, md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
       FROM toks t JOIN documents d USING (doc_id)
     ),
     marked AS (
@@ -1020,7 +1020,7 @@ def d17_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {toks_cte()},
     keyed AS (
       SELECT 'document' AS grain, t.doc_id, d.lang,
-             md5(array_to_string(t.toks, ' ')) AS fp
+             md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
       FROM toks t JOIN documents d USING (doc_id)
       UNION ALL
       SELECT 'template5', t.doc_id, d.lang,
@@ -1076,7 +1076,7 @@ def x26_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {toks_cte()},
     tc AS (
       SELECT t.doc_id, d.source, len(t.toks) AS n_toks,
-             md5(array_to_string(t.toks, ' ')) AS fp
+             md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
       FROM toks t JOIN documents d USING (doc_id)
     ),
     keep AS (SELECT min(doc_id) AS doc_id FROM tc GROUP BY fp)

@@ -725,7 +725,7 @@ def t9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ep5_dedup_split_shards",
     oracle=f"""
     WITH {toks_cte()},
-    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    fps AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks),
     keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
     survivors AS (
       SELECT d.doc_id, d.n_chars FROM documents d JOIN keep k USING (doc_id)
@@ -1307,7 +1307,7 @@ def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ep7_dataset_card",
     oracle=f"""
     WITH {toks_cte()},
-    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS f FROM toks),
+    fp AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS f FROM toks),
     tokn AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS v FROM toks),
     langs AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
     SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents

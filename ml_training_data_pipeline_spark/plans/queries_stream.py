@@ -237,7 +237,7 @@ def st6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st7_stream_curation_gate",
     oracle=f"""
     WITH {toks_cte()}
-    SELECT DISTINCT md5(array_to_string(t.toks, ' ')) AS fp
+    SELECT DISTINCT md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
     FROM toks t JOIN documents d USING (doc_id)
     WHERE d.lang = 'en' AND len(t.toks) BETWEEN 5 AND 1000
     """,
@@ -368,7 +368,7 @@ def st9_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st10_stream_dedup_gate",
     oracle=f"""
     WITH {toks_cte()},
-    fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    fps AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks),
     known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
     arriving AS (
       SELECT f.doc_id, f.fp, d.lang
@@ -416,7 +416,7 @@ def st10_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {toks_cte()},
     fps AS (
-      SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp, len(toks) AS n_toks
+      SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp, len(toks) AS n_toks
       FROM toks
     ),
     known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),

@@ -344,7 +344,7 @@ def x3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x4_fingerprint",
     oracle=f"""
     WITH {toks_cte()}
-    SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks
+    SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks
     """,
 )
 def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +418,7 @@ def _curation_gated_ctes() -> str:
              len(t.toks) AS n_toks,
              len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
              list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars,
-             md5(array_to_string(t.toks, ' ')) AS fp,
+             md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp,
              {score_cols}
       FROM toks t JOIN documents d USING (doc_id)
     ),

@@ -434,3 +434,62 @@ def test_quality_score_contract_spark_vs_duckdb(texts):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "der", "und", "le", "la", "el", "los", "o", "не",
+                 "hello", "mundo", "welt", "monde", "x1", "", "  ", "zz"]
+            ),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_langid_and_fingerprint_contract_spark_vs_duckdb(texts):
+    # detect_language's argmax-with-tie-break and fingerprint's
+    # md5-of-joined-tokens must agree cross-engine — x3/x23 (confusion
+    # audit) and d1/x27/cur8 (survivor policy) all key on them.
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.functions.analysis import (
+        detect_language,
+        fingerprint,
+    )
+    from ml_training_data_pipeline_spark.plans.oracle_fragments import toks_cte
+    from ml_training_data_pipeline_spark.plans.queries_text import _langid_oracle
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    got = {r["doc_id"]: (r["lang"], r["fp"]) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want_lang = dict(
+        con.execute(
+            f"SELECT doc_id, lang_detected FROM ({_langid_oracle()})"
+        ).fetchall()
+    )
+    # coalesce: DuckDB array_to_string([]) is NULL while Spark concat_ws
+    # is '' — zero-token docs must fingerprint identically (md5(''))
+    want_fp = dict(
+        con.execute(
+            f"WITH {toks_cte()} SELECT doc_id, "
+            f"md5(coalesce(array_to_string(toks, ' '), '')) FROM toks"
+        ).fetchall()
+    )
+    for i, (lang, fp) in got.items():
+        assert lang == want_lang[i], (i, lang, want_lang[i])
+        assert fp == want_fp[i], (i, fp, want_fp[i])

@@ -344,3 +344,33 @@ def test_mm7_rgb_roundtrip_and_error_isolation(spark):
     bad = [r for r in rows if not r["decoded"]]
     assert len(ok) == 3 and {r["channel"] for r in ok} == {0, 1, 2}
     assert len(bad) == 1 and bad[0]["media_id"] == 2
+
+
+def test_zero_token_docs_fingerprint_identically(spark, tmp_path):
+    # a doc with no alphanumeric content tokenizes to [] — Spark's
+    # concat_ws gives '' (fp = md5('')) while DuckDB's array_to_string
+    # gives NULL; the oracles coalesce so both engines agree, and all
+    # zero-token docs land in ONE exact-dup group.
+    sf_dir, con = _docs_fixture(
+        spark,
+        tmp_path,
+        [
+            (1, "!!! ???", "en", "a"),
+            (2, "---", "en", "a"),
+            (3, "real words here", "en", "a"),
+        ],
+    )
+    out = _compare(
+        registry.QUERIES["x4_fingerprint"](spark, sf_dir),
+        con,
+        registry.ORACLE_SQL["x4_fingerprint"],
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert list(out[out["doc_id"] == 1]["fp"]) == [empty_md5]
+    groups = _compare(
+        registry.QUERIES["d1_exact_dup_groups"](spark, sf_dir),
+        con,
+        registry.ORACLE_SQL["d1_exact_dup_groups"],
+    )
+    g = groups[groups["fp"] == empty_md5].iloc[0]
+    assert g["n_docs"] == 2 and g["keep_doc_id"] == 1
