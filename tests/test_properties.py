@@ -493,3 +493,68 @@ def test_langid_and_fingerprint_contract_spark_vs_duckdb(texts):
     for i, (lang, fp) in got.items():
         assert lang == want_lang[i], (i, lang, want_lang[i])
         assert fp == want_fp[i], (i, fp, want_fp[i])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["contact bob.smith+x@corp.example.com now", "call 555-123-4567",
+                 "or 555.987.6543!", "not-a-phone 12-34", "a@b", "x@y.zz",
+                 "word", "123", "...", "\x0b", "üñï", " ", "<b>t</b>"]
+            ),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_subword_and_pii_contract_spark_vs_duckdb(texts):
+    # the x6 pretokenizer pattern and x10's email/phone redaction chain
+    # must count and rewrite identically cross-engine — all three
+    # patterns are deliberately lookaround-free ASCII classes, and this
+    # pins that property against future edits.
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ml_training_data_pipeline_spark.plans.queries_text import (
+        _EMAIL_RE,
+        _PHONE_RE,
+        _SUBWORD_PATTERN,
+    )
+    from ml_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_PATTERN), 0)).alias("n_sub"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            )
+        ).alias("fp"),
+    )
+    got = {r["doc_id"]: (r["n_sub"], r["n_email"], r["n_phone"], r["fp"]) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""SELECT doc_id,
+                 len(regexp_extract_all(text, '{_SUBWORD_PATTERN.replace("'", "''")}')),
+                 len(regexp_extract_all(text, '{_EMAIL_RE}')),
+                 len(regexp_extract_all(text, '{_PHONE_RE}')),
+                 md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                    '{_PHONE_RE}', '[PHONE]', 'g'))
+               FROM t"""
+        ).fetchall()
+    }
+    assert got == want
