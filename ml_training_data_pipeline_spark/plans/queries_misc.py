@@ -16,7 +16,7 @@ from ..io.sources import load_table, scratch_dir
 from ..functions.text import tokenize
 from ..operators.tfidf import doc_tokens
 from .oracle_fragments import toks_cte
-from .registry import query
+from .registry import ORACLE_SQL, query
 
 
 # --- S3+S4: CSV sink → glob multi-file scan → implicit union ---------------------
@@ -1753,3 +1753,40 @@ def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --- EP8: drift report (the scheduled monitoring composite) -------------------------
+# The operational deliverable the drift trio exists for: ONE
+# (source, metric, value) table a refresh pipeline materializes per
+# batch and diffs against the previous run — x28's exact KS over char
+# lengths, x29's PSI over token-count deciles, g6's chi-squared
+# language-mix contribution, per source. The oracle is assembled
+# VERBATIM from the three component oracles (registered above in this
+# module), so the composite can never drift from the audits it bundles.
+# Scan budget: three corpus scans, one per component — each component
+# is already its own single-scan pipeline, and the report is their
+# union (the ep7 justification-in-lieu-of-guard case).
+@query(
+    "ep8_drift_report",
+    oracle=f"""
+    SELECT source, 'ks_chars' AS metric, ks_stat AS value
+    FROM ({ORACLE_SQL["x28_length_drift_ks"]})
+    UNION ALL
+    SELECT source, 'psi_tokens' AS metric, psi AS value
+    FROM ({ORACLE_SQL["x29_token_psi"]})
+    UNION ALL
+    SELECT source, 'chi2_lang' AS metric, chi2_contrib AS value
+    FROM ({ORACLE_SQL["g6_source_lang_chi2"]})
+    """,
+)
+def ep8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ks = x28_length_drift_ks(spark, sf_dir).select(
+        "source", F.lit("ks_chars").alias("metric"), F.col("ks_stat").alias("value")
+    )
+    psi = x29_token_psi(spark, sf_dir).select(
+        "source", F.lit("psi_tokens").alias("metric"), F.col("psi").alias("value")
+    )
+    chi = g6_source_lang_chi2(spark, sf_dir).select(
+        "source", F.lit("chi2_lang").alias("metric"), F.col("chi2_contrib").alias("value")
+    )
+    return ks.unionAll(psi).unionAll(chi)

@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "x29_token_psi", "g6_source_lang_chi2", "cur8_dedup_quality_interaction",
     "w16_cusum_changepoint", "s16_orc_roundtrip", "v14_oov_by_source",
     "cur9_split_leakage", "mix6_weighted_sample", "mm7_image_channel_stats",
+    "ep8_drift_report",
     # ROUND-7 PREFIX (50, all hash-green or rows-only-by-design in
     # CORRECTNESS_r07 — the freshest driver rows in the registry).
     "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",

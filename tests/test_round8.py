@@ -374,3 +374,13 @@ def test_zero_token_docs_fingerprint_identically(spark, tmp_path):
     )
     g = groups[groups["fp"] == empty_md5].iloc[0]
     assert g["n_docs"] == 2 and g["keep_doc_id"] == 1
+
+
+def test_ep8_bundles_all_three_metrics(spark):
+    rows = registry.QUERIES["ep8_drift_report"](spark, SF_DIR).collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], set()).add(r["source"])
+    assert set(by_metric) == {"ks_chars", "psi_tokens", "chi2_lang"}
+    # every metric covers the same source set
+    assert len({frozenset(v) for v in by_metric.values()}) == 1
