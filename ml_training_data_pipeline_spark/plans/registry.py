@@ -70,11 +70,13 @@ PRIORITY: tuple[str, ...] = (
     "x24_template_families", "mix5_mixture_entropy",
     # ROUND-9 ROTATION (pre-staged; fill round 9's 50-prefix with, in
     # order): (a) the remaining 17 never-driver-checked round-7 names
-    # below (p11 … m9), (b) any round-8 additions (the "NEW in round 8"
-    # block below), (c) the stalest checked names from the r5 block
-    # (d10, n6, cur2, d4, ep2, st4, m5, s1, p2, p3, … in listed order)
-    # to fill 50. x27 carries its round-8 ADVICE fix (left join keeps
-    # zero-survivor sources) — keep it in the round-9 prefix.
+    # below (p11 … m9), (b) the 10 round-8 additions (the "NEW in round
+    # 8" block below: x29, g6, cur8, w16, s16, v14, cur9, mix6, mm7,
+    # ep8 — all pre-verified green at sf0.01 driver-style in round 8),
+    # (c) the first 23 of the r5 block in listed order (d10, n6, cur2,
+    # d4, ep2, st4, m5, s1, p2, p3, p4, p6, a6, a9, t2, j1, j2, j5, u1,
+    # f1, f6, f8, f11) to fill 50. x27 carries its round-8 ADVICE fix
+    # (left join keeps zero-survivor sources) — keep it in the prefix.
     "p11_referential_integrity",
     "st11_stream_type_totals", "l4_llm_cache_report",
     "w15_daily_autocorr", "x25_lexicon_screen", "ep7_dataset_card",
