@@ -67,11 +67,37 @@ def _cleanup_scratch() -> None:
 atexit.register(_cleanup_scratch)
 
 
+def _pid_alive(pid: int) -> bool:
+    """Liveness probe for scratch ownership: signal 0 raises only when the
+    pid is gone (EPERM means alive-but-other-user — treat as alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True
+    return True
+
+
+def _owner_alive(full: str) -> bool:
+    """True when ``<entry>.owner`` names a pid that is still running.
+    Written by scratch_dir(); gates pruning on process liveness instead
+    of mtime alone, so a session alive longer than the age cutoff never
+    loses its scratch to a newly-starting concurrent session (ADVICE r8)."""
+    try:
+        with open(full + ".owner", encoding="ascii") as fh:
+            return _pid_alive(int(fh.read().strip()))
+    except (OSError, ValueError):
+        return False
+
+
 def _prune_stale_scratch(tmp: str) -> None:
     """Best-effort removal of mtdp_* scratch left by PRIOR runs (crashed
     runs never reach atexit): sink trees from old application IDs and
-    per-pid addPyFile package zips alike. Age-gated at 2h so a
-    concurrent live session's fresh artifacts are never touched."""
+    per-pid addPyFile package zips alike. Two gates, both required:
+    (1) the ``.owner`` pid sentinel must be dead/absent — a live owner is
+    never pruned regardless of age; (2) a 2h mtime gate backstops races
+    with sessions that are mid-startup (sentinel not yet written)."""
     global _stale_pruned
     if _stale_pruned:
         return
@@ -86,6 +112,19 @@ def _prune_stale_scratch(tmp: str) -> None:
         full = os.path.join(tmp, name)
         if not name.startswith("mtdp_") or full in _scratch_created or name == own_zip:
             continue
+        if name.endswith(".owner"):
+            # sentinel with a live base entry: pruned together with the
+            # base below; an orphan sentinel falls through to the age gate.
+            if os.path.exists(full[: -len(".owner")]):
+                continue
+        elif _owner_alive(full):
+            continue
+        elif name.startswith("mtdp_spark_pkg_") and name.endswith(".zip"):
+            # per-pid package zip: pid is in the name — skip if that
+            # process is still running, whatever its age.
+            pid_part = name[len("mtdp_spark_pkg_") : -len(".zip")]
+            if pid_part.isdigit() and _pid_alive(int(pid_part)):
+                continue
         try:
             if os.path.getmtime(full) >= cutoff:
                 continue
@@ -93,6 +132,11 @@ def _prune_stale_scratch(tmp: str) -> None:
                 shutil.rmtree(full, ignore_errors=True)
             else:
                 os.remove(full)
+            if not name.endswith(".owner"):
+                try:
+                    os.remove(full + ".owner")
+                except OSError:
+                    pass
         except OSError:
             pass
 
@@ -111,6 +155,17 @@ def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
     _prune_stale_scratch(tmp)
     path = os.path.join(tmp, f"mtdp_{label}_{sf}_{app}")
     _scratch_created.add(path)
+    # Ownership sentinel: marks the tree as belonging to a LIVE process so
+    # _prune_stale_scratch in a concurrent session never removes it, even
+    # if this session outlives the age gate (ADVICE r8). Removed by the
+    # same atexit hook as the tree itself.
+    owner = path + ".owner"
+    try:
+        with open(owner, "w", encoding="ascii") as fh:
+            fh.write(str(os.getpid()))
+        _scratch_created.add(owner)
+    except OSError:
+        pass
     return path
 
 

@@ -349,7 +349,7 @@ def d8_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id,
         round(
           least(CASE WHEN len(t.toks) > 0 THEN CAST(len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS DOUBLE) / len(t.toks) ELSE 0.0 END * 4, 1.0) * 0.4
-          + (1.0 - least(CASE WHEN length(d.text) > 0 THEN CAST(length(d.text) - length(regexp_replace(d.text, '[^\s\x0ba-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(d.text) ELSE 0.0 END * 5, 1.0)) * 0.3
+          + (1.0 - least(CASE WHEN length(d.text) > 0 THEN CAST(length(d.text) - length(regexp_replace(d.text, '[^\\s\x0ba-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(d.text) ELSE 0.0 END * 5, 1.0)) * 0.3
           + (CASE WHEN len(t.toks) > 0 AND CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE) / len(t.toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3,
         6) AS q
       FROM toks t JOIN documents d USING (doc_id)

@@ -59,9 +59,9 @@ _CONTRACTION_SQL = (
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(
              {_CONTRACTION_SQL},
-             '[^\s\x0ba-zA-Z0-9]', '', 'g'),
+             '[^\\s\x0ba-zA-Z0-9]', '', 'g'),
              '[0-9]+', '', 'g'),
-             '[\s\x0b]+', ' ', 'g')) AS cleaned_text
+             '[\\s\x0b]+', ' ', 'g')) AS cleaned_text
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -282,7 +282,7 @@ def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT t.doc_id, d.text, t.toks,
              length(d.text) AS n_chars,
-             length(regexp_replace(d.text, '[^\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             length(regexp_replace(d.text, '[^\\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
              len(t.toks) AS n_toks,
              len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
              list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars
@@ -414,7 +414,7 @@ def _curation_gated_ctes() -> str:
     stats AS (
       SELECT t.doc_id, d.source, t.toks,
              length(d.text) AS n_chars,
-             length(regexp_replace(d.text, '[^\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
+             length(regexp_replace(d.text, '[^\\s\x0ba-zA-Z0-9]', '', 'g')) AS n_alnum_chars,
              len(t.toks) AS n_toks,
              len(list_filter(t.toks, x -> list_contains({stopword_list_sql()}, x))) AS n_stop,
              list_sum(list_transform(t.toks, x -> length(x))) AS tok_chars,

@@ -147,9 +147,16 @@ def test_scratch_dir_registers_and_prunes(spark, tmp_path, monkeypatch):
     # age-gated on first use, while fresh trees survive (ADVICE r7).
     monkeypatch.setattr(sources.tempfile, "gettempdir", lambda: str(tmp_path))
     monkeypatch.setattr(sources, "_stale_pruned", False)
+    import subprocess
+
+    # a just-reaped child pid: guaranteed-dead (Linux allocates pids
+    # sequentially, so no immediate reuse) — pruning is liveness-gated now
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
     stale = tmp_path / "mtdp_old_sf0_001_app_dead"
     fresh = tmp_path / "mtdp_new_sf0_001_app_live"
-    stale_zip = tmp_path / "mtdp_spark_pkg_99999.zip"
+    stale_zip = tmp_path / f"mtdp_spark_pkg_{dead_pid}.zip"
     stale.mkdir()
     fresh.mkdir()
     stale_zip.write_bytes(b"zip")

@@ -1,0 +1,100 @@
+"""Round-9 regression pins: ADVICE r8 fixes (liveness-gated scratch
+pruning; escape-sequence hygiene) plus this round's structural changes."""
+
+from __future__ import annotations
+
+import os
+import py_compile
+import subprocess
+import time
+import warnings
+
+from ml_training_data_pipeline_spark.io import sources
+
+from tests.conftest import SF_DIR  # noqa: F401  (fixture wiring)
+
+
+def _dead_pid() -> int:
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    return proc.pid
+
+
+def test_prune_spares_live_owner_regardless_of_age(tmp_path, monkeypatch):
+    # ADVICE r8: a session alive longer than the 2h age gate must NOT lose
+    # its scratch to a newly-starting concurrent session. The .owner pid
+    # sentinel now gates pruning on process liveness, not mtime alone.
+    monkeypatch.setattr(sources.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_stale_pruned", False)
+    old = time.time() - 3 * 3600
+
+    live_tree = tmp_path / "mtdp_sink_sf0_001_app_longlived"
+    live_tree.mkdir()
+    (tmp_path / (live_tree.name + ".owner")).write_text(str(os.getpid()))
+    dead_tree = tmp_path / "mtdp_sink_sf0_001_app_crashed"
+    dead_tree.mkdir()
+    (tmp_path / (dead_tree.name + ".owner")).write_text(str(_dead_pid()))
+    for p in (live_tree, tmp_path / (live_tree.name + ".owner"),
+              dead_tree, tmp_path / (dead_tree.name + ".owner")):
+        os.utime(p, (old, old))
+
+    sources._prune_stale_scratch(str(tmp_path))
+
+    assert live_tree.exists(), "3h-old tree with a LIVE owner pid must survive"
+    assert (tmp_path / (live_tree.name + ".owner")).exists()
+    assert not dead_tree.exists(), "3h-old tree with a dead owner is pruned"
+    assert not (tmp_path / (dead_tree.name + ".owner")).exists(), (
+        "the dead tree's sentinel is pruned with it"
+    )
+
+
+def test_prune_spares_live_pid_zip_and_orphan_sentinels(tmp_path, monkeypatch):
+    monkeypatch.setattr(sources.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_stale_pruned", False)
+    old = time.time() - 3 * 3600
+
+    live_zip = tmp_path / f"mtdp_spark_pkg_{os.getpid()}_other.zip"
+    # a DIFFERENT process's zip whose pid is alive (use our own pid but a
+    # name that isn't own_zip): must survive on liveness despite age
+    live_other = tmp_path / "mtdp_tree_no_sentinel_fresh"
+    live_other.mkdir()  # fresh mtime — age gate spares it
+    orphan = tmp_path / "mtdp_gone_tree.owner"
+    orphan.write_text(str(_dead_pid()))
+    live_zip.write_bytes(b"zip")
+    os.utime(live_zip, (old, old))
+    os.utime(orphan, (old, old))
+
+    sources._prune_stale_scratch(str(tmp_path))
+
+    assert not orphan.exists(), "old orphan sentinel (base tree gone) is pruned"
+    assert live_other.exists()
+
+
+def test_scratch_dir_writes_owner_sentinel(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sources.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_stale_pruned", True)
+    path = sources.scratch_dir(spark, "probe9", "/root/testdata/sf0.001")
+    owner = path + ".owner"
+    assert os.path.exists(owner)
+    assert open(owner).read().strip() == str(os.getpid())
+    assert owner in sources._scratch_created, "sentinel is atexit-cleaned too"
+
+
+def test_no_invalid_escape_sequences_anywhere():
+    # ADVICE r8: \s in non-raw f-strings emits SyntaxWarning today and is
+    # slated to become SyntaxError. Compile every engine module with
+    # warnings-as-errors so a regression fails loudly.
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = glob.glob(
+        os.path.join(root, "ml_training_data_pipeline_spark", "**", "*.py"),
+        recursive=True,
+    )
+    assert len(files) > 20
+    import tempfile
+
+    with warnings.catch_warnings(), tempfile.TemporaryDirectory() as td:
+        warnings.simplefilter("error", SyntaxWarning)
+        for f in files:
+            py_compile.compile(f, doraise=True, cfile=os.path.join(td, "x.pyc"))
