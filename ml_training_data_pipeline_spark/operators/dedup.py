@@ -55,12 +55,19 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # --- shingles + MinHash ------------------------------------------------------
 
 def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) distinct word-k-shingles — the set representation
-    Jaccard is defined over. Builds ONLY the k-grams (a 1..k-gram build
-    plus post-filter explodes ~k× the rows for the same result). The
-    explode(array(tokens)) Generate barrier mirrors doc_tokens: it
-    materializes the token array once per row so whole-stage codegen
-    doesn't inline the tokenize subtree into every n-gram lambda."""
+    """(doc_id, shingle BIGINT) distinct word-k-shingles — the set
+    representation Jaccard is defined over. The shingle is hashed to a
+    60-bit md5 long IN THE SCAN PROJECTION, before the distinct, so the
+    distinct shuffle and every downstream equi-join/groupBy move 8-byte
+    longs instead of ~20-byte raw strings (~3× shuffle-byte reduction on
+    the family that dominates a 100 TB dedup pass). No consumer surfaces
+    the shingle text; identical-hash collisions are deterministic and
+    mirrored by the DuckDB oracle, so parity is exact. Builds ONLY the
+    k-grams (a 1..k-gram build plus post-filter explodes ~k× the rows for
+    the same result). The explode(array(tokens)) Generate barrier mirrors
+    doc_tokens: it materializes the token array once per row so
+    whole-stage codegen doesn't inline the tokenize subtree into every
+    n-gram lambda."""
     from ..functions.text import ngrams, tokenize
 
     tok_rows = docs.where(F.col(text_col).isNotNull()).select(
@@ -68,7 +75,8 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: st
     )
     return (
         tok_rows.where(F.size("_toks") >= k)
-        .select("doc_id", F.explode(ngrams(F.col("_toks"), k)).alias("shingle"))
+        .select("doc_id", F.explode(ngrams(F.col("_toks"), k)).alias("_shingle_str"))
+        .select("doc_id", md5_long(F.col("_shingle_str")).alias("shingle"))
         .distinct()
     )
 
@@ -80,7 +88,9 @@ def minhash_wide(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
     of |shingles|×num_hashes. Same md5 count either way; ~num_hashes×
     fewer rows through partial aggregation."""
     mins = [
-        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        # shingle is the 60-bit long key; its decimal rendering seeds the
+        # per-i hash (identical to BIGINT::VARCHAR on the oracle side)
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle").cast("string")))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy("doc_id").agg(*mins)

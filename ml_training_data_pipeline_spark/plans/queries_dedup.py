@@ -30,20 +30,25 @@ from .registry import query
 
 H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
-# shared shingle CTE: distinct word-3-shingles per doc
+# shared shingle CTE: distinct word-3-shingles per doc, keyed by the
+# 60-bit md5 long (mirrors doc_shingles — string keys never shuffle;
+# the distinct and every downstream join operate on the hashed BIGINT)
 _SHINGLES = f"""
     {toks_cte()},
     sh AS (
-      SELECT DISTINCT doc_id,
-             unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks) - 1)]) AS shingle
-      FROM toks WHERE len(toks) >= 3
+      SELECT DISTINCT doc_id, {H60.format(x="s.shingle")} AS shingle
+      FROM (
+        SELECT doc_id,
+               unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks) - 1)]) AS shingle
+        FROM toks WHERE len(toks) >= 3
+      ) s
     )"""
 
 _MINHASH = f"""
     {_SHINGLES},
     mh AS (
       SELECT doc_id, seed,
-             min({H60.format(x="seed::VARCHAR || ':' || shingle")}) AS min_hash
+             min({H60.format(x="seed::VARCHAR || ':' || shingle::VARCHAR")}) AS min_hash
       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
       GROUP BY doc_id, seed
     )"""

@@ -456,7 +456,10 @@ def test_minhash_dedup_cross_checked_against_mllib(spark):
     }
     assert exact, "fixture should contain near-dup pairs"
 
-    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    # shingles are 60-bit longs now; CountVectorizer wants string terms
+    grouped = sh.groupBy("doc_id").agg(
+        F.collect_list(F.col("shingle").cast("string")).alias("shingles")
+    )
     cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
     model = cv.fit(grouped)
     feats = model.transform(grouped)
