@@ -1437,15 +1437,19 @@ def u5_vocab_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.source, ns.n_s, n_all.n
     """,
 )
-def x28_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # (source × length) counts: tiny after one corpus scan, THREE
-    # consumers (totals, per-source n, grid join) — materialize once
-    vc = (
-        docs.groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()
-    )
+def x28_length_drift_ks(spark: SparkSession, sf_dir: str, vc: DataFrame | None = None) -> DataFrame:
+    # ``vc`` lets a composite (ep8) hand in the (source, v, c) char-length
+    # histogram derived from a SHARED corpus scan; standalone, build it
+    # from this query's own scan.
+    if vc is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # (source × length) counts: tiny after one corpus scan, THREE
+        # consumers (totals, per-source n, grid join) — materialize once
+        vc = (
+            docs.groupBy("source", F.col("n_chars").alias("v"))
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint()
+        )
     tot = vc.groupBy("v").agg(F.sum("c").cast("long").alias("c_tot"))
     ns = vc.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     n_all = tot.agg(F.sum("c_tot").cast("long").alias("n"))
@@ -1596,15 +1600,19 @@ def pack3_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY g.source, ns.n_s, n_all.n
     """,
 )
-def x29_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import token_count
+def x29_token_psi(spark: SparkSession, sf_dir: str, vc: DataFrame | None = None) -> DataFrame:
+    # ``vc`` lets a composite (ep8) hand in the (source, v, c) token-count
+    # histogram derived from a SHARED corpus scan; standalone, build it
+    # from this query's own scan.
+    if vc is None:
+        from ..functions.analysis import token_count
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tc = docs.select("source", token_count(F.col("text")).alias("v"))
-    # (source × token-count) histogram: tiny after one corpus scan, THREE
-    # consumers (global histogram, bin join, via-sbin totals) — the x28
-    # materialize-once discipline
-    vc = tc.groupBy("source", "v").agg(F.count("*").alias("c")).localCheckpoint()
+        docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        tc = docs.select("source", token_count(F.col("text")).alias("v"))
+        # (source × token-count) histogram: tiny after one corpus scan,
+        # THREE consumers (global histogram, bin join, via-sbin totals) —
+        # the x28 materialize-once discipline
+        vc = tc.groupBy("source", "v").agg(F.count("*").alias("c")).localCheckpoint()
     g = vc.groupBy("v").agg(F.sum("c").cast("long").alias("c_tot"))
     n_all = g.agg(F.sum("c_tot").cast("long").alias("n"))
     # cumulative over the token-count DOMAIN (distinct values, never
@@ -1695,11 +1703,15 @@ def x29_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY g.source, g.n_src
     """,
 )
-def g6_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # contingency cells: tiny after one corpus scan, THREE consumers
-    # (row margins, column margins, grid join) — materialize once
-    o = docs.groupBy("source", "lang").agg(F.count("*").alias("n")).localCheckpoint()
+def g6_source_lang_chi2(spark: SparkSession, sf_dir: str, o: DataFrame | None = None) -> DataFrame:
+    # ``o`` lets a composite (ep8) hand in the (source, lang, n)
+    # contingency cells derived from a SHARED corpus scan; standalone,
+    # build them from this query's own scan.
+    if o is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # contingency cells: tiny after one corpus scan, THREE consumers
+        # (row margins, column margins, grid join) — materialize once
+        o = docs.groupBy("source", "lang").agg(F.count("*").alias("n")).localCheckpoint()
     r = o.groupBy("source").agg(F.sum("n").cast("long").alias("n_src"))
     k = o.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
     n_all = o.agg(F.sum("n").cast("long").alias("n"))
@@ -1763,9 +1775,11 @@ def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language-mix contribution, per source. The oracle is assembled
 # VERBATIM from the three component oracles (registered above in this
 # module), so the composite can never drift from the audits it bundles.
-# Scan budget: three corpus scans, one per component — each component
-# is already its own single-scan pipeline, and the report is their
-# union (the ep7 justification-in-lieu-of-guard case).
+# Scan budget: ONE corpus scan (the x26 one-tokenize precedent): x28
+# needs (source, n_chars) and g6 needs (source, lang) — plain columns —
+# and only x29 pays a tokenize, so a single (source, n_chars, lang,
+# ntok) composite histogram off one scan feeds all three marginals.
+# The per-batch monitoring query's cost IS the monitoring cadence.
 @query(
     "ep8_drift_report",
     oracle=f"""
@@ -1780,13 +1794,47 @@ def s16_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ep8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ks = x28_length_drift_ks(spark, sf_dir).select(
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan → composite (source, n_chars, lang, ntok) histogram.
+    # ntok is NULL for null-text docs so x29's marginal can apply its
+    # text-IS-NOT-NULL filter while x28/g6 keep counting every doc.
+    hist = (
+        docs.select(
+            "source",
+            "n_chars",
+            "lang",
+            F.when(F.col("text").isNotNull(), token_count(F.col("text"))).alias("ntok"),
+        )
+        .groupBy("source", "n_chars", "lang", "ntok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    # the three marginals each have several consumers inside their
+    # component pipeline — checkpoint each (tiny: bounded by the
+    # histogram, itself far below corpus size)
+    vc_chars = (
+        hist.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    vc_tok = (
+        hist.where(F.col("ntok").isNotNull())
+        .groupBy("source", F.col("ntok").alias("v"))
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    o_lang = (
+        hist.groupBy("source", "lang").agg(F.sum("c").alias("n")).localCheckpoint()
+    )
+    ks = x28_length_drift_ks(spark, sf_dir, vc=vc_chars).select(
         "source", F.lit("ks_chars").alias("metric"), F.col("ks_stat").alias("value")
     )
-    psi = x29_token_psi(spark, sf_dir).select(
+    psi = x29_token_psi(spark, sf_dir, vc=vc_tok).select(
         "source", F.lit("psi_tokens").alias("metric"), F.col("psi").alias("value")
     )
-    chi = g6_source_lang_chi2(spark, sf_dir).select(
+    chi = g6_source_lang_chi2(spark, sf_dir, o=o_lang).select(
         "source", F.lit("chi2_lang").alias("metric"), F.col("chi2_contrib").alias("value")
     )
     return ks.unionAll(psi).unionAll(chi)

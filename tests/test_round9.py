@@ -98,3 +98,34 @@ def test_no_invalid_escape_sequences_anywhere():
         warnings.simplefilter("error", SyntaxWarning)
         for f in files:
             py_compile.compile(f, doraise=True, cfile=os.path.join(td, "x.pyc"))
+
+
+def test_ep8_single_scan_and_component_equivalence(spark, monkeypatch):
+    # VERDICT r8 #6: ep8 is the per-batch monitoring query — its cost sets
+    # the cadence. The fused path must read documents ONCE (x28/g6 need
+    # only plain columns; x29's tokenize rides the same scan), and the
+    # numbers must equal the three standalone components exactly.
+    from ml_training_data_pipeline_spark.plans import queries_misc as qm
+
+    calls = []
+    real = qm.load_table
+
+    def counting(spark_, sf_dir_, name):
+        calls.append(name)
+        return real(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(qm, "load_table", counting)
+    fused = {
+        (r["source"], r["metric"]): r["value"]
+        for r in qm.ep8_drift_report(spark, SF_DIR).collect()
+    }
+    assert calls == ["documents"], f"ep8 must scan documents exactly once, got {calls}"
+
+    parts = {}
+    for r in qm.x28_length_drift_ks(spark, SF_DIR).collect():
+        parts[(r["source"], "ks_chars")] = r["ks_stat"]
+    for r in qm.x29_token_psi(spark, SF_DIR).collect():
+        parts[(r["source"], "psi_tokens")] = r["psi"]
+    for r in qm.g6_source_lang_chi2(spark, SF_DIR).collect():
+        parts[(r["source"], "chi2_lang")] = r["chi2_contrib"]
+    assert fused == parts
