@@ -1350,3 +1350,101 @@ def cur9_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("hit", F.lit(0))) / F.count("*").cast("double"), 6
         ).alias("shingle_leak_rate"),
     )
+
+
+# --- CUR10: incremental near-dup admission (new batch vs existing corpus) ----------
+# The near-dup analogue of cur4's exact-fingerprint incremental dedup and
+# the batch twin of st10's ingest gate: a NEW crawl batch (odd doc_ids —
+# standing in for s14's snapshot diff) is admitted only where it is not a
+# near-duplicate (verified Jaccard >= 0.5) of the EXISTING corpus (even
+# doc_ids). Scale shape is the whole point: candidates come from an LSH
+# band join between the batch's band table and the corpus's band table —
+# never a batch × corpus pair enumeration — and exact verification is
+# candidate-scoped through the same jaccard_pairs path d4 uses, so the
+# incremental pass costs O(batch shingles + matched band buckets), not
+# O(corpus²). Shingles/bands build ONCE over both halves (one tokenize),
+# split by parity afterwards. Reference tie-in: the reference dedups only
+# WITHIN a load (01_extract_features.R distinct step); per-crawl
+# admission against the standing corpus is the 100 TB extension.
+@query(
+    "cur10_incremental_neardup",
+    oracle=f"""
+    WITH {_BANDS},
+    xc AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    {_JACCARD},
+    rejected AS (
+      SELECT DISTINCT CASE WHEN j.doc_a % 2 = 1 THEN j.doc_a ELSE j.doc_b END AS new_doc
+      FROM jac j JOIN xc ON j.doc_a = xc.doc_a AND j.doc_b = xc.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    newdocs AS (
+      SELECT doc_id, source FROM documents
+      WHERE text IS NOT NULL AND doc_id % 2 = 1
+    )
+    SELECT n.source,
+           count(*) AS n_new,
+           count(r.new_doc) AS n_rejected,
+           count(*) - count(r.new_doc) AS n_admitted,
+           round(count(r.new_doc) / CAST(count(*) AS DOUBLE), 6) AS rejection_rate
+    FROM newdocs n LEFT JOIN rejected r ON r.new_doc = n.doc_id
+    GROUP BY n.source
+    """,
+)
+def cur10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_bands_from_wide,
+        minhash_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_new = F.col("doc_id") % 2 == 1
+    # one tokenize/shingle/band build over BOTH halves, split by parity
+    # afterwards (three consumers — the d4 checkpoint discipline)
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    bands = lsh_bands_from_wide(minhash_wide(sh, num_hashes=8), rows_per_band=2)
+    nb = bands.where(is_new).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+    )
+    cb = bands.where(~is_new).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    # batch-bands × corpus-bands equi-join on the bucket key — the ONLY
+    # place new meets corpus; canonicalized for jaccard_pairs' a<b order
+    xc = (
+        nb.join(cb, ["band", "band_sig"])
+        .select(
+            F.least("new_doc", "corpus_doc").alias("doc_a"),
+            F.greatest("new_doc", "corpus_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ver = jaccard_pairs(sh, candidates=xc).where(F.col("jaccard") >= 0.5)
+    rejected = (
+        ver.select(
+            F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("new_doc")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    newdocs = docs.where(is_new).select("doc_id", "source")
+    # rejected is tiny (verified near-dups only) — AQE broadcasts it
+    return (
+        newdocs.join(rejected, newdocs.doc_id == rejected.new_doc, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.count("new_doc").alias("n_rejected"),
+            (F.count("*") - F.count("new_doc")).alias("n_admitted"),
+            F.round(F.count("new_doc") / F.count("*").cast("double"), 6).alias(
+                "rejection_rate"
+            ),
+        )
+    )

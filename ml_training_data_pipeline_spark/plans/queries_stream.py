@@ -478,3 +478,149 @@ def st11_stream_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
     return run_bounded(agg, "st11_out", output_mode="complete")
+
+
+# --- ST12: streaming drift gate (PSI of arriving docs vs static reference) ---------
+# ep8's monitoring composed with the st10 ingest topology: the arriving
+# half of the corpus (odd doc_ids, streamed) is binned into the STATIC
+# reference half's token-count deciles and counted per (source, bin) in
+# one complete-mode keyed aggregate; the PSI arithmetic runs batch-side
+# on the bounded sink output — exactly how a production monitor works
+# (micro-batches maintain the counter table; the report reads it).
+# Breakpoints come from the reference half by x29's exact integer
+# arithmetic (smallest v with cum >= ceil(i*N/10)) and enter the stream
+# as NINE LITERALS (a bounded job-control collect, the sanctioned
+# pattern), so the streaming plan is stateless until the final
+# counts-by-(source, bin) aggregate — state bounded by sources × 10
+# regardless of stream length; no per-doc state, no watermark needed.
+@query(
+    "st12_stream_drift_gate",
+    oracle=f"""
+    WITH {toks_cte()},
+    tc AS (SELECT t.doc_id, d.source, len(t.toks) AS v
+           FROM toks t JOIN documents d USING (doc_id)),
+    refvc AS (SELECT v, count(*) AS c FROM tc WHERE doc_id % 2 = 0 GROUP BY v),
+    n_ref AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM refvc),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum_tot FROM refvc),
+    marks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS i),
+    breaks AS (
+      SELECT m.i, min(c.v) AS b
+      FROM marks m CROSS JOIN n_ref JOIN cum c ON c.cum_tot >= (m.i * n_ref.n + 9) // 10
+      GROUP BY m.i
+    ),
+    refbin AS (
+      SELECT rv.v, rv.c, 1 + sum(CASE WHEN rv.v > b.b THEN 1 ELSE 0 END) AS bin
+      FROM refvc rv CROSS JOIN breaks b GROUP BY rv.v, rv.c
+    ),
+    rbin AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c_ref FROM refbin GROUP BY bin),
+    arrvc AS (SELECT source, v, count(*) AS c FROM tc WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+    abin AS (
+      SELECT av.source, av.v, av.c, 1 + sum(CASE WHEN av.v > b.b THEN 1 ELSE 0 END) AS bin
+      FROM arrvc av CROSS JOIN breaks b GROUP BY av.source, av.v, av.c
+    ),
+    sbin AS (SELECT source, bin, CAST(sum(c) AS BIGINT) AS c_s FROM abin GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sbin GROUP BY source),
+    grid AS (
+      SELECT s.source, bn.bin, coalesce(rb.c_ref, 0) AS c_ref, coalesce(sb.c_s, 0) AS c_s
+      FROM (SELECT DISTINCT source FROM sbin) s
+      CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS bin) bn
+      LEFT JOIN rbin rb ON rb.bin = bn.bin
+      LEFT JOIN sbin sb ON sb.source = s.source AND sb.bin = bn.bin
+    )
+    SELECT g.source, ns.n_s AS n_docs,
+      round(sum(CASE WHEN g.c_s > 0 AND g.c_ref > 0
+        THEN (g.c_s / CAST(ns.n_s AS DOUBLE) - g.c_ref / CAST(n_ref.n AS DOUBLE))
+             * ln((g.c_s / CAST(ns.n_s AS DOUBLE)) / (g.c_ref / CAST(n_ref.n AS DOUBLE)))
+        ELSE 0.0 END), 6) AS psi,
+      CAST(sum(CASE WHEN g.c_s = 0 OR g.c_ref = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_skipped_bins
+    FROM grid g JOIN ns USING (source) CROSS JOIN n_ref
+    GROUP BY g.source, ns.n_s, n_ref.n
+    """,
+)
+def st12_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import token_count
+    from ..io.sources import load_table
+
+    # reference half (static): token-count histogram + exact-integer
+    # decile breakpoints — the x29 machinery on the even doc_ids
+    ref = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
+        .select(token_count(F.col("text")).alias("v"))
+    )
+    refvc = ref.groupBy("v").agg(F.count("*").alias("c")).localCheckpoint()
+    n_ref_df = refvc.agg(F.sum("c").cast("long").alias("n"))
+    wv = Window.partitionBy(F.lit(0)).orderBy("v")
+    cum = refvc.select("v", F.sum("c").over(wv).alias("cum_tot"))
+    marks = spark.range(1, 10).select(F.col("id").cast("int").alias("i"))
+    breaks_df = (
+        cum.join(
+            F.broadcast(marks.crossJoin(n_ref_df)),
+            F.col("cum_tot") >= F.expr("(i * n + 9) div 10"),
+        )
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+    )
+    # nine bounded job-control scalars: the breakpoints become literals in
+    # the streaming plan (a stream cannot re-derive them per batch anyway
+    # — a real deployment pins the reference bins at monitor start)
+    bks = [r["b"] for r in sorted(breaks_df.collect(), key=lambda r: r["i"])]
+    n_ref = n_ref_df.collect()[0]["n"]
+
+    def bin_of(vcol):
+        return sum(
+            (F.when(vcol > F.lit(b), 1).otherwise(0) for b in bks), start=F.lit(1)
+        )
+
+    # arriving half (streamed): stateless projection to (source, bin),
+    # then ONE keyed aggregate — state is sources × ≤10 rows forever
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select("source", token_count(F.col("text")).alias("v"))
+    )
+    counts = (
+        arriving.select("source", bin_of(F.col("v")).alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("long").alias("c_s"))
+    )
+    sbin = run_bounded(counts, "st12_out", output_mode="complete").localCheckpoint()
+
+    # batch-side report over the bounded counter table (tiny from here on)
+    rbin = (
+        refvc.select(bin_of(F.col("v")).alias("bin"), "c")
+        .groupBy("bin")
+        .agg(F.sum("c").cast("long").alias("c_ref"))
+    )
+    bins = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    ns = sbin.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
+    grid = (
+        sbin.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(bins))  # sources × 10 bins
+        .join(F.broadcast(rbin), "bin", "left")
+        .join(sbin, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+        )
+    )
+    p_s = F.col("c_s") / F.col("n_s").cast("double")
+    p_r = F.col("c_ref") / F.lit(float(n_ref))
+    live = (F.col("c_s") > 0) & (F.col("c_ref") > 0)
+    return (
+        grid.join(F.broadcast(ns), "source")
+        .groupBy("source", "n_s")
+        .agg(
+            F.round(
+                F.sum(F.when(live, (p_s - p_r) * F.log(p_s / p_r)).otherwise(0.0)), 6
+            ).alias("psi"),
+            F.sum(F.when(live, 0).otherwise(1)).cast("long").alias("n_skipped_bins"),
+        )
+        .select("source", F.col("n_s").alias("n_docs"), "psi", "n_skipped_bins")
+    )

@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     # NEW in round 9 go here (never driver-checked; oracle-verify locally,
     # driver-style from /tmp, before commit; rotate into round 10's prefix
     # FIRST):
+    "st12_stream_drift_gate", "cur10_incremental_neardup",
     # ROUND-10 ROTATION (pre-staged; fill round 10's 50-prefix with, in
     # order): (a) any round-9 additions from the block above, (b) the
     # remaining 26 r5-era names below (x1 ... ep3 — the stalest driver

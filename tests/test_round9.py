@@ -129,3 +129,26 @@ def test_ep8_single_scan_and_component_equivalence(spark, monkeypatch):
     for r in qm.g6_source_lang_chi2(spark, SF_DIR).collect():
         parts[(r["source"], "chi2_lang")] = r["chi2_contrib"]
     assert fused == parts
+
+
+def test_st12_psi_invariants(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["st12_stream_drift_gate"](spark, SF_DIR).collect()
+    assert rows, "arriving half must produce at least one source"
+    for r in rows:
+        assert r["psi"] >= 0.0, r  # PSI terms are (p-q)ln(p/q) >= 0
+        assert 0 <= r["n_skipped_bins"] <= 10, r
+        assert r["n_docs"] > 0, r
+
+
+def test_cur10_admission_invariants(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["cur10_incremental_neardup"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_rejected"] + r["n_admitted"] == r["n_new"], r
+        assert 0.0 <= r["rejection_rate"] <= 1.0, r
