@@ -268,3 +268,17 @@ def test_d15_shuffle_key_is_hashed_long(spark):
     wins = re.findall(r"win#\d+(L?)", plan)
     assert wins, plan
     assert all(suffix == "L" for suffix in wins), plan
+
+
+def test_cur10_no_cartesian_and_candidate_scoped(spark):
+    # incremental near-dup admission must surface candidates through the
+    # LSH band equi-join (shuffle hash/SMJ on (band, band_sig)) — a
+    # CartesianProduct or BroadcastNestedLoopJoin would mean the batch is
+    # being compared against the corpus pairwise, the exact shape the
+    # operator exists to avoid at 100 TB.
+    plan = explain_str(spark, "cur10_incremental_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    # verification is candidate-scoped: the semi-joins jaccard_pairs
+    # inserts (docs filter + pair filter) must be present
+    assert "LeftSemi" in plan, plan
