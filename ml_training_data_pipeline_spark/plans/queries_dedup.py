@@ -1448,3 +1448,49 @@ def cur10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- D19: shingle document-frequency audit (what the skew guard costs) -------------
+# The measurement behind d8's max_shingle_df=20 posting-list cap: the df
+# histogram of the shingle inverted index, each df's posting mass, and
+# which rows the cap drops. At 100 TB the capped mass IS the boilerplate
+# (navigation chrome, license headers) whose posting lists would
+# otherwise quadratically dominate the pair join; this audit makes the
+# cap a measured decision instead of folklore — if the dropped share
+# creeps toward the near-dup signal, the cap is too low; if it is ~0 the
+# cap is free insurance. Histogram is bounded by the distinct-df domain
+# (≤ max posting-list length), nothing corpus-sized after the df groupBy.
+@query(
+    "d19_shingle_df_audit",
+    oracle=f"""
+    WITH {_SHINGLES},
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    hist AS (
+      SELECT df, count(*) AS n_shingles, CAST(df * count(*) AS BIGINT) AS n_postings
+      FROM df GROUP BY df
+    ),
+    tot AS (SELECT CAST(sum(n_postings) AS BIGINT) AS total FROM hist)
+    SELECT h.df, h.n_shingles, h.n_postings,
+           CASE WHEN h.df > 20 THEN 1 ELSE 0 END AS dropped_by_cap,
+           round(h.n_postings / CAST(t.total AS DOUBLE), 6) AS posting_share
+    FROM hist h CROSS JOIN tot t
+    """,
+)
+def d19_shingle_df_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sh = doc_shingles(docs, k=3)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hist = df.groupBy("df").agg(
+        F.count("*").alias("n_shingles"),
+        (F.col("df") * F.count("*")).cast("long").alias("n_postings"),
+    )
+    tot = hist.agg(F.sum("n_postings").cast("long").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(  # singleton stats row
+        "df",
+        "n_shingles",
+        "n_postings",
+        F.when(F.col("df") > 20, 1).otherwise(0).alias("dropped_by_cap"),
+        F.round(F.col("n_postings") / F.col("total").cast("double"), 6).alias(
+            "posting_share"
+        ),
+    )

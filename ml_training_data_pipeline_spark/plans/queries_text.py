@@ -2235,3 +2235,81 @@ def mix6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
+
+
+# --- MIX7: downsample-only mixture weights toward a uniform token target -----------
+# The mixture-design step after mix3's temperature softening: given a
+# TARGET per-source token share (uniform here), compute each source's
+# sampling weight target/current, capped at 1.0 — the no-repetition
+# policy real pretraining mixtures use when epoching is off the table —
+# and report the EFFECTIVE share the capped weights actually realize
+# (min(t, p) renormalized). The cap-vs-target gap per source is the
+# number a data roadmap acts on: it says which sources are short of
+# their target and by how much, in tokens. All arithmetic is exact
+# integer sums until the final divisions (the cur8 decimal discipline);
+# two map-side-combinable aggregates, everything after is |sources|-sized.
+@query(
+    "mix7_target_mixture_weights",
+    oracle=f"""
+    WITH {toks_cte()},
+    per_src AS (
+      SELECT d.source, count(*) AS n_docs, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n, count(*) AS n_src FROM per_src),
+    w AS (
+      SELECT p.source, p.n_docs, p.n_tokens,
+             p.n_tokens / CAST(t.n AS DOUBLE) AS cur_share,
+             1.0 / t.n_src AS target_share,
+             least((1.0 / t.n_src) / (p.n_tokens / CAST(t.n AS DOUBLE)), 1.0) AS w_capped
+      FROM per_src p CROSS JOIN tot t
+    ),
+    z AS (SELECT CAST(sum(w_capped * cur_share) AS DOUBLE) AS z FROM w)
+    SELECT w.source, w.n_docs, w.n_tokens,
+           round(w.cur_share, 6) AS cur_share,
+           round(w.target_share, 6) AS target_share,
+           round(w.w_capped, 6) AS weight,
+           round(w.w_capped * w.cur_share / z.z, 6) AS eff_share,
+           round(w.target_share - w.w_capped * w.cur_share / z.z, 6) AS shortfall
+    FROM w CROSS JOIN z
+    """,
+)
+def mix7_target_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("n"), F.count("*").alias("n_src")
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(  # singleton stats row
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("n").cast("double")).alias("cur_share"),
+        (F.lit(1.0) / F.col("n_src")).alias("target_share"),
+        F.least(
+            (F.lit(1.0) / F.col("n_src"))
+            / (F.col("n_tokens") / F.col("n").cast("double")),
+            F.lit(1.0),
+        ).alias("w_capped"),
+    )
+    z = w.agg(F.sum(F.col("w_capped") * F.col("cur_share")).alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(  # singleton normalizer row
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("cur_share", 6).alias("cur_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("w_capped", 6).alias("weight"),
+        F.round(F.col("w_capped") * F.col("cur_share") / F.col("z"), 6).alias(
+            "eff_share"
+        ),
+        F.round(
+            F.col("target_share") - F.col("w_capped") * F.col("cur_share") / F.col("z"),
+            6,
+        ).alias("shortfall"),
+    )

@@ -152,3 +152,28 @@ def test_cur10_admission_invariants(spark):
     for r in rows:
         assert r["n_rejected"] + r["n_admitted"] == r["n_new"], r
         assert 0.0 <= r["rejection_rate"] <= 1.0, r
+
+
+def test_mix7_mixture_invariants(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["mix7_target_mixture_weights"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["eff_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 < r["weight"] <= 1.0, r  # downsample-only policy
+    # over-target sources must actually downsample on any non-degenerate mix
+    assert any(r["weight"] < 1.0 for r in rows)
+
+
+def test_d19_histogram_invariants(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["d19_shingle_df_audit"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["posting_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["n_postings"] == r["df"] * r["n_shingles"], r
+        assert r["dropped_by_cap"] == (1 if r["df"] > 20 else 0), r
