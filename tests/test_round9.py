@@ -177,3 +177,69 @@ def test_d19_histogram_invariants(spark):
     for r in rows:
         assert r["n_postings"] == r["df"] * r["n_shingles"], r
         assert r["dropped_by_cap"] == (1 if r["df"] > 20 else 0), r
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    # The deployment credential the bounded-stream harness doesn't cover:
+    # a checkpointed query stopped and RESTARTED over new input must (a)
+    # deliver every input row exactly once into a file sink — no loss, no
+    # replay — and (b) recover aggregation STATE from the checkpoint, so
+    # post-restart snapshots count pre-restart rows it never re-read.
+    from pyspark.sql import functions as F
+
+    ind = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck1 = str(tmp_path / "ck1")
+    ck2 = str(tmp_path / "ck2")
+    snap = str(tmp_path / "snap")
+    schema = "id long, k long"
+
+    def feed(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") % 5).alias("k")
+        ).write.mode("append").parquet(ind)
+
+    def run_append():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(ind)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck1)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def run_agg():
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(ind)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _epoch: df.write.mode("overwrite").parquet(snap)
+            )
+            .option("checkpointLocation", ck2)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed(0, 50)
+    run_append()
+    run_agg()
+    feed(50, 100)
+    run_append()  # restart from ck1: must pick up ONLY rows 50..99
+    run_agg()  # restart from ck2: state for rows 0..49 comes from checkpoint
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.select("id").distinct().count() == 100, "replayed or lost rows"
+    counts = {r["k"]: r["n"] for r in spark.read.parquet(snap).collect()}
+    assert counts == {k: 20 for k in range(5)}, counts
+    run_append()  # idle restart: no new input, no new output
+    assert spark.read.parquet(out).count() == 100
