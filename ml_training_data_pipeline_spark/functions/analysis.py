@@ -95,3 +95,15 @@ def fingerprint(text: Column) -> Column:
     """Exact-dedup document fingerprint: md5 of the canonical token join —
     whitespace/punctuation/case-insensitive identity."""
     return F.md5(F.array_join(tokenize(text), " "))
+
+
+def fingerprint64(text: Column) -> Column:
+    """60-bit long form of ``fingerprint`` for JOIN/DEDUP KEYS that are
+    never surfaced: an anti-join or dropDuplicates on an 8-byte long
+    shuffles ~4× fewer key bytes than the 32-char hex string — the
+    shingle-key discipline applied to exact fingerprints. DuckDB mirror:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``. Use ``fingerprint`` wherever
+    the fingerprint itself is reported."""
+    return F.conv(
+        F.substring(F.md5(F.array_join(tokenize(text), " ")), 1, 15), 16, 10
+    ).cast("long")

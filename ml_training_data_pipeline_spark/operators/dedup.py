@@ -41,11 +41,19 @@ def md5_long(c: Column) -> Column:
 
 # --- exact dedup -------------------------------------------------------------
 
-def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_keys: bool = False
+) -> DataFrame:
     """(fp, n_docs, keep_doc_id): canonical-fingerprint groups; the kept
-    representative is the min doc_id (deterministic survivor policy)."""
+    representative is the min doc_id (deterministic survivor policy).
+    ``hash_keys=True`` groups on the 60-bit long fingerprint instead of
+    the hex string — use it when fp is never surfaced (ep5): the groupBy
+    shuffles 8-byte keys instead of 32-char strings."""
+    from ..functions.analysis import fingerprint64
+
+    fp_fn = fingerprint64 if hash_keys else fingerprint
     fps = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+        F.col(id_col).alias("doc_id"), fp_fn(F.col(text_col)).alias("fp")
     )
     return fps.groupBy("fp").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")

@@ -725,7 +725,9 @@ def t9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ep5_dedup_split_shards",
     oracle=f"""
     WITH {toks_cte()},
-    fps AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks),
+    fps AS (SELECT doc_id,
+                   ('0x'||substr(md5(coalesce(array_to_string(toks, ' '), '')),1,15))::BIGINT AS fp
+            FROM toks),
     keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
     survivors AS (
       SELECT d.doc_id, d.n_chars FROM documents d JOIN keep k USING (doc_id)
@@ -749,7 +751,10 @@ def ep5_dedup_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dup_groups, md5_long
 
     docs = load_table(spark, sf_dir, "documents")
-    keep = exact_dup_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    # fp is a groupBy key only here (never surfaced) — 60-bit long keys
+    keep = exact_dup_groups(docs, hash_keys=True).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
     survivors = docs.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars")
     bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
     split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
@@ -1307,7 +1312,9 @@ def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ep7_dataset_card",
     oracle=f"""
     WITH {toks_cte()},
-    fp AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS f FROM toks),
+    fp AS (SELECT doc_id,
+                  ('0x'||substr(md5(coalesce(array_to_string(toks, ' '), '')),1,15))::BIGINT AS f
+           FROM toks),
     tokn AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS v FROM toks),
     langs AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
     SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
@@ -1331,7 +1338,7 @@ def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import fingerprint
+    from ..functions.analysis import fingerprint64
 
     docs = load_table(spark, sf_dir, "documents")
     # scan 1: lang-grouped aggregate carries every length/lang metric
@@ -1350,7 +1357,8 @@ def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan 2: tokenize ONCE, token count + fingerprint from one projection
     tokfp = docs.where(F.col("text").isNotNull()).select(
         F.size(tokenize(F.col("text"))).alias("nt"),
-        fingerprint(F.col("text")).alias("f"),
+        # f feeds countDistinct only (never surfaced) — 60-bit long key
+        fingerprint64(F.col("text")).alias("f"),
     )
     tok_stats = tokfp.agg(
         F.sum("nt").cast("double").alias("n_tokens"),
