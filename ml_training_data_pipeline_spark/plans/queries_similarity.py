@@ -851,3 +851,72 @@ def n15_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# --- N16: hard-negative mining (contrastive training pairs) ------------------------
+# The retrieval-training data prep step (DPR/E5-style): for each anchor
+# (a hash sample — every training example in practice), the top-k MOST
+# similar neighbors that are NOT near-duplicates — similar enough to be
+# hard, distinct enough to be true negatives. The dup gate reuses the
+# corpus's established near-dup threshold (cos >= 0.35, n4/n6), applied
+# to the ROUNDED cosine on both engines so the boundary cannot flip
+# cross-engine; filter-then-rank, so excluded near-dups free slots for
+# the next-hardest candidates (the property a post-rank filter would
+# lose). Brute scoring here is the exact audit baseline; at 100 TB the
+# candidate stage swaps to IVF (n5/n15's machinery) with this same
+# filter + rank_topk on top, and n11's recall audit quantifies the swap.
+@query(
+    "n16_hard_negatives",
+    oracle=f"""
+    WITH {_V},
+    q AS (SELECT vec_id AS anchor_id, ve AS qve FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.anchor_id, v.vec_id AS negative_id,
+             round(list_inner_product(v.ve, q.qve)
+                   / (sqrt(list_inner_product(v.ve, v.ve)) * sqrt(list_inner_product(q.qve, q.qve))), 6) AS cos_sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.anchor_id
+    )
+    SELECT anchor_id, negative_id, cos_sim, rank FROM (
+      SELECT anchor_id, negative_id, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id ASC) AS rank
+      FROM scored WHERE cos_sim < 0.35
+    ) WHERE rank <= 5
+    """,
+)
+def n16_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rank_topk, with_norm
+    from ..operators.similarity import dot as vdot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = with_norm(emb)
+    q = with_norm(emb.where(F.col("vec_id") % 100 == 0)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))  # anchors are a small hash sample
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round(
+                vdot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    hard = scored.where(F.col("cos_sim") < 0.35)
+    return (
+        rank_topk(
+            hard.select(
+                F.col("anchor_id").alias("query_id"), F.col("negative_id").alias("neighbor_id"), "cos_sim"
+            ),
+            k=5,
+        )
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -76,7 +76,8 @@ def test_scratch_dir_writes_owner_sentinel(spark, tmp_path, monkeypatch):
     path = sources.scratch_dir(spark, "probe9", "/root/testdata/sf0.001")
     owner = path + ".owner"
     assert os.path.exists(owner)
-    assert open(owner).read().strip() == str(os.getpid())
+    with open(owner) as fh:
+        assert fh.read().strip() == str(os.getpid())
     assert owner in sources._scratch_created, "sentinel is atexit-cleaned too"
 
 
