@@ -1846,3 +1846,69 @@ def ep8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.lit("chi2_lang").alias("metric"), F.col("chi2_contrib").alias("value")
     )
     return ks.unionAll(psi).unionAll(chi)
+
+
+# --- S17: tombstone delete + leak audit (right-to-be-forgotten) --------------------
+# The compliance workflow every stored corpus eventually runs: a
+# deletion-request list (tombstones — here the deterministic md5 bucket
+# % 37 == 0, ~2.7% of docs) is anti-joined out, the RETAINED corpus is
+# rewritten, and the audit re-reads the WRITTEN files to prove no
+# tombstoned doc survived (n_leaked is counted off the sink readback,
+# not the logical plan — the property a regulator asks about is on
+# disk). Per-source retained/deleted counts make the report actionable.
+# Scale shape: the tombstone list is a broadcast anti-join (deletion
+# requests are ≪ corpus); the rewrite is the s8 partitioned-sink path;
+# the leak probe is one broadcast semi-join over the readback.
+@query(
+    "s17_tombstone_delete",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 37 = 0
+                  THEN 1 ELSE 0 END AS dead
+      FROM documents
+    )
+    SELECT d.source,
+           CAST(sum(1 - t.dead) AS BIGINT) AS n_retained,
+           CAST(sum(t.dead) AS BIGINT) AS n_deleted,
+           CAST(0 AS BIGINT) AS n_leaked,
+           CAST(sum(CASE WHEN t.dead = 0 THEN d.n_chars ELSE 0 END) AS BIGINT)
+             AS retained_chars
+    FROM documents d JOIN t USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def s17_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    dead = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(37)) == 0
+    tombstones = docs.where(dead).select("doc_id")
+    retained = docs.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    out_dir = scratch_dir(spark, "tombstone", sf_dir)
+    retained.select("doc_id", "source", "n_chars").write.mode("overwrite").parquet(out_dir)
+    back = spark.read.schema("doc_id long, source string, n_chars long").parquet(out_dir)
+    # leak audit runs against the FILES, not the plan that wrote them
+    leaked = back.join(F.broadcast(tombstones), "doc_id", "left_semi").groupBy(
+        "source"
+    ).agg(F.count("*").alias("n_leaked"))
+    deleted = docs.where(dead).groupBy("source").agg(F.count("*").alias("n_deleted"))
+    retained_agg = back.groupBy("source").agg(
+        F.count("*").alias("n_retained"),
+        F.sum("n_chars").cast("long").alias("retained_chars"),
+    )
+    # drive from the FULL source list (x27 lesson): a source whose every
+    # doc was tombstoned must still appear, with n_retained = 0
+    sources = docs.select("source").distinct()
+    return (
+        sources.join(retained_agg, "source", "left")
+        .join(deleted, "source", "left")
+        .join(leaked, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.coalesce("retained_chars", F.lit(0)).cast("long").alias("retained_chars"),
+        )
+    )

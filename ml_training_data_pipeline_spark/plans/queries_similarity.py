@@ -920,3 +920,93 @@ def n16_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- CUR11: semantic survivor selection (SemDeDup-style representative) ------------
+# cur2 keeps the highest-QUALITY member of each near-dup component;
+# cur11 is its embedding-space twin: within each of n6's components,
+# keep the most CENTRAL member — the medoid by exact integer edge-weight
+# degree (sum of round(cos·1e6) over incident near-dup edges, tie → min
+# vec_id). Degree-weighted centrality instead of cosine-to-mean-centroid
+# is deliberate: pairwise cosines are rounded to 6dp and identical
+# cross-engine, so the argmax is EXACT integer arithmetic, whereas a
+# float centroid's aggregation order can flip a near-tie between
+# engines (the n7 separation argument doesn't hold INSIDE a near-dup
+# component, where members are near-equidistant by construction).
+# One pairs build feeds edges, closure, and scores.
+@query(
+    "cur11_semantic_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_V},
+    pairs AS (
+      SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.ve, b.ve)
+                     / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve))), 6) AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.35
+    ),
+    edges AS (
+      SELECT vec_a AS node, vec_b AS nbr FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    ),
+    comp AS (SELECT node AS vec_id, min(label) AS component_id FROM reach GROUP BY node),
+    inc AS (
+      SELECT vec_a AS vec_id, CAST(round(cos_sim * 1e6) AS BIGINT) AS w FROM pairs
+      UNION ALL
+      SELECT vec_b, CAST(round(cos_sim * 1e6) AS BIGINT) FROM pairs
+    ),
+    score AS (
+      SELECT c.component_id, i.vec_id, CAST(sum(i.w) AS BIGINT) AS s
+      FROM inc i JOIN comp c USING (vec_id)
+      GROUP BY 1, 2
+    )
+    SELECT component_id, n_members, keep_vec_id, keep_score FROM (
+      SELECT component_id,
+             count(*) OVER (PARTITION BY component_id) AS n_members,
+             vec_id AS keep_vec_id,
+             round(s / 1e6, 6) AS keep_score,
+             row_number() OVER (PARTITION BY component_id ORDER BY s DESC, vec_id ASC) AS rn
+      FROM score
+    ) WHERE rn = 1
+    """,
+)
+def cur11_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # pairs has three consumers (closure, both score directions) — tiny
+    # (verified near-dups only), materialize once
+    pairs = embedding_near_dups(emb, threshold=0.35, block_col="label").localCheckpoint()
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+    w_int = F.round(F.col("cos_sim") * 1e6).cast("long")
+    inc = pairs.select(F.col("vec_a").alias("vec_id"), w_int.alias("w")).unionAll(
+        pairs.select(F.col("vec_b").alias("vec_id"), w_int.alias("w"))
+    )
+    score = (
+        inc.join(comp, "vec_id")
+        .groupBy("component_id", "vec_id")
+        .agg(F.sum("w").cast("long").alias("s"))
+    )
+    wc = Window.partitionBy("component_id")
+    wr = Window.partitionBy("component_id").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        score.select(
+            "component_id",
+            F.count("*").over(wc).alias("n_members"),
+            F.col("vec_id").alias("keep_vec_id"),
+            F.round(F.col("s") / 1e6, 6).alias("keep_score"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -77,7 +77,7 @@ PRIORITY: tuple[str, ...] = (
     # FIRST):
     "st12_stream_drift_gate", "cur10_incremental_neardup",
     "mix7_target_mixture_weights", "d19_shingle_df_audit",
-    "n16_hard_negatives",
+    "n16_hard_negatives", "cur11_semantic_survivors", "s17_tombstone_delete",
     # ROUND-10 ROTATION (pre-staged; fill round 10's 50-prefix with, in
     # order): (a) any round-9 additions from the block above, (b) the
     # remaining 26 r5-era names below (x1 ... ep3 — the stalest driver
