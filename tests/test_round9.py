@@ -244,3 +244,56 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert counts == {k: 20 for k in range(5)}, counts
     run_append()  # idle restart: no new input, no new output
     assert spark.read.parquet(out).count() == 100
+
+
+def test_n16_hard_negative_invariants(spark):
+    from collections import defaultdict
+
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["n16_hard_negatives"](spark, SF_DIR).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        assert r["cos_sim"] < 0.35, "near-dup leaked past the gate"
+        per[r["anchor_id"]].append((r["rank"], r["cos_sim"]))
+    for ranks in per.values():
+        ranks.sort()
+        assert [k for k, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True), "rank order must follow cosine"
+
+
+def test_cur11_survivor_invariants(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["cur11_semantic_survivors"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_members"] >= 2, "components come from edges — never singletons"
+        assert r["keep_vec_id"] >= r["component_id"], "survivor must be a member"
+        assert r["keep_score"] > 0, r
+
+
+def test_s17_no_leaks_and_conservation(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    rows = registry.QUERIES["s17_tombstone_delete"](spark, SF_DIR).collect()
+    assert rows
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(totals) == {r["source"] for r in rows}
+    for r in rows:
+        assert r["n_leaked"] == 0, "tombstoned doc survived in the written files"
+        assert r["n_retained"] + r["n_deleted"] == totals[r["source"]], r
