@@ -57,11 +57,19 @@ _stale_pruned = False
 
 
 def _cleanup_scratch() -> None:
-    """atexit: remove every scratch tree this process handed out —
-    app-id-keyed paths are never reused across runs, so without this
-    each bench/CI invocation leaks its whole sink output (ADVICE r7)."""
+    """atexit: remove every scratch tree AND sentinel this process handed
+    out — app-id-keyed paths are never reused across runs, so without
+    this each bench/CI invocation leaks its whole sink output (ADVICE
+    r7). rmtree on a regular file is a silent no-op, so sentinel FILES
+    need os.remove."""
     for path in _scratch_created:
-        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
 
 atexit.register(_cleanup_scratch)
@@ -102,7 +110,12 @@ def _prune_stale_scratch(tmp: str) -> None:
     if _stale_pruned:
         return
     _stale_pruned = True
-    cutoff = time.time() - 2 * 3600
+    now = time.time()
+    cutoff = now - 2 * 3600
+    # Hard cap overriding liveness: a recycled pid (crashed session's pid
+    # later reused by an unrelated long-lived process) must not make the
+    # orphaned tree immortal — no plausible session outlives this.
+    hard_cutoff = now - 7 * 24 * 3600
     try:
         names = os.listdir(tmp)
     except OSError:
@@ -112,14 +125,18 @@ def _prune_stale_scratch(tmp: str) -> None:
         full = os.path.join(tmp, name)
         if not name.startswith("mtdp_") or full in _scratch_created or name == own_zip:
             continue
+        try:
+            past_hard_cap = os.path.getmtime(full) < hard_cutoff
+        except OSError:
+            past_hard_cap = False
         if name.endswith(".owner"):
             # sentinel with a live base entry: pruned together with the
             # base below; an orphan sentinel falls through to the age gate.
             if os.path.exists(full[: -len(".owner")]):
                 continue
-        elif _owner_alive(full):
+        elif _owner_alive(full) and not past_hard_cap:
             continue
-        elif name.startswith("mtdp_spark_pkg_") and name.endswith(".zip"):
+        elif name.startswith("mtdp_spark_pkg_") and name.endswith(".zip") and not past_hard_cap:
             # per-pid package zip: pid is in the name — skip if that
             # process is still running, whatever its age.
             pid_part = name[len("mtdp_spark_pkg_") : -len(".zip")]

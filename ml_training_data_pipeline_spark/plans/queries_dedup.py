@@ -1425,15 +1425,11 @@ def cur10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ver = jaccard_pairs(sh, candidates=xc).where(F.col("jaccard") >= 0.5)
-    rejected = (
-        ver.select(
-            F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("new_doc")
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    rejected = ver.select(
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("new_doc")
+    ).distinct()
     newdocs = docs.where(is_new).select("doc_id", "source")
     # rejected is tiny (verified near-dups only) — AQE broadcasts it
     return (

@@ -1883,23 +1883,33 @@ def s17_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     dead = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(37)) == 0
-    tombstones = docs.where(dead).select("doc_id")
-    retained = docs.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    # the tombstone list is tiny (~2.7%) with FOUR consumers (anti-join
+    # broadcast, leak probe, per-source deleted counts, source-list
+    # union) — materialize once so documents is scanned exactly twice
+    # (this build + the retained rewrite), not once per consumer
+    tombstones = docs.where(dead).select("doc_id", "source").localCheckpoint()
+    retained = docs.join(
+        F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+    )
     out_dir = scratch_dir(spark, "tombstone", sf_dir)
     retained.select("doc_id", "source", "n_chars").write.mode("overwrite").parquet(out_dir)
     back = spark.read.schema("doc_id long, source string, n_chars long").parquet(out_dir)
     # leak audit runs against the FILES, not the plan that wrote them
-    leaked = back.join(F.broadcast(tombstones), "doc_id", "left_semi").groupBy(
-        "source"
-    ).agg(F.count("*").alias("n_leaked"))
-    deleted = docs.where(dead).groupBy("source").agg(F.count("*").alias("n_deleted"))
+    leaked = back.join(
+        F.broadcast(tombstones.select("doc_id")), "doc_id", "left_semi"
+    ).groupBy("source").agg(F.count("*").alias("n_leaked"))
+    deleted = tombstones.groupBy("source").agg(F.count("*").alias("n_deleted"))
     retained_agg = back.groupBy("source").agg(
         F.count("*").alias("n_retained"),
         F.sum("n_chars").cast("long").alias("retained_chars"),
     )
     # drive from the FULL source list (x27 lesson): a source whose every
-    # doc was tombstoned must still appear, with n_retained = 0
-    sources = docs.select("source").distinct()
+    # doc was tombstoned must still appear, with n_retained = 0. Every
+    # source is in the readback or the tombstone list, so the union needs
+    # no third corpus scan.
+    sources = (
+        back.select("source").unionAll(tombstones.select("source")).distinct()
+    )
     return (
         sources.join(retained_agg, "source", "left")
         .join(deleted, "source", "left")

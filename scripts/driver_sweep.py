@@ -96,7 +96,9 @@ def main() -> int:
                 ok = r["hash_match"]
             else:
                 r = {"rows_only": True, "spark_rows": len(sp)}
-                ok = len(sp) >= 0
+                # every rows-only (estimator) query returns data; an empty
+                # result is a silent regression the sweep must surface
+                ok = len(sp) > 0
         except Exception as e:  # noqa: BLE001 — sweep must report, not die
             r, ok = {"err": f"{type(e).__name__}: {e}"[:300]}, False
         r["sec"] = round(time.time() - t0, 2)

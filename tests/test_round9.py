@@ -53,21 +53,44 @@ def test_prune_spares_live_pid_zip_and_orphan_sentinels(tmp_path, monkeypatch):
     monkeypatch.setattr(sources, "_stale_pruned", False)
     old = time.time() - 3 * 3600
 
-    live_zip = tmp_path / f"mtdp_spark_pkg_{os.getpid()}_other.zip"
-    # a DIFFERENT process's zip whose pid is alive (use our own pid but a
-    # name that isn't own_zip): must survive on liveness despite age
+    # a concurrent LIVE process's addPyFile zip: pid 1 (init — always
+    # alive, never our own pid, so not skipped as own_zip) must survive
+    # the age gate on liveness alone
+    live_zip = tmp_path / "mtdp_spark_pkg_1.zip"
+    dead_zip = tmp_path / f"mtdp_spark_pkg_{_dead_pid()}.zip"
     live_other = tmp_path / "mtdp_tree_no_sentinel_fresh"
     live_other.mkdir()  # fresh mtime — age gate spares it
     orphan = tmp_path / "mtdp_gone_tree.owner"
     orphan.write_text(str(_dead_pid()))
     live_zip.write_bytes(b"zip")
+    dead_zip.write_bytes(b"zip")
     os.utime(live_zip, (old, old))
+    os.utime(dead_zip, (old, old))
     os.utime(orphan, (old, old))
 
     sources._prune_stale_scratch(str(tmp_path))
 
+    assert live_zip.exists(), "a live process's package zip must survive on liveness"
+    assert not dead_zip.exists(), "a dead process's old package zip is pruned"
     assert not orphan.exists(), "old orphan sentinel (base tree gone) is pruned"
     assert live_other.exists()
+
+
+def test_prune_hard_cap_overrides_liveness(tmp_path, monkeypatch):
+    # pid reuse must not make a crashed session's tree immortal: past the
+    # 7-day hard cap, even a sentinel naming a LIVE pid is reclaimed.
+    monkeypatch.setattr(sources.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_stale_pruned", False)
+    ancient = time.time() - 8 * 24 * 3600
+
+    tree = tmp_path / "mtdp_sink_sf0_001_app_recycledpid"
+    tree.mkdir()
+    (tmp_path / (tree.name + ".owner")).write_text(str(os.getpid()))  # "alive"
+    for p in (tree, tmp_path / (tree.name + ".owner")):
+        os.utime(p, (ancient, ancient))
+
+    sources._prune_stale_scratch(str(tmp_path))
+    assert not tree.exists(), "8-day-old tree is pruned even with a live owner pid"
 
 
 def test_scratch_dir_writes_owner_sentinel(spark, tmp_path, monkeypatch):
