@@ -1922,3 +1922,43 @@ def s17_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("retained_chars", F.lit(0)).cast("long").alias("retained_chars"),
         )
     )
+
+
+# --- S18: raw text-lines sink → source roundtrip -----------------------------------
+# The format pretraining corpora actually ship as: one document per line
+# in plain .txt (optionally *.zst/*.gz — Spark's text source decompresses
+# by extension). Embedded line breaks are flattened to spaces BEFORE the
+# write (a doc with a newline would otherwise read back as two docs —
+# the classic corpus-corruption bug this query exists to pin), then the
+# read-back is audited with line count + char mass + length extrema.
+# The oracle states the same aggregates over the same flatten transform,
+# roundtrip transparent (the s3/s16 discipline). Completes the format
+# matrix: parquet, CSV, JSONL, ORC, text lines (avro's jar isn't shipped
+# with this pyspark build — external module).
+@query(
+    "s18_textlines_roundtrip",
+    oracle=r"""
+    WITH lines AS (
+      SELECT regexp_replace(text, '[\n\r]+', ' ', 'g') AS line
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           CAST(min(length(line)) AS BIGINT) AS min_len,
+           CAST(max(length(line)) AS BIGINT) AS max_len
+    FROM lines
+    """,
+)
+def s18_textlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out_dir = scratch_dir(spark, "txtlines", sf_dir)
+    docs.select(
+        F.regexp_replace(F.col("text"), "[\\n\\r]+", " ").alias("value")
+    ).write.mode("overwrite").text(out_dir)
+    back = spark.read.text(out_dir)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )

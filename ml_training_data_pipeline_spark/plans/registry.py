@@ -78,13 +78,14 @@ PRIORITY: tuple[str, ...] = (
     "st12_stream_drift_gate", "cur10_incremental_neardup",
     "mix7_target_mixture_weights", "d19_shingle_df_audit",
     "n16_hard_negatives", "cur11_semantic_survivors", "s17_tombstone_delete",
+    "s18_textlines_roundtrip",
     # ROUND-10 ROTATION (pre-staged; fill round 10's 50-prefix with, in
-    # order): (a) the 7 round-9 additions above (st12, cur10, mix7, d19,
-    # n16, cur11, s17) plus any round-10 additions, (b) the 26 r5-era
+    # order): (a) the 8 round-9 additions above (st12, cur10, mix7, d19,
+    # n16, cur11, s17, s18) plus any round-10 additions, (b) the 26 r5-era
     # names below (x1 ... ep3 — the stalest driver rows once round 9
-    # lands), (c) the first 17 of the r6-checked tail in listed order
+    # lands), (c) the first 16 of the r6-checked tail in listed order
     # (x8, cur1, d5, d6, h1, h2, v1, c1, m2, l1, m4, v5, x5, s3, s7,
-    # p8, w4) to fill 50. Note st10/ep6/ep5/ep7 carry round-9
+    # p8) to fill 50. Note st10/ep6/ep5/ep7 carry round-9
     # fingerprint64 changes and x28/x29/g6 carry the ep8-fusion refactor
     # — all re-verified driver-style at sf0.01 in round 9.
     "x1_token_stats", "x2_quality_scores", "x3_language_id",
