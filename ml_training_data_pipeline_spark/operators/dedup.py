@@ -260,6 +260,29 @@ def jaccard_pairs(
     return out.where(F.col(metric) >= threshold) if threshold > 0 else out
 
 
+def shingle_df_audit(shingles: DataFrame, cap: int = 20) -> DataFrame:
+    """(df, n_shingles, n_postings, dropped_by_cap, posting_share) — the
+    document-frequency histogram of a shingle inverted index and the
+    posting mass a ``max_shingle_df=cap`` guard would drop (d19). Bounded
+    by the distinct-df domain after the df groupBy; nothing corpus-sized
+    survives the first aggregate."""
+    df = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    hist = df.groupBy("df").agg(
+        F.count("*").alias("n_shingles"),
+        (F.col("df") * F.count("*")).cast("long").alias("n_postings"),
+    )
+    tot = hist.agg(F.sum("n_postings").cast("long").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(  # singleton stats row
+        "df",
+        "n_shingles",
+        "n_postings",
+        F.when(F.col("df") > cap, 1).otherwise(0).alias("dropped_by_cap"),
+        F.round(F.col("n_postings") / F.col("total").cast("double"), 6).alias(
+            "posting_share"
+        ),
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     *,

@@ -1473,20 +1473,7 @@ def cur10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d19_shingle_df_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_df_audit
+
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    sh = doc_shingles(docs, k=3)
-    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    hist = df.groupBy("df").agg(
-        F.count("*").alias("n_shingles"),
-        (F.col("df") * F.count("*")).cast("long").alias("n_postings"),
-    )
-    tot = hist.agg(F.sum("n_postings").cast("long").alias("total"))
-    return hist.crossJoin(F.broadcast(tot)).select(  # singleton stats row
-        "df",
-        "n_shingles",
-        "n_postings",
-        F.when(F.col("df") > 20, 1).otherwise(0).alias("dropped_by_cap"),
-        F.round(F.col("n_postings") / F.col("total").cast("double"), 6).alias(
-            "posting_share"
-        ),
-    )
+    return shingle_df_audit(doc_shingles(docs, k=3), cap=20)

@@ -320,3 +320,32 @@ def test_s17_no_leaks_and_conservation(spark):
     for r in rows:
         assert r["n_leaked"] == 0, "tombstoned doc survived in the written files"
         assert r["n_retained"] + r["n_deleted"] == totals[r["source"]], r
+
+
+def test_d19_cap_binds_on_boilerplate_fixture(spark):
+    # The synthetic corpus never exceeds df 7, so d19's dropped_by_cap is
+    # only structurally exercised there. This fixture makes the cap BITE:
+    # one boilerplate shingle shared by 25 docs (df 25 > cap 20) plus one
+    # unique shingle per doc — and checks the audit prices it correctly.
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        shingle_df_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate unique{i} tail{i} end{i}") for i in range(25)],
+        schema="doc_id long, text string",
+    )
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    rows = {r["df"]: r for r in shingle_df_audit(sh, cap=20).collect()}
+    assert 25 in rows and rows[25]["dropped_by_cap"] == 1
+    assert rows[25]["n_shingles"] == 1  # 'common boiler plate' only
+    assert all(r["dropped_by_cap"] == 0 for d, r in rows.items() if d <= 20)
+    assert abs(sum(r["posting_share"] for r in rows.values()) - 1.0) < 1e-4
+    # and the guard the audit prices: with the cap, the boilerplate-only
+    # pair explosion disappears (unique shingles share nothing)
+    assert jaccard_pairs(sh, max_shingle_df=20).count() == 0
+    assert jaccard_pairs(sh).count() == 25 * 24 // 2
