@@ -282,3 +282,14 @@ def test_cur10_no_cartesian_and_candidate_scoped(spark):
     # verification is candidate-scoped: the semi-joins jaccard_pairs
     # inserts (docs filter + pair filter) must be present
     assert "LeftSemi" in plan, plan
+
+
+def test_s17_report_joins_all_broadcast(spark):
+    # s17's rewrite (with its broadcast anti-join) runs eagerly inside
+    # the function, so the returned plan is just the report: three
+    # source-keyed left joins over tombstone-sized tables — all must
+    # broadcast; a SortMergeJoin would mean a sources-sized shuffle per
+    # audit column.
+    plan = explain_str(spark, "s17_tombstone_delete")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
