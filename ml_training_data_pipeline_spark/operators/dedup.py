@@ -121,7 +121,13 @@ def lsh_bands_from_wide(wide: DataFrame, rows_per_band: int = 2) -> DataFrame:
     """(doc_id, band, band_sig) straight off the wide signature row — a
     pure projection, NO second aggregation: band b's signature is the md5
     of its rows_per_band min-hashes comma-joined in seed order, exactly
-    what ``lsh_bands`` computes from the long form via collect_list."""
+    what ``lsh_bands`` computes from the long form via collect_list.
+    band_sig is a 60-bit md5 LONG, not the hex string: it exists only as
+    the (band, band_sig) equi-join key in d3/d4/cur3/cur10's candidate
+    joins — the second-biggest shuffle of a dedup pass — so it follows
+    the same key discipline as shingles/fingerprints (~3-4× fewer key
+    bytes than 32-char hex; collisions deterministic and mirrored by the
+    oracle's identical truncation)."""
     m_cols = [c for c in wide.columns if c.startswith("m")]
     # ceil-divide: a trailing partial band is emitted (shorter slice),
     # matching lsh_bands' floor(seed/rows_per_band) banding exactly for
@@ -132,7 +138,7 @@ def lsh_bands_from_wide(wide: DataFrame, rows_per_band: int = 2) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
+                md5_long(
                     F.concat_ws(
                         ",",
                         *[
@@ -154,9 +160,10 @@ def lsh_bands_from_wide(wide: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
 
 def lsh_bands(minhash: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """(doc_id, band, band_sig) — md5 over the band's ordered min-hashes."""
+    """(doc_id, band, band_sig) — 60-bit md5 long over the band's ordered
+    min-hashes (same key form as ``lsh_bands_from_wide``)."""
     banded = minhash.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-    sig = F.md5(
+    sig = md5_long(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seed", "min_hash"))),

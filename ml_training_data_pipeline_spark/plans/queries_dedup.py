@@ -57,7 +57,7 @@ _BANDS = f"""
     {_MINHASH},
     bands AS (
       SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
-             md5(string_agg(min_hash::VARCHAR, ',' ORDER BY seed)) AS band_sig
+             {H60.format(x="string_agg(min_hash::VARCHAR, ',' ORDER BY seed)")} AS band_sig
       FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
     )"""
 
