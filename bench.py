@@ -32,18 +32,52 @@ HEADLINE = [
 ]
 
 
+def sample_load(
+    threshold: float = 0.05,
+    max_wait_s: float = 120.0,
+    poll_s: float = 10.0,
+    _loadavg=None,
+    _sleep=None,
+    _monotonic=None,
+) -> tuple[float, bool]:
+    """(normalized 1-min loadavg, contended) — sampled BEFORE Spark starts
+    so it reflects pre-existing load, not our own executors.
+
+    Three straight rounds (r7 load 0.112, r8 0.077, r9 0.223) the bench
+    artifact was polluted by host contention and each apparent regression
+    (r9: n1 3.1×, x2 2.6×) had to be disproven by a hand re-probe on a
+    quiet host (VERDICT r9 #6). So: if the host is loaded, sleep-poll up
+    to ``max_wait_s`` for it to go quiet; if it never does, run anyway
+    but mark the artifact ``contended`` so nobody reads a 3× delta off a
+    loaded host as a code regression. The _-prefixed params are unit-test
+    injection points only."""
+    loadavg = _loadavg or (lambda: os.getloadavg()[0] / (os.cpu_count() or 1))
+    sleep = _sleep or time.sleep
+    monotonic = _monotonic or time.monotonic
+    deadline = monotonic() + max_wait_s
+    while True:
+        try:
+            load1 = loadavg()
+        except OSError:
+            return -1.0, False
+        if load1 <= threshold:
+            return load1, False
+        if monotonic() >= deadline:
+            return load1, True
+        print(
+            f"# host_load {round(load1, 3)} > {threshold}: waiting for a quiet host",
+            file=sys.stderr,
+        )
+        sleep(poll_s)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Host-contention marker (VERDICT r6 #6), sampled BEFORE Spark starts
-    # so it reflects pre-existing load, not our own executors: the same
-    # code has measured 11.9s quiet vs ~14.7s contended, so a future
-    # "regression" with host_load ≫ 0 is noise, not code.
-    try:
-        load1 = os.getloadavg()[0] / (os.cpu_count() or 1)
-    except OSError:
-        load1 = -1.0
+    load1, contended = sample_load(
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
+    )
 
     from ml_training_data_pipeline_spark.session import get_spark
 
@@ -96,6 +130,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "host_load": round(load1, 3),
+                "contended": contended,
             }
         )
     )

@@ -97,13 +97,22 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokenize(text), " "))
 
 
-def fingerprint64(text: Column) -> Column:
-    """60-bit long form of ``fingerprint`` for JOIN/DEDUP KEYS that are
-    never surfaced: an anti-join or dropDuplicates on an 8-byte long
-    shuffles ~4× fewer key bytes than the 32-char hex string — the
-    shingle-key discipline applied to exact fingerprints. DuckDB mirror:
-    ``('0x'||substr(md5(x),1,15))::BIGINT``. Use ``fingerprint`` wherever
-    the fingerprint itself is reported."""
-    return F.conv(
-        F.substring(F.md5(F.array_join(tokenize(text), " ")), 1, 15), 16, 10
-    ).cast("long")
+def fingerprint_pair(text: Column) -> Column:
+    """120-bit form of ``fingerprint`` for JOIN/DEDUP KEYS that are never
+    surfaced (ep5 survivor groups, st10/ep6 ingest anti-joins, ep7
+    countDistinct): struct<h,l> of two 60-bit longs from md5 hex chars
+    1-15 and 16-30 (chars 31-32 dropped so each half fits a signed
+    BIGINT in every engine). 16 key bytes vs the 32-char hex string —
+    the shingle-key shuffle discipline — but unlike a single 60-bit
+    long the collision budget survives corpus scale: expected spurious
+    merges ≈ n²/2^121 ≈ 4e-15 at n = 10^10 docs, where one 60-bit key
+    expects ~40 silent merges (n²/2^61) that exact-dedup would
+    propagate as dropped non-duplicates and falsely-rejected novel docs
+    (ADVICE r9). The oracles key on the full md5 hex — identical
+    semantics to within a 2^-120 collision, never observable at any
+    testable scale. Use ``fingerprint`` wherever the value is surfaced."""
+    h = F.md5(F.array_join(tokenize(text), " "))
+    return F.struct(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("l"),
+    )

@@ -34,6 +34,7 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     driver's cwd isn't the repo root. Zips the package once per process,
     registers once per SparkContext."""
     app_id = spark.sparkContext.applicationId
+    _heartbeat_scratch()
     if app_id in _shipped_apps:
         return
     import ml_training_data_pipeline_spark as pkg
@@ -73,6 +74,27 @@ def _cleanup_scratch() -> None:
 
 
 atexit.register(_cleanup_scratch)
+
+
+def _heartbeat_scratch() -> None:
+    """Refresh the mtime of every scratch entry (and the pkg zip) this
+    process owns. The 7-day hard cap in _prune_stale_scratch exists to
+    reclaim trees whose dead owner's pid was recycled by an unrelated
+    long-lived process — but measured from CREATION it would also
+    reclaim a genuinely live >7-day session's scratch mid-run (ADVICE
+    r9). Heartbeating on every scratch_dir()/addPyFile touch makes the
+    cap measure time since the owner last DID scratch work, so only
+    truly abandoned trees age past it."""
+    now = time.time()
+    paths = list(_scratch_created)
+    paths.append(
+        os.path.join(tempfile.gettempdir(), f"mtdp_spark_pkg_{os.getpid()}.zip")
+    )
+    for p in paths:
+        try:
+            os.utime(p, (now, now))
+        except OSError:
+            pass
 
 
 def _pid_alive(pid: int) -> bool:
@@ -126,7 +148,14 @@ def _prune_stale_scratch(tmp: str) -> None:
         if not name.startswith("mtdp_") or full in _scratch_created or name == own_zip:
             continue
         try:
-            past_hard_cap = os.path.getmtime(full) < hard_cutoff
+            # the owner heartbeat refreshes the SENTINEL's mtime — a live
+            # owner that keeps doing scratch work never ages past the cap
+            mt = os.path.getmtime(full)
+            try:
+                mt = max(mt, os.path.getmtime(full + ".owner"))
+            except OSError:
+                pass
+            past_hard_cap = mt < hard_cutoff
         except OSError:
             past_hard_cap = False
         if name.endswith(".owner"):
@@ -169,6 +198,7 @@ def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
     sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     app = spark.sparkContext.applicationId.replace("-", "_")
     tmp = tempfile.gettempdir()
+    _heartbeat_scratch()
     _prune_stale_scratch(tmp)
     path = os.path.join(tmp, f"mtdp_{label}_{sf}_{app}")
     _scratch_created.add(path)

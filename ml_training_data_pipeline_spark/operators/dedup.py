@@ -46,12 +46,14 @@ def exact_dup_groups(
 ) -> DataFrame:
     """(fp, n_docs, keep_doc_id): canonical-fingerprint groups; the kept
     representative is the min doc_id (deterministic survivor policy).
-    ``hash_keys=True`` groups on the 60-bit long fingerprint instead of
-    the hex string — use it when fp is never surfaced (ep5): the groupBy
-    shuffles 8-byte keys instead of 32-char strings."""
-    from ..functions.analysis import fingerprint64
+    ``hash_keys=True`` groups on the 120-bit struct<h,l> long-pair
+    fingerprint instead of the hex string — use it when fp is never
+    surfaced (ep5): the groupBy shuffles 16-byte keys instead of 32-char
+    strings, with a collision budget (n²/2^121) that holds at
+    billions-of-docs scale (see functions.analysis.fingerprint_pair)."""
+    from ..functions.analysis import fingerprint_pair
 
-    fp_fn = fingerprint64 if hash_keys else fingerprint
+    fp_fn = fingerprint_pair if hash_keys else fingerprint
     fps = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), fp_fn(F.col(text_col)).alias("fp")
     )

@@ -726,7 +726,7 @@ def t9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {toks_cte()},
     fps AS (SELECT doc_id,
-                   ('0x'||substr(md5(coalesce(array_to_string(toks, ' '), '')),1,15))::BIGINT AS fp
+                   md5(coalesce(array_to_string(toks, ' '), '')) AS fp
             FROM toks),
     keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
     survivors AS (
@@ -751,7 +751,8 @@ def ep5_dedup_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dup_groups, md5_long
 
     docs = load_table(spark, sf_dir, "documents")
-    # fp is a groupBy key only here (never surfaced) — 60-bit long keys
+    # fp is a groupBy key only here (never surfaced) — 120-bit long-pair
+    # keys (oracle keys on full md5 hex; identical semantics)
     keep = exact_dup_groups(docs, hash_keys=True).select(
         F.col("keep_doc_id").alias("doc_id")
     )
@@ -1313,7 +1314,7 @@ def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {toks_cte()},
     fp AS (SELECT doc_id,
-                  ('0x'||substr(md5(coalesce(array_to_string(toks, ' '), '')),1,15))::BIGINT AS f
+                  md5(coalesce(array_to_string(toks, ' '), '')) AS f
            FROM toks),
     tokn AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS v FROM toks),
     langs AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
@@ -1338,7 +1339,7 @@ def x25_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import fingerprint64
+    from ..functions.analysis import fingerprint_pair
 
     docs = load_table(spark, sf_dir, "documents")
     # scan 1: lang-grouped aggregate carries every length/lang metric
@@ -1357,8 +1358,9 @@ def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan 2: tokenize ONCE, token count + fingerprint from one projection
     tokfp = docs.where(F.col("text").isNotNull()).select(
         F.size(tokenize(F.col("text"))).alias("nt"),
-        # f feeds countDistinct only (never surfaced) — 60-bit long key
-        fingerprint64(F.col("text")).alias("f"),
+        # f feeds countDistinct only (never surfaced) — 120-bit long-pair
+        # key (oracle counts distinct full-hex md5; identical semantics)
+        fingerprint_pair(F.col("text")).alias("f"),
     )
     tok_stats = tokfp.agg(
         F.sum("nt").cast("double").alias("n_tokens"),
@@ -1805,36 +1807,42 @@ def ep8_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE corpus scan → composite (source, n_chars, lang, ntok) histogram.
+    # ONE corpus scan → the three marginal histograms directly, via
+    # GROUPING SETS ((source, n_chars), (source, lang), (source, ntok)).
+    # A composite (source, n_chars, lang, ntok) groupBy would key on two
+    # near-unique-per-doc columns AT ONCE, so the materialized table can
+    # approach corpus row count (ADVICE r9); the grouping-sets Expand
+    # triples pre-aggregation rows but map-side partial agg collapses
+    # them, and what materializes is the SUM of the marginal
+    # cardinalities — bounded by sources × per-column value domains.
+    # grouping_id() separates a column that is NULL-because-not-grouped
+    # from a genuine NULL: gid 3 = chars marginal, 5 = lang, 6 = ntok.
     # ntok is NULL for null-text docs so x29's marginal can apply its
     # text-IS-NOT-NULL filter while x28/g6 keep counting every doc.
-    hist = (
+    marg = (
         docs.select(
             "source",
             "n_chars",
             "lang",
             F.when(F.col("text").isNotNull(), token_count(F.col("text"))).alias("ntok"),
         )
-        .groupBy("source", "n_chars", "lang", "ntok")
-        .agg(F.count("*").alias("c"))
+        .groupingSets(
+            [["source", "n_chars"], ["source", "lang"], ["source", "ntok"]],
+            "source", "n_chars", "lang", "ntok",
+        )
+        .agg(F.count("*").alias("c"), F.grouping_id().alias("gid"))
         .localCheckpoint()
     )
-    # the three marginals each have several consumers inside their
-    # component pipeline — checkpoint each (tiny: bounded by the
-    # histogram, itself far below corpus size)
-    vc_chars = (
-        hist.groupBy("source", F.col("n_chars").alias("v"))
-        .agg(F.sum("c").alias("c"))
-        .localCheckpoint()
+    # each marginal's several in-component consumers re-read the (small)
+    # checkpoint through a cheap filter — no corpus re-scan anywhere
+    vc_chars = marg.where(F.col("gid") == 3).select(
+        "source", F.col("n_chars").alias("v"), "c"
     )
-    vc_tok = (
-        hist.where(F.col("ntok").isNotNull())
-        .groupBy("source", F.col("ntok").alias("v"))
-        .agg(F.sum("c").alias("c"))
-        .localCheckpoint()
+    vc_tok = marg.where((F.col("gid") == 6) & F.col("ntok").isNotNull()).select(
+        "source", F.col("ntok").alias("v"), "c"
     )
-    o_lang = (
-        hist.groupBy("source", "lang").agg(F.sum("c").alias("n")).localCheckpoint()
+    o_lang = marg.where(F.col("gid") == 5).select(
+        "source", "lang", F.col("c").alias("n")
     )
     ks = x28_length_drift_ks(spark, sf_dir, vc=vc_chars).select(
         "source", F.lit("ks_chars").alias("metric"), F.col("ks_stat").alias("value")

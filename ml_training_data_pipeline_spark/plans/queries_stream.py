@@ -17,7 +17,6 @@ from ..streaming.enrich import (
     streaming_sessionize,
 )
 from .oracle_fragments import toks_cte
-from .queries_dedup import H60
 from .queries_llm import l1_enrich_documents
 from .registry import ORACLE_SQL, query
 
@@ -370,7 +369,7 @@ def st9_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {toks_cte()},
     fps AS (SELECT doc_id,
-                   {H60.format(x="coalesce(array_to_string(toks, ' '), '')")} AS fp
+                   md5(coalesce(array_to_string(toks, ' '), '')) AS fp
             FROM toks),
     known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
     arriving AS (
@@ -385,21 +384,21 @@ def st9_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st10_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import fingerprint64
+    from ..functions.analysis import fingerprint_pair
     from ..io.sources import load_table
 
-    # fp is a join key only (never surfaced) — the 60-bit long form
-    # shuffles ~4× fewer key bytes than the hex string at corpus scale
+    # fp is a join key only (never surfaced) — the 120-bit long-pair
+    # form shuffles half the key bytes of the hex string at corpus scale
     static_known = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
-        .select(fingerprint64(F.col("text")).alias("fp"))
+        .select(fingerprint_pair(F.col("text")).alias("fp"))
         .distinct()
     )
     arriving = (
         stream_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
-        .select("doc_id", "lang", fingerprint64(F.col("text")).alias("fp"))
+        .select("doc_id", "lang", fingerprint_pair(F.col("text")).alias("fp"))
     )
     novel = arriving.join(static_known, "fp", "left_anti")
     agg = novel.groupBy("lang").agg(F.count("*").alias("n_novel"))
@@ -422,7 +421,7 @@ def st10_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {toks_cte()},
     fps AS (
       SELECT doc_id,
-             {H60.format(x="coalesce(array_to_string(toks, ' '), '')")} AS fp,
+             md5(coalesce(array_to_string(toks, ' '), '')) AS fp,
              len(toks) AS n_toks
       FROM toks
     ),
@@ -439,15 +438,15 @@ def st10_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ep6_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import fingerprint64, token_count
+    from ..functions.analysis import fingerprint_pair, token_count
     from ..io.sources import load_table
 
-    # fp is a join key only (never surfaced) — 60-bit long form, st10's
-    # shuffle-byte discipline
+    # fp is a join key only (never surfaced) — 120-bit long-pair form,
+    # st10's shuffle-byte discipline at a scale-safe collision budget
     static_known = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0))
-        .select(fingerprint64(F.col("text")).alias("fp"))
+        .select(fingerprint_pair(F.col("text")).alias("fp"))
         .distinct()
     )
     arriving = (
@@ -455,7 +454,7 @@ def ep6_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
         .withColumn("n_tokens", token_count(F.col("text")))
         .where(F.col("n_tokens").between(5, 1000))
-        .select("lang", fingerprint64(F.col("text")).alias("fp"))
+        .select("lang", fingerprint_pair(F.col("text")).alias("fp"))
     )
     admitted = arriving.join(static_known, "fp", "left_anti")
     agg = admitted.groupBy("lang").agg(F.count("*").alias("n_admitted"))
