@@ -1010,3 +1010,105 @@ def cur11_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- N17: ANN-backed hard-negative mining audit -------------------------------------
+# n16's exact crossJoin scoring is the right ORACLE baseline for
+# contrastive hard negatives, but the 100 TB serving path generates
+# candidates with the ANN machinery and applies the same
+# dup-gate-then-rank on top. n17 runs that deployable pipeline —
+# multi-table SRP-LSH candidates (n12's production config, T=4 tables ×
+# 4 planes), exact cosine on survivors, cos < 0.35 dup gate, top-5 —
+# and audits it against n16's exact set: per-anchor overlap@5, the
+# d16/n11 estimator-audit pattern. The whole audit is SQL-checkable
+# because BOTH sets are deterministic (fixed hyperplane literals on
+# both engines, rounded cosines, total-order tie-breaks). Deployable
+# config (README): MT_PLANE_TABLES candidates + 0.35 gate + rank@5;
+# candidate probe cost ≈ T × bucket share of corpus per anchor, never
+# anchor × corpus.
+@query(
+    "n17_ann_hard_negatives",
+    oracle=f"""
+    WITH {_V},
+    q AS (SELECT vec_id AS anchor_id, ve AS qve FROM v WHERE vec_id % 100 = 0),
+    escored AS (
+      SELECT q.anchor_id, v.vec_id AS negative_id,
+             round(list_inner_product(v.ve, q.qve)
+                   / (sqrt(list_inner_product(v.ve, v.ve)) * sqrt(list_inner_product(q.qve, q.qve))), 6) AS cos_sim
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.anchor_id
+    ),
+    exact AS (
+      SELECT anchor_id, negative_id FROM (
+        SELECT anchor_id, negative_id,
+               row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id ASC) AS rank
+        FROM escored WHERE cos_sim < 0.35
+      ) WHERE rank <= 5
+    ),
+    vb AS (
+{" UNION ALL ".join(
+    "SELECT vec_id, ve, %d AS tbl, CAST(%s AS BIGINT) AS bucket FROM v" % (t, _mt_bucket_sql(planes))
+    for t, planes in enumerate(MT_PLANE_TABLES))}
+    ),
+    qb AS (SELECT vec_id AS anchor_id, tbl, bucket FROM vb WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT DISTINCT qb.anchor_id, vb.vec_id AS negative_id
+      FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+      WHERE vb.vec_id <> qb.anchor_id
+    ),
+    ascored AS (
+      SELECT c.anchor_id, c.negative_id,
+             round(list_inner_product(nv.ve, qv.qve)
+                   / (sqrt(list_inner_product(nv.ve, nv.ve)) * sqrt(list_inner_product(qv.qve, qv.qve))), 6) AS cos_sim
+      FROM cand c
+      JOIN v nv ON nv.vec_id = c.negative_id
+      JOIN q qv ON qv.anchor_id = c.anchor_id
+    ),
+    approx AS (
+      SELECT anchor_id, negative_id FROM (
+        SELECT anchor_id, negative_id,
+               row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id ASC) AS rank
+        FROM ascored WHERE cos_sim < 0.35
+      ) WHERE rank <= 5
+    )
+    SELECT e.anchor_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.negative_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.negative_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS overlap_at_5
+    FROM exact e
+    LEFT JOIN approx a ON e.anchor_id = a.anchor_id AND e.negative_id = a.negative_id
+    GROUP BY e.anchor_id
+    """,
+)
+def n17_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import multi_table_candidates, rank_topk, score_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 100 == 0)
+    exact = n16_hard_negatives(spark, sf_dir).select("anchor_id", "negative_id")
+    # the deployable path: LSH candidates, exact cosine on survivors only,
+    # SAME gate + rank as the exact pipeline (filter-then-rank, so pruned
+    # near-dups free slots exactly as in n16)
+    cands = multi_table_candidates(emb, anchors, MT_PLANE_TABLES)
+    scored = score_pairs(emb, anchors, cands)
+    approx = rank_topk(scored.where(F.col("cos_sim") < 0.35), k=5).select(
+        F.col("query_id").alias("a_anchor_id"),
+        F.col("neighbor_id").alias("a_negative_id"),
+    )
+    hit = exact.join(
+        approx,
+        (F.col("anchor_id") == F.col("a_anchor_id"))
+        & (F.col("negative_id") == F.col("a_negative_id")),
+        "left",
+    )
+    return hit.groupBy("anchor_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("a_negative_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("a_negative_id").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("overlap_at_5"),
+    )

@@ -79,6 +79,9 @@ PRIORITY: tuple[str, ...] = (
     "mix7_target_mixture_weights", "d19_shingle_df_audit",
     "n16_hard_negatives", "cur11_semantic_survivors", "s17_tombstone_delete",
     "s18_textlines_roundtrip",
+    # NEW in round 10 (never driver-checked; oracle-verified driver-style
+    # from /tmp at sf0.01 before commit):
+    "n17_ann_hard_negatives",
     # ROUND-10 ROTATION (pre-staged; fill round 10's 50-prefix with, in
     # order): (a) the 8 round-9 additions above (st12, cur10, mix7, d19,
     # n16, cur11, s17, s18) plus any round-10 additions, (b) the 26 r5-era
