@@ -632,3 +632,107 @@ def st12_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("n_s").alias("n_docs"), "psi", "n_skipped_bins")
     )
+
+
+def _admission_counts(
+    batch_df: DataFrame, corpus_sh: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """One micro-batch of st13: per-source (n_new, n_rejected) for a batch
+    of arriving docs probed against the prebuilt standing-corpus index.
+    Depends ONLY on the batch and the static corpus, so micro-batch
+    boundaries cannot change the summed result — the invariance
+    tests/test_round10.py pins by splitting the feed in two."""
+    from ..operators.dedup import doc_shingles, jaccard_pairs, lsh_bands_from_wide, minhash_wide
+
+    sh_new = doc_shingles(batch_df, k=3).localCheckpoint()
+    nb = lsh_bands_from_wide(
+        minhash_wide(sh_new, num_hashes=8), rows_per_band=2
+    ).select(F.col("doc_id").alias("new_doc"), "band", "band_sig")
+    # batch bands × corpus bands on the bucket key — the ONLY place
+    # the batch meets the corpus (cur10's equi-join, stream-sided)
+    xc = (
+        nb.join(corpus_bands, ["band", "band_sig"])
+        .select(
+            F.least("new_doc", "corpus_doc").alias("doc_a"),
+            F.greatest("new_doc", "corpus_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ver = jaccard_pairs(sh_new.unionAll(corpus_sh), candidates=xc).where(
+        F.col("jaccard") >= 0.5
+    )
+    rejected = ver.select(
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("new_doc")
+    ).distinct()
+    return (
+        batch_df.select("doc_id", "source")
+        .join(rejected, F.col("doc_id") == F.col("new_doc"), "left")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_new"), F.count("new_doc").alias("n_rejected"))
+    )
+
+
+# --- ST13: streaming incremental near-dup admission --------------------------------
+# cur10's production deployment shape: continuous dedup of an arriving
+# feed against the STANDING corpus. The corpus's LSH band table and
+# shingle sets are PREBUILT once, batch-side (at 100 TB: a maintained
+# static index, rebuilt on corpus compaction); each micro-batch of
+# arriving docs is shingled/banded and probed against them via
+# foreachBatch — a (band, band_sig) equi-join for candidates, then
+# cur10's exact candidate-scoped Jaccard >= 0.5 verification, never a
+# batch × corpus pair enumeration. Bounded state by construction:
+# corpus index static, every per-batch structure is scoped to the
+# micro-batch and discarded with it, the only thing carried across
+# batches is the <=|sources|-rows-per-batch admission counter the
+# driver accumulates (st12's bounded-collect discipline) — there is NO
+# streaming state store at all. Admission depends only on the static
+# corpus, so micro-batch boundaries cannot change the result and
+# cur10's batch oracle restates the whole stream verbatim.
+@query(
+    "st13_stream_neardup_admission",
+    oracle=ORACLE_SQL["cur10_incremental_neardup"],
+)
+def st13_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import load_table
+    from ..operators.dedup import doc_shingles, lsh_bands_from_wide, minhash_wide
+    from ..streaming.enrich import run_bounded_foreach
+
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)
+    )
+    # standing-corpus index, built ONCE before the stream starts: shingle
+    # sets (exact verification) + band table (candidate generation)
+    corpus_sh = doc_shingles(corpus, k=3).localCheckpoint()
+    corpus_bands = (
+        lsh_bands_from_wide(minhash_wide(corpus_sh, num_hashes=8), rows_per_band=2)
+        .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
+        .localCheckpoint()
+    )
+
+    results: list[tuple] = []
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        counts = _admission_counts(batch_df, corpus_sh, corpus_bands)
+        # bounded driver transfer: <= |sources| rows per micro-batch
+        results.extend((r.source, r.n_new, r.n_rejected) for r in counts.collect())
+
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select("doc_id", "source", "text")
+    )
+    run_bounded_foreach(arriving, admit)
+
+    part = spark.createDataFrame(
+        results or [("__none__", 0, 0)], "source string, n_new long, n_rejected long"
+    ).where(F.col("source") != "__none__")
+    return part.groupBy("source").agg(
+        F.sum("n_new").cast("long").alias("n_new"),
+        F.sum("n_rejected").cast("long").alias("n_rejected"),
+        (F.sum("n_new") - F.sum("n_rejected")).cast("long").alias("n_admitted"),
+        F.round(
+            F.sum("n_rejected") / F.sum("n_new").cast("double"), 6
+        ).alias("rejection_rate"),
+    )

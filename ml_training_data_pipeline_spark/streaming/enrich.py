@@ -101,6 +101,20 @@ def enrich_stream_to_parquet(docs_stream: DataFrame, out_dir: str) -> None:
         q.stop()
 
 
+def run_bounded_foreach(stream_df: DataFrame, batch_fn) -> None:
+    """Drive a bounded stream to completion through ``foreachBatch`` —
+    the harness for plans whose per-batch logic needs full batch
+    DataFrame semantics (multi-join verification, per-doc aggregation)
+    that in-plan streaming operators would have to hold as state. The
+    batch function owns its side effects; nothing is stateful across
+    batches."""
+    q = stream_df.writeStream.foreachBatch(batch_fn).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def streaming_user_stats(events_stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
     """§2.10 custom stateful operator via ``applyInPandasWithState``:
     per-user running profile (distinct event types, event count, first

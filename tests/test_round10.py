@@ -230,3 +230,49 @@ def test_sample_load_handles_missing_loadavg():
         raise OSError("no loadavg")
 
     assert bench.sample_load(_loadavg=boom) == (-1.0, False)
+
+
+# --- st13: micro-batch boundary invariance -----------------------------------
+
+
+def test_st13_admission_is_batch_boundary_invariant(spark):
+    # st13's contract: admission depends only on the static corpus index,
+    # so splitting the arriving feed into any micro-batches sums to the
+    # same per-source counts as one batch (= cur10's oracle semantics).
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands_from_wide,
+        minhash_wide,
+    )
+    from ml_training_data_pipeline_spark.plans.queries_stream import (
+        _admission_counts,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").where(F.col("text").isNotNull())
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    corpus_sh = doc_shingles(corpus, k=3).localCheckpoint()
+    corpus_bands = (
+        lsh_bands_from_wide(minhash_wide(corpus_sh, num_hashes=8), rows_per_band=2)
+        .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
+        .localCheckpoint()
+    )
+    arriving = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+
+    one = {
+        (r.source): (r.n_new, r.n_rejected)
+        for r in _admission_counts(arriving, corpus_sh, corpus_bands).collect()
+    }
+    acc: dict[str, list[int]] = {}
+    for part in (
+        arriving.where(F.col("doc_id") % 4 == 1),
+        arriving.where(F.col("doc_id") % 4 == 3),
+    ):
+        for r in _admission_counts(part, corpus_sh, corpus_bands).collect():
+            a = acc.setdefault(r.source, [0, 0])
+            a[0] += r.n_new
+            a[1] += r.n_rejected
+    assert {k: tuple(v) for k, v in acc.items()} == one
+    assert sum(v[0] for v in one.values()) > 0
