@@ -1477,3 +1477,158 @@ def d19_shingle_df_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return shingle_df_audit(doc_shingles(docs, k=3), cap=20)
+
+
+# --- CUR12: snapshot-versioned near-dup admission ----------------------------------
+# Closes the loop between the versioning family (s13/s14) and the
+# admission family (cur10/st13): a new corpus VERSION arrives (snapshot
+# B = snapshot A with doc_id % 7 == 0 docs newly added and even-id docs
+# re-edited — ' v2 v2 v2' appended), the s14-style key-partitioned diff
+# classifies every doc by comparing EXACT FINGERPRINTS (added / changed
+# / unchanged), and ONLY the delta (added+changed) rides cur10's LSH
+# admission join against the unchanged standing corpus. Incremental
+# cost ∝ |delta| bands + matched buckets — a version bump that touches
+# 1% of a 100 TB corpus near-dup-checks 1%, never the corpus against
+# itself; at scale both snapshots are bucketed on doc_id (s9) so the
+# diff join is shuffle-free. One shingle/band build over the whole
+# snapshot (three consumers), split by diff status afterwards — the
+# cur10 checkpoint discipline. The oracle derives the same statuses
+# arithmetically (appending tokens always changes the canonical
+# fingerprint) and restates the admission join verbatim.
+@query(
+    "cur12_versioned_admission",
+    oracle=f"""
+    WITH snap AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN 'added'
+                  WHEN doc_id % 2 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+                  THEN text || ' v2 v2 v2' ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    {toks_cte(table="snap")},
+    sh AS (
+      SELECT DISTINCT doc_id, {H60.format(x="s.shingle")} AS shingle
+      FROM (
+        SELECT doc_id,
+               unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks) - 1)]) AS shingle
+        FROM toks WHERE len(toks) >= 3
+      ) s
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min({H60.format(x="seed::VARCHAR || ':' || shingle::VARCHAR")}) AS min_hash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+             {H60.format(x="string_agg(min_hash::VARCHAR, ',' ORDER BY seed)")} AS band_sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+    ),
+    xc AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      JOIN snap sa ON sa.doc_id = a.doc_id
+      JOIN snap sb ON sb.doc_id = b.doc_id
+      WHERE sa.status <> 'unchanged' AND sb.status = 'unchanged'
+    ),
+    {_JACCARD},
+    rejected AS (
+      SELECT DISTINCT CASE WHEN sa.status <> 'unchanged' THEN j.doc_a ELSE j.doc_b END AS delta_doc
+      FROM jac j
+      JOIN xc ON j.doc_a = xc.doc_a AND j.doc_b = xc.doc_b
+      JOIN snap sa ON sa.doc_id = j.doc_a
+      WHERE j.jaccard >= 0.5
+    ),
+    delta AS (SELECT doc_id, status FROM snap WHERE status <> 'unchanged')
+    SELECT d.status,
+           count(*) AS n_docs,
+           count(r.delta_doc) AS n_rejected,
+           count(*) - count(r.delta_doc) AS n_admitted,
+           round(count(r.delta_doc) / CAST(count(*) AS DOUBLE), 6) AS rejection_rate
+    FROM delta d LEFT JOIN rejected r ON r.delta_doc = d.doc_id
+    GROUP BY d.status
+    """,
+)
+def cur12_versioned_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint_pair
+    from ..operators.dedup import jaccard_pairs, lsh_bands_from_wide, minhash_wide
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # snapshot A (old version): doc_id % 7 == 0 docs don't exist yet
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", fingerprint_pair(F.col("text")).alias("fp_a")
+    )
+    # snapshot B (arriving version): everything, pre-existing even-id
+    # docs re-edited (a doc new in B has no prior version to edit)
+    new = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 7 != 0),
+            F.concat(F.col("text"), F.lit(" v2 v2 v2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # the s14 diff, on exact fingerprints: the KEY-partitioned join that
+    # classifies the delta (removed docs never enter admission)
+    snap = (
+        new.withColumn("fp_b", fingerprint_pair(F.col("text")))
+        .join(old, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.when(F.col("fp_a").isNull(), "added")
+            .when(F.col("fp_a") != F.col("fp_b"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .localCheckpoint()  # consumers: shingle build, delta report
+    )
+    sh = doc_shingles(snap, k=3).localCheckpoint()
+    bands = lsh_bands_from_wide(minhash_wide(sh, num_hashes=8), rows_per_band=2)
+    stat = snap.select("doc_id", "status")
+    b = bands.join(stat, "doc_id")
+    db = b.where(F.col("status") != "unchanged").select(
+        F.col("doc_id").alias("delta_doc"), "band", "band_sig"
+    )
+    ub = b.where(F.col("status") == "unchanged").select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    # delta bands × standing bands on the bucket key only (cur10's join)
+    xc = (
+        db.join(ub, ["band", "band_sig"])
+        .select(
+            F.least("delta_doc", "corpus_doc").alias("doc_a"),
+            F.greatest("delta_doc", "corpus_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ver = jaccard_pairs(sh, candidates=xc).where(F.col("jaccard") >= 0.5)
+    # the delta-side doc of each verified pair: the one NOT unchanged
+    sa = stat.select(F.col("doc_id").alias("doc_a"), F.col("status").alias("status_a"))
+    rejected = (
+        ver.join(sa, "doc_a")
+        .select(
+            F.when(F.col("status_a") != "unchanged", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("delta_doc")
+        )
+        .distinct()
+    )
+    delta = snap.where(F.col("status") != "unchanged").select("doc_id", "status")
+    return (
+        delta.join(rejected, delta.doc_id == rejected.delta_doc, "left")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("delta_doc").alias("n_rejected"),
+            (F.count("*") - F.count("delta_doc")).alias("n_admitted"),
+            F.round(F.count("delta_doc") / F.count("*").cast("double"), 6).alias(
+                "rejection_rate"
+            ),
+        )
+    )

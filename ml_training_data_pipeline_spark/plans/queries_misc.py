@@ -1970,3 +1970,55 @@ def s18_textlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).cast("long").alias("min_len"),
         F.max(F.length("value")).cast("long").alias("max_len"),
     )
+
+
+# --- S19: gzip-compressed text-lines roundtrip --------------------------------------
+# s18's production variant: pretraining corpora ship as one-doc-per-line
+# *.txt.gz / *.zst shards, and Spark's text sink/source handle the codec
+# by config/extension — the writer sets spark.sql.compression via the
+# DataFrameWriter option, the reader decompresses per file extension
+# with NO plan change. The audit re-reads the WRITTEN files (s17's
+# readback discipline) and additionally proves compression actually
+# happened: n_plain_files counts distinct readback files NOT named
+# *.gz — the oracle pins it to 0, so a silently-ignored codec option
+# fails the hash check instead of shipping uncompressed corpora. Note
+# gzip shards are NOT splittable — one read task per shard — so the
+# WRITER's partition count (here: the scan's) is the read parallelism
+# knob a 100 TB export must size deliberately; zstd/bzip2 or many
+# smaller shards keep rehydration parallel.
+@query(
+    "s19_textlines_gzip_roundtrip",
+    oracle=r"""
+    WITH lines AS (
+      SELECT regexp_replace(text, '[\n\r]+', ' ', 'g') AS line
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           CAST(min(length(line)) AS BIGINT) AS min_len,
+           CAST(max(length(line)) AS BIGINT) AS max_len,
+           CAST(0 AS BIGINT) AS n_plain_files
+    FROM lines
+    """,
+)
+def s19_textlines_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out_dir = scratch_dir(spark, "txtgz", sf_dir)
+    docs.select(
+        F.regexp_replace(F.col("text"), "[\\n\\r]+", " ").alias("value")
+    ).write.mode("overwrite").option("compression", "gzip").text(out_dir)
+    # input_file_name() is non-deterministic — project it BEFORE the
+    # aggregate (Spark rejects it inside aggregate arguments)
+    back = spark.read.text(out_dir).select(
+        "value", F.input_file_name().alias("src_file")
+    )
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+        # proves the codec engaged: any readback file not *.gz counts
+        F.countDistinct(
+            F.when(~F.col("src_file").endswith(".gz"), F.col("src_file"))
+        ).alias("n_plain_files"),
+    )

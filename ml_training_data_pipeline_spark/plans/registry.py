@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # NEW in round 10 (never driver-checked; oracle-verified driver-style
     # from /tmp at sf0.01 before commit):
     "n17_ann_hard_negatives", "st13_stream_neardup_admission",
+    "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
     # ROUND-10 ROTATION (pre-staged; fill round 10's 50-prefix with, in
     # order): (a) the 8 round-9 additions above (st12, cur10, mix7, d19,
     # n16, cur11, s17, s18) plus any round-10 additions, (b) the 26 r5-era
