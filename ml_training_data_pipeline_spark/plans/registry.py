@@ -44,14 +44,63 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-9 PREFIX (50), exactly as pre-staged by the round-8 rotation
-    # comment and VERDICT r8 #1: (a) the 17 round-7 names that had never
-    # had a driver row (p11 ... m9 — all pre-verified green at sf0.01
-    # driver-style in round 7; x27 carries its round-8 ADVICE left-join
-    # fix), (b) the 10 round-8 additions (x29 ... ep8 — pre-verified green
-    # at sf0.01 driver-style in round 8), (c) the first 23 of the r5 block
-    # (d10 ... f11) to re-freshen the stalest driver rows. This takes
-    # never-driver-checked queries from 27 to 0 — full-registry coverage.
+    # ROUND-10 PREFIX (50), exactly as pre-staged by the round-9 rotation
+    # comment and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ...
+    # s18) plus the 4 round-10 additions (n17, st13, s19, cur12) — every
+    # one oracle-verified driver-style from /tmp at sf0.01 before its
+    # commit; (b) the 26 r5-era names (x1 ... ep3 — the stalest driver
+    # rows); (c) the first 12 of the r6-checked tail (x8 ... v5) to fill
+    # 50. Names whose implementation changed in round 10 but sit beyond
+    # the prefix — d3/d4/cur3/cur10/d10/cur2/d17/d11/cur5 (band_sig →
+    # 60-bit long), ep5/ep7/st10/ep6 (fingerprint_pair), ep8
+    # (grouping-sets marginals) — were ALL re-verified driver-style at
+    # sf0.01 in round 10 right after each change (the same standard
+    # round 9 applied to its fingerprint64/ep8 refactors).
+    "st12_stream_drift_gate", "cur10_incremental_neardup",
+    "mix7_target_mixture_weights", "d19_shingle_df_audit",
+    "n16_hard_negatives", "cur11_semantic_survivors", "s17_tombstone_delete",
+    "s18_textlines_roundtrip",
+    "n17_ann_hard_negatives", "st13_stream_neardup_admission",
+    "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
+    "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
+    "w1_tumbling_window_agg", "w2_sessionization",
+    "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
+    "n2_srp_buckets", "n3_ann_lsh_topk", "n4_embedding_near_dups",
+    "st1_stream_window_counts", "st2_stream_sessionize", "st5_stream_dedup",
+    "st6_stream_stream_join", "mix1_source_mixing_sample",
+    "x7_language_length_quantiles", "w5_asof_attribution",
+    "g2_event_type_pivot", "s8_partitioned_sink_roundtrip",
+    "j6_range_band_join", "u3_union_mixed_schemas",
+    "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
+    "x8_approx_profile", "cur1_corpus_curation", "d5_simhash",
+    "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
+    "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
+    "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",
+    "v5_pos_keywords",
+    # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
+    # order): (a) any round-11 additions, (b) the round-10
+    # changed-implementation names that did not get an r10 driver row —
+    # d3_lsh_candidate_pairs, d4_minhash_dedup, cur3_decontaminate,
+    # d10_neardup_components, cur2_component_survivors, d17_lsh_precision,
+    # ep5_dedup_split_shards, ep7_dataset_card, st10_stream_dedup_gate,
+    # ep6_stream_ingest_gate, ep8_drift_report — (c) the r6-tail
+    # remainder below (x5 ... d9, 38 names) in listed order to fill 50.
+    "x5_corpus_profile", "s3_csv_chunk_roundtrip", "s7_inline_table",
+    "p8_threshold_bands", "w4_argmax_per_group", "u2_vocab_intersection",
+    "g1_rollup_totals", "l2_cluster_labels", "st3_stream_enrich",
+    "mm1_media_features", "t1_sort_topk", "c5_merge_components",
+    "d8_jaccard_capped", "n5_ann_ivf_topk", "mm2_frame_samples",
+    "x6_subword_counts", "m1_kmeans_assignments",
+    "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",
+    "v3_tfidf_unigram", "v6_doc_top_terms", "c2_group_centroids",
+    "c3_group_withinss", "c4_centroid_cosine_pairs", "c6_prob_coherence",
+    "c7_quality_summary", "d1_exact_dup_groups", "d2_minhash_signatures",
+    "d3_lsh_candidate_pairs", "cur3_decontaminate", "x9_repetition_quality",
+    "x10_pii_redaction", "pack1_token_budget_packing",
+    "cur4_incremental_dedup", "st7_stream_curation_gate",
+    "x11_unigram_logprob", "d9_simhash_banded_near_dups",
+    # ROUND-9 PREFIX (50, all hash-green or rows-only-by-design in
+    # CORRECTNESS_r09 — fresh r9 driver rows).
     "p11_referential_integrity", "st11_stream_type_totals",
     "l4_llm_cache_report", "w15_daily_autocorr", "x25_lexicon_screen",
     "ep7_dataset_card", "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff",
@@ -72,78 +121,28 @@ PRIORITY: tuple[str, ...] = (
     "j2_dense_rank_renumber", "j5_semi_anti_join", "u1_union_all",
     "f1_clean_text", "f6_stopword_removal", "f8_regex_extract",
     "f11_json_decode",
-    # NEW in round 9 (never driver-checked; each was oracle-verified
-    # driver-style from /tmp at sf0.01 before its commit; rotate into
-    # round 10's prefix FIRST):
-    "st12_stream_drift_gate", "cur10_incremental_neardup",
-    "mix7_target_mixture_weights", "d19_shingle_df_audit",
-    "n16_hard_negatives", "cur11_semantic_survivors", "s17_tombstone_delete",
-    "s18_textlines_roundtrip",
-    # NEW in round 10 (never driver-checked; oracle-verified driver-style
-    # from /tmp at sf0.01 before commit):
-    "n17_ann_hard_negatives", "st13_stream_neardup_admission",
-    "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
-    # ROUND-10 ROTATION (pre-staged; fill round 10's 50-prefix with, in
-    # order): (a) the 8 round-9 additions above (st12, cur10, mix7, d19,
-    # n16, cur11, s17, s18) plus any round-10 additions, (b) the 26 r5-era
-    # names below (x1 ... ep3 — the stalest driver rows once round 9
-    # lands), (c) the first 16 of the r6-checked tail in listed order
-    # (x8, cur1, d5, d6, h1, h2, v1, c1, m2, l1, m4, v5, x5, s3, s7,
-    # p8) to fill 50. Note st10/ep6/ep5/ep7 carry round-9
-    # fingerprint64 changes and x28/x29/g6 carry the ep8-fusion refactor
-    # — all re-verified driver-style at sf0.01 in round 9.
-    "x1_token_stats", "x2_quality_scores", "x3_language_id",
-    "x4_fingerprint", "w1_tumbling_window_agg", "w2_sessionization",
-    "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
-    "n2_srp_buckets", "n3_ann_lsh_topk", "n4_embedding_near_dups",
-    "st1_stream_window_counts", "st2_stream_sessionize", "st5_stream_dedup",
-    "st6_stream_stream_join", "mix1_source_mixing_sample",
-    "x7_language_length_quantiles", "w5_asof_attribution",
-    "g2_event_type_pivot", "s8_partitioned_sink_roundtrip",
-    "j6_range_band_join", "u3_union_mixed_schemas",
-    "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
-    # r6-checked tail (driver rows from round 6).
-    "x8_approx_profile", "cur1_corpus_curation", "d5_simhash",
-    "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
-    "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
-    "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",
-    "v5_pos_keywords", "x5_corpus_profile", "s3_csv_chunk_roundtrip",
-    "s7_inline_table", "p8_threshold_bands", "w4_argmax_per_group",
-    "u2_vocab_intersection", "g1_rollup_totals", "l2_cluster_labels",
-    "st3_stream_enrich", "mm1_media_features", "t1_sort_topk",
-    "c5_merge_components", "d8_jaccard_capped", "n5_ann_ivf_topk",
-    "mm2_frame_samples", "x6_subword_counts", "m1_kmeans_assignments",
-    "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",
-    "v3_tfidf_unigram", "v6_doc_top_terms", "c2_group_centroids",
-    "c3_group_withinss", "c4_centroid_cosine_pairs", "c6_prob_coherence",
-    "c7_quality_summary", "d1_exact_dup_groups", "d2_minhash_signatures",
-    "d3_lsh_candidate_pairs", "cur3_decontaminate", "x9_repetition_quality",
-    "x10_pii_redaction", "pack1_token_budget_packing",
-    "cur4_incremental_dedup", "st7_stream_curation_gate",
-    "x11_unigram_logprob", "d9_simhash_banded_near_dups",
     # ROUND-7 PREFIX (50, all hash-green or rows-only-by-design in
     # CORRECTNESS_r07).
     "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
     "t7_training_shards", "w6_decayed_engagement",
-    "s9_bucketed_join_roundtrip", "d11_containment_pairs",
-    "x13_zipf_profile", "w7_cohort_retention", "n7_prototype_confusion",
-    "st8_stream_static_join", "x14_source_divergence", "mm3_audio_features",
-    "mm4_video_features", "d12_cross_source_dups", "g3_cube_profile",
-    "cur6_passage_scrub", "w8_value_outliers", "s10_jsonl_roundtrip",
-    "n8_prototype_silhouette", "x15_zipf_alpha", "f12_fuzzy_term_variants",
-    "ep4_curation_to_shards", "x16_pmi_collocations", "w9_gap_filled_daily",
-    "p9_length_deciles", "u4_vocab_difference", "m6_quality_classifier",
-    "w10_ordered_funnel", "mix3_temperature_weights", "x17_hapax_rate",
-    "x18_word_length_outliers", "n9_norm_outliers", "j9_transition_matrix",
-    "d14_source_dup_rates", "h3_shipping_priority", "h4_forecast_revenue",
-    "h5_local_supplier_volume", "n10_int8_quantization",
-    "g4_salted_distinct_users", "v7_feature_hashing",
+    "s9_bucketed_join_roundtrip", "d11_containment_pairs", "x13_zipf_profile",
+    "w7_cohort_retention", "n7_prototype_confusion", "st8_stream_static_join",
+    "x14_source_divergence", "mm3_audio_features", "mm4_video_features",
+    "d12_cross_source_dups", "g3_cube_profile", "cur6_passage_scrub",
+    "w8_value_outliers", "s10_jsonl_roundtrip", "n8_prototype_silhouette",
+    "x15_zipf_alpha", "f12_fuzzy_term_variants", "ep4_curation_to_shards",
+    "x16_pmi_collocations", "w9_gap_filled_daily", "p9_length_deciles",
+    "u4_vocab_difference", "m6_quality_classifier", "w10_ordered_funnel",
+    "mix3_temperature_weights", "x17_hapax_rate", "x18_word_length_outliers",
+    "n9_norm_outliers", "j9_transition_matrix", "d14_source_dup_rates",
+    "h3_shipping_priority", "h4_forecast_revenue", "h5_local_supplier_volume",
+    "n10_int8_quantization", "g4_salted_distinct_users", "v7_feature_hashing",
     "h6_order_priority_check", "h7_promo_revenue_share",
     "h8_returned_revenue_ranking", "d15_duplicate_spans", "t9_zorder_layout",
-    "mm5_image_phash_groups", "x19_readability",
-    "v8_count_min_heavy_hitters", "st9_stream_sliding_counts",
+    "mm5_image_phash_groups", "x19_readability", "v8_count_min_heavy_hitters",
+    "st9_stream_sliding_counts",
     # ROUND-8 PREFIX (50, all hash-green or rows-only-by-design in
-    # CORRECTNESS_r08 — the freshest driver rows in the registry).
+    # CORRECTNESS_r08).
     "j10_salted_skew_join", "mix4_train_val_test_split",
     "d16_minhash_estimate_audit", "w11_rate_bursts", "n11_ann_recall_audit",
     "ep5_dedup_split_shards", "h9_customer_distribution",
@@ -155,10 +154,9 @@ PRIORITY: tuple[str, ...] = (
     "s13_upsert_latest_wins", "n12_ann_multitable_recall",
     "x20_term_burstiness", "w12_weekday_hour_heatmap",
     "h11_dormant_high_balance", "x21_heaps_law", "p10_data_quality_profile",
-    "ep6_stream_ingest_gate", "s14_snapshot_diff",
-    "w13_interevent_quantiles", "m8_cluster_stability",
-    "n13_ann_table_sweep", "h12_two_nation_volume", "h13_market_share",
-    "h14_top_supplier_revenue", "h15_small_qty_revenue",
+    "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles",
+    "m8_cluster_stability", "n13_ann_table_sweep", "h12_two_nation_volume",
+    "h13_market_share", "h14_top_supplier_revenue", "h15_small_qty_revenue",
     "h16_disjunctive_revenue", "h17_sole_final_supplier",
     "x22_lexical_diversity", "w14_activity_gini", "n14_ann_margin",
     "g5_grouping_sets_profile", "cur7_length_survivorship",
