@@ -269,6 +269,43 @@ def jaccard_pairs(
     return out.where(F.col(metric) >= threshold) if threshold > 0 else out
 
 
+def lsh_admission_rejects(
+    delta_bands: DataFrame,
+    corpus_bands: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(delta_doc) — delta-side docs verified as near-duplicates of the
+    standing corpus: the ONE admission pipeline behind cur10 (batch),
+    st13 (streaming foreachBatch) and cur12 (snapshot delta), factored
+    so the banding config and threshold can never silently diverge
+    across the three deployment shapes.
+
+    ``delta_bands`` is (delta_doc, band, band_sig) for the arriving/
+    changed side; ``corpus_bands`` is (corpus_doc, band, band_sig) for
+    the standing side; ``shingles`` must cover both sides' doc_ids.
+    Candidates come from the (band, band_sig) equi-join — the ONLY place
+    delta meets corpus, never a delta × corpus enumeration — and are
+    canonicalized (least/greatest) for ``jaccard_pairs``'s a < b order;
+    the delta-side orientation is carried on the candidate row and
+    recovered by joining verified pairs back, so membership — not any
+    doc_id parity convention — decides which side was the delta."""
+    cand = (
+        delta_bands.join(corpus_bands, ["band", "band_sig"])
+        .select(
+            "delta_doc",
+            F.least("delta_doc", "corpus_doc").alias("doc_a"),
+            F.greatest("delta_doc", "corpus_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ver = jaccard_pairs(
+        shingles, threshold=threshold, candidates=cand.select("doc_a", "doc_b")
+    )
+    # verified pairs are tiny — AQE broadcasts them onto the candidates
+    return ver.join(cand, ["doc_a", "doc_b"]).select("delta_doc").distinct()
+
+
 def shingle_df_audit(shingles: DataFrame, cap: int = 20) -> DataFrame:
     """(df, n_shingles, n_postings, dropped_by_cap, posting_share) — the
     document-frequency histogram of a shingle inverted index and the

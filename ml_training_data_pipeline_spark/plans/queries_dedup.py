@@ -1397,7 +1397,7 @@ def cur9_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cur10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
-        jaccard_pairs,
+        lsh_admission_rejects,
         lsh_bands_from_wide,
         minhash_wide,
     )
@@ -1409,27 +1409,17 @@ def cur10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(docs, k=3).localCheckpoint()
     bands = lsh_bands_from_wide(minhash_wide(sh, num_hashes=8), rows_per_band=2)
     nb = bands.where(is_new).select(
-        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+        F.col("doc_id").alias("delta_doc"), "band", "band_sig"
     )
     cb = bands.where(~is_new).select(
         F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
     )
-    # batch-bands × corpus-bands equi-join on the bucket key — the ONLY
-    # place new meets corpus; canonicalized for jaccard_pairs' a<b order
-    xc = (
-        nb.join(cb, ["band", "band_sig"])
-        .select(
-            F.least("new_doc", "corpus_doc").alias("doc_a"),
-            F.greatest("new_doc", "corpus_doc").alias("doc_b"),
-        )
-        .distinct()
+    # the shared admission pipeline (cur10/st13/cur12): band equi-join
+    # candidates, candidate-scoped Jaccard >= 0.5, delta side recovered
+    # by membership
+    rejected = lsh_admission_rejects(nb, cb, sh, threshold=0.5).select(
+        F.col("delta_doc").alias("new_doc")
     )
-    ver = jaccard_pairs(sh, candidates=xc).where(F.col("jaccard") >= 0.5)
-    rejected = ver.select(
-        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
-        .otherwise(F.col("doc_b"))
-        .alias("new_doc")
-    ).distinct()
     newdocs = docs.where(is_new).select("doc_id", "source")
     # rejected is tiny (verified near-dups only) — AQE broadcasts it
     return (
@@ -1555,7 +1545,11 @@ def d19_shingle_df_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cur12_versioned_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import fingerprint_pair
-    from ..operators.dedup import jaccard_pairs, lsh_bands_from_wide, minhash_wide
+    from ..operators.dedup import (
+        lsh_admission_rejects,
+        lsh_bands_from_wide,
+        minhash_wide,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     # snapshot A (old version): doc_id % 7 == 0 docs don't exist yet
@@ -1598,27 +1592,10 @@ def cur12_versioned_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = b.where(F.col("status") == "unchanged").select(
         F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
     )
-    # delta bands × standing bands on the bucket key only (cur10's join)
-    xc = (
-        db.join(ub, ["band", "band_sig"])
-        .select(
-            F.least("delta_doc", "corpus_doc").alias("doc_a"),
-            F.greatest("delta_doc", "corpus_doc").alias("doc_b"),
-        )
-        .distinct()
-    )
-    ver = jaccard_pairs(sh, candidates=xc).where(F.col("jaccard") >= 0.5)
-    # the delta-side doc of each verified pair: the one NOT unchanged
-    sa = stat.select(F.col("doc_id").alias("doc_a"), F.col("status").alias("status_a"))
-    rejected = (
-        ver.join(sa, "doc_a")
-        .select(
-            F.when(F.col("status_a") != "unchanged", F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("delta_doc")
-        )
-        .distinct()
-    )
+    # the shared admission pipeline (cur10/st13/cur12): delta bands ×
+    # standing bands on the bucket key, candidate-scoped verification,
+    # delta side recovered by membership
+    rejected = lsh_admission_rejects(db, ub, sh, threshold=0.5)
     delta = snap.where(F.col("status") != "unchanged").select("doc_id", "status")
     return (
         delta.join(rejected, delta.doc_id == rejected.delta_doc, "left")

@@ -17,6 +17,12 @@ from ..streaming.enrich import (
     streaming_sessionize,
 )
 from .oracle_fragments import toks_cte
+
+# st13's decorator reads ORACLE_SQL["cur10_incremental_neardup"] at module
+# definition time — importing queries_dedup here guarantees cur10 is
+# registered first even on a direct `import queries_stream` (code-review
+# r10: dropping the old H60 import silently dropped that ordering).
+from . import queries_dedup  # noqa: F401
 from .queries_llm import l1_enrich_documents
 from .registry import ORACLE_SQL, query
 
@@ -641,36 +647,32 @@ def _admission_counts(
     of arriving docs probed against the prebuilt standing-corpus index.
     Depends ONLY on the batch and the static corpus, so micro-batch
     boundaries cannot change the summed result — the invariance
-    tests/test_round10.py pins by splitting the feed in two."""
-    from ..operators.dedup import doc_shingles, jaccard_pairs, lsh_bands_from_wide, minhash_wide
+    tests/test_round10.py pins by splitting the feed in two. The batch
+    side is identified by MEMBERSHIP (lsh_admission_rejects carries the
+    delta orientation on the candidate row), so any batch composition is
+    handled — no doc_id parity convention is assumed."""
+    from ..operators.dedup import (
+        doc_shingles,
+        lsh_admission_rejects,
+        lsh_bands_from_wide,
+        minhash_wide,
+    )
 
     sh_new = doc_shingles(batch_df, k=3).localCheckpoint()
     nb = lsh_bands_from_wide(
         minhash_wide(sh_new, num_hashes=8), rows_per_band=2
-    ).select(F.col("doc_id").alias("new_doc"), "band", "band_sig")
-    # batch bands × corpus bands on the bucket key — the ONLY place
-    # the batch meets the corpus (cur10's equi-join, stream-sided)
-    xc = (
-        nb.join(corpus_bands, ["band", "band_sig"])
-        .select(
-            F.least("new_doc", "corpus_doc").alias("doc_a"),
-            F.greatest("new_doc", "corpus_doc").alias("doc_b"),
-        )
-        .distinct()
+    ).select(F.col("doc_id").alias("delta_doc"), "band", "band_sig")
+    # the shared admission pipeline (cur10/st13/cur12): batch bands ×
+    # corpus bands on the bucket key — the ONLY place the batch meets
+    # the corpus — then candidate-scoped Jaccard >= 0.5
+    rejected = lsh_admission_rejects(
+        nb, corpus_bands, sh_new.unionAll(corpus_sh), threshold=0.5
     )
-    ver = jaccard_pairs(sh_new.unionAll(corpus_sh), candidates=xc).where(
-        F.col("jaccard") >= 0.5
-    )
-    rejected = ver.select(
-        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
-        .otherwise(F.col("doc_b"))
-        .alias("new_doc")
-    ).distinct()
     return (
         batch_df.select("doc_id", "source")
-        .join(rejected, F.col("doc_id") == F.col("new_doc"), "left")
+        .join(rejected, F.col("doc_id") == F.col("delta_doc"), "left")
         .groupBy("source")
-        .agg(F.count("*").alias("n_new"), F.count("new_doc").alias("n_rejected"))
+        .agg(F.count("*").alias("n_new"), F.count("delta_doc").alias("n_rejected"))
     )
 
 
