@@ -1609,3 +1609,82 @@ def cur12_versioned_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- CUR13: decontamination-aggressiveness sweep ------------------------------------
+# The knob curve behind cur3: HOW aggressively to decontaminate is a
+# policy choice — drop a training doc when it shares >= K distinct
+# shingles with the eval set — and this query reports, for each
+# candidate K, how many docs and how much character mass the policy
+# costs (the n13/cur7/d19 sweep-audit discipline: measure the knob,
+# don't fold-lore it). The per-doc overlap count is computed ONCE
+# (cur3's broadcast join against the distinct eval-shingle set); the
+# five configs derive from it by a literal threshold explode over the
+# already-aggregated per-doc row — 5× a corpus-count of tiny rows into
+# one partial-aggregated groupBy, zero re-scoring. Docs with no
+# shingles at all (< 3 tokens) stay in the denominator via the left
+# join: a policy's drop RATE is over the whole training set.
+@query(
+    "cur13_decontamination_sweep",
+    oracle=f"""
+    WITH {_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    ov AS (
+      SELECT s.doc_id, count(*) AS n_shared
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    ),
+    train AS (
+      SELECT d.doc_id, d.n_chars, coalesce(o.n_shared, 0) AS n_shared
+      FROM documents d LEFT JOIN ov o USING (doc_id)
+      WHERE d.text IS NOT NULL AND d.doc_id % 97 <> 0
+    ),
+    thr AS (SELECT unnest([1, 2, 4, 8, 16]) AS min_shared)
+    SELECT CAST(t.min_shared AS BIGINT) AS min_shared,
+           count(*) AS n_train,
+           CAST(sum(CASE WHEN n_shared >= t.min_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN n_shared >= t.min_shared THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dropped_chars,
+           round(sum(CASE WHEN n_shared >= t.min_shared THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS drop_rate
+    FROM train CROSS JOIN thr t
+    GROUP BY t.min_shared
+    """,
+)
+def cur13_decontamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = doc_shingles(docs, k=3)
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    ov = (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train = (
+        docs.where(~is_eval)
+        .select("doc_id", "n_chars")
+        .join(ov, "doc_id", "left")
+        .select(
+            "n_chars", F.coalesce("n_shared", F.lit(0)).alias("n_shared")
+        )
+    )
+    t = train.select(
+        "n_chars",
+        "n_shared",
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 4, 8, 16)])).alias("min_shared"),
+    )
+    dropped = F.col("n_shared") >= F.col("min_shared")
+    return t.groupBy(F.col("min_shared").cast("long").alias("min_shared")).agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(dropped, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("dropped_chars"),
+        F.round(
+            F.sum(F.when(dropped, 1).otherwise(0)) / F.count("*").cast("double"), 6
+        ).alias("drop_rate"),
+    )

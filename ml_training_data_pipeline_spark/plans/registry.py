@@ -46,11 +46,13 @@ def query(name: str, oracle: str | None = None):
 PRIORITY: tuple[str, ...] = (
     # ROUND-10 PREFIX (50), exactly as pre-staged by the round-9 rotation
     # comment and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ...
-    # s18) plus the 4 round-10 additions (n17, st13, s19, cur12) — every
-    # one oracle-verified driver-style from /tmp at sf0.01 before its
-    # commit; (b) the 26 r5-era names (x1 ... ep3 — the stalest driver
-    # rows); (c) the first 12 of the r6-checked tail (x8 ... v5) to fill
-    # 50. Names whose implementation changed in round 10 but sit beyond
+    # s18) plus the 5 round-10 additions (n17, st13, s19, cur12, cur13)
+    # — every one oracle-verified driver-style from /tmp at sf0.01
+    # before its commit; (b) the 26 r5-era names (x1 ... ep3 — the
+    # stalest driver rows); (c) the first 11 of the r6-checked tail
+    # (x8 ... m4) to fill 50 (v5 sits at position 51: unchanged, r6
+    # driver row, locally parity-tested every round).
+    # Names whose implementation changed in round 10 but sit beyond
     # the prefix — d3/d4/cur3/cur10/d10/cur2/d17/d11/cur5 (band_sig →
     # 60-bit long), ep5/ep7/st10/ep6 (fingerprint_pair), ep8
     # (grouping-sets marginals) — were ALL re-verified driver-style at
@@ -62,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "s18_textlines_roundtrip",
     "n17_ann_hard_negatives", "st13_stream_neardup_admission",
     "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
+    "cur13_decontamination_sweep",
     "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
     "w1_tumbling_window_agg", "w2_sessionization",
     "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",

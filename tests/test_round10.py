@@ -276,3 +276,28 @@ def test_st13_admission_is_batch_boundary_invariant(spark):
             a[1] += r.n_rejected
     assert {k: tuple(v) for k, v in acc.items()} == one
     assert sum(v[0] for v in one.values()) > 0
+
+
+# --- cur13: decontamination sweep invariants -----------------------------------
+
+
+def test_cur13_sweep_is_monotone(spark):
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r.min_shared: r
+        for r in entry_mod.queries()["cur13_decontamination_sweep"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ks = sorted(rows)
+    assert ks == [1, 2, 4, 8, 16]
+    n_train = {rows[k].n_train for k in ks}
+    assert len(n_train) == 1, "denominator is the whole training set at every K"
+    for lo, hi in zip(ks, ks[1:]):
+        assert rows[lo].n_dropped >= rows[hi].n_dropped, (
+            "raising the threshold can only drop fewer docs"
+        )
+        assert rows[lo].dropped_chars >= rows[hi].dropped_chars
+    assert rows[1].n_dropped > 0, "K=1 must catch the contaminated docs"
+    assert all(0.0 <= rows[k].drop_rate <= 1.0 for k in ks)
