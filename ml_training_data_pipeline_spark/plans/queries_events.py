@@ -970,3 +970,53 @@ def w16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mu", 6).alias("daily_mean"),
         )
     )
+
+
+# --- W17: trailing 7-day rolling stats (RANGE-frame window) ------------------------
+# The one window-frame type the registry lacked: a VALUE-based (RANGE)
+# frame over the day domain. ROWS BETWEEN 6 PRECEDING averages the last
+# 7 PRESENT rows — across a gap it silently reaches back further in
+# time; RANGE BETWEEN 6 PRECEDING bounds the frame by day VALUE, so
+# absent days genuinely thin the trailing window (that divergence is the
+# point, and w9's gap-fill is the complement when a dense series is
+# wanted). trail7_avg divides by the fixed 7-day calendar span, not the
+# active-day count — the dashboard-stable definition. Frames partition
+# by event_type over the DAY domain (calendar-bounded state, the w16
+# discipline): at 100 TB the pre-aggregation to (type, day) grain is the
+# shuffle, and the window rides |types|×|days| rows.
+@query(
+    "w17_trailing_range_stats",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, c AS n_events,
+           CAST(sum(c) OVER w AS BIGINT) AS trail7_events,
+           CAST(count(*) OVER w AS BIGINT) AS trail7_active_days,
+           round(CAST(sum(c) OVER w AS DOUBLE) / 7.0, 6) AS trail7_avg,
+           CAST(max(c) OVER w AS BIGINT) AS trail7_peak
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w17_trailing_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    daily = (
+        e.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("c").alias("n_events"),
+        F.sum("c").over(w).cast("long").alias("trail7_events"),
+        F.count("*").over(w).cast("long").alias("trail7_active_days"),
+        F.round(F.sum("c").over(w).cast("double") / 7.0, 6).alias("trail7_avg"),
+        F.max("c").over(w).cast("long").alias("trail7_peak"),
+    )

@@ -1164,3 +1164,50 @@ def h19_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days, 0.90)"), 6).alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+# --- H20: late-shipping priority counts (TPC-H Q12 shape) --------------------------
+# Q12's conditional-CASE-sum idiom (02_build_models.R has no analogue —
+# this is pure scale-extension relational coverage): one fact⨝dim join
+# gated by DATE ARITHMETIC (testdata has no l_commitdate/l_receiptdate,
+# so "late" = shipped ≥ 60 days after order — the same derived-day gap
+# h19 profiles), then per-linestatus counts split by order urgency in a
+# single aggregate pass. Both CASE branches ride ONE map-side-combinable
+# groupBy — never two filtered scans. The day gap is integer floor
+# division on epoch seconds (h19's parity-proven bridge). At scale the
+# date filter cannot push below the join (it spans both tables), but the
+# two-column projections do, and the orders side carries only
+# (orderkey, orderdate, priority).
+@query(
+    "h20_late_shipping_priority",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count,
+           CAST(max(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0)) AS BIGINT)
+             AS max_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0) >= 60
+    GROUP BY l_linestatus
+    """,
+)
+def h20_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.floor(
+        (F.col("l_shipdate").cast("double") - F.col("o_orderdate").cast("double")) / 86400.0
+    ).cast("long")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_linestatus", F.col("o_orderpriority"), delay.alias("delay_days"))
+        .where(F.col("delay_days") >= 60)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+            F.max("delay_days").cast("long").alias("max_delay_days"),
+        )
+    )

@@ -738,3 +738,82 @@ def st13_stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_rejected") / F.sum("n_new").cast("double"), 6
         ).alias("rejection_rate"),
     )
+
+
+# --- ST14: watermarked stream-stream LEFT OUTER interval join ----------------------
+# st6's missing half: the clicks that did NOT convert. An outer
+# stream-stream join exercises a state shape the inner join never does —
+# a buffered left row must be HELD until the watermark proves no future
+# purchase can match (wm past c_ts + the interval upper bound), and only
+# then emits with a NULL right side. That eviction rule is exactly
+# restatable in SQL: the final watermark of a bounded run is
+# min(max click ts, max purchase ts) − 10 min (two inputs, default
+# min-policy), so the oracle emits NULL rows only for unmatched clicks
+# whose c_ts + 1 h sits strictly before it — clicks inside the tail
+# horizon stay buffered forever on a stream that ends, and the oracle
+# says so rather than pretending the batch LEFT JOIN's tail. State is
+# bounded by the same rule that makes the result checkable: every
+# buffered click expires 1 h + 10 min past its event time.
+@query(
+    "st14_stream_outer_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL 10 MINUTE AS w
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+             AS secs_to_purchase
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS secs_to_purchase
+    FROM c CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+      AND c.ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def st14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user_id = p_user_id AND
+            p_ts > c_ts AND
+            p_ts <= c_ts + interval 1 hour
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("secs_to_purchase"),
+    )
+    return run_bounded(joined, "st14_out", output_mode="append")

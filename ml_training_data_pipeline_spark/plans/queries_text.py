@@ -2313,3 +2313,136 @@ def mix7_target_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shortfall"),
     )
+
+
+# --- MIX8: epoch-aware upsampling (repeat factors, materialized) -------------------
+# mix7's other half: when the mixture policy allows REPETITION, short
+# sources are brought toward the largest source's token mass by integer
+# epoch factors — ceil(max_tokens / n_tokens), capped at 4 epochs (past
+# ~4 repeats additional epochs of the same data stop buying quality;
+# the cap is the standard data-constrained-scaling rule of thumb). The
+# epochs are integer-exact on both engines ((max + n − 1) div n — no
+# float ceil), and the Spark side MATERIALIZES the repetition with
+# explode(sequence(1, epochs)) — the operator a real epoching export
+# runs — then re-aggregates the exploded frame, so the oracle's closed
+# arithmetic (n_tokens × epochs) checks that the explosion was exactly
+# epochs-fold, no row lost or doubled. At 100 TB the explode is
+# narrow (no shuffle): each partition fans out locally and the writer
+# consumes it; only the |sources|-sized report aggregates shuffle.
+@query(
+    "mix8_epoch_upsampling",
+    oracle=f"""
+    WITH {toks_cte()},
+    per_src AS (
+      SELECT d.source, count(*) AS n_docs, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(max(n_tokens) AS BIGINT) AS max_tokens FROM per_src),
+    e AS (
+      SELECT p.source, p.n_docs, p.n_tokens,
+             least(CAST((t.max_tokens + p.n_tokens - 1) // p.n_tokens AS BIGINT), 4)
+               AS epochs
+      FROM per_src p CROSS JOIN tot t
+    ),
+    z AS (SELECT CAST(sum(n_tokens * epochs) AS BIGINT) AS z FROM e)
+    SELECT e.source, e.n_docs, e.n_tokens, e.epochs,
+           CAST(e.n_docs * e.epochs AS BIGINT) AS eff_docs,
+           CAST(e.n_tokens * e.epochs AS BIGINT) AS eff_tokens,
+           round(CAST(e.n_tokens * e.epochs AS DOUBLE) / z.z, 6) AS eff_share
+    FROM e CROSS JOIN z
+    """,
+)
+def mix8_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    with_tokens = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("doc_tokens")
+    )
+    per_src = with_tokens.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_tokens").cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(F.max("n_tokens").cast("long").alias("max_tokens"))
+    epochs = per_src.crossJoin(F.broadcast(tot)).select(  # singleton max row
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.expr("(max_tokens + n_tokens - 1) div n_tokens"), F.lit(4)
+        ).cast("long").alias("epochs"),
+    )
+    # materialize the repetition: one output row per (doc, epoch) — the
+    # physical form an epoching export writes
+    repeated = with_tokens.join(F.broadcast(epochs), "source").select(
+        "source", "doc_tokens", F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch")
+    )
+    eff = repeated.groupBy("source").agg(
+        F.count("*").cast("long").alias("eff_docs"),
+        F.sum("doc_tokens").cast("long").alias("eff_tokens"),
+    )
+    z = eff.agg(F.sum("eff_tokens").cast("long").alias("z"))
+    return (
+        epochs.join(eff, "source")
+        .crossJoin(F.broadcast(z))  # singleton normalizer row
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "epochs",
+            "eff_docs",
+            "eff_tokens",
+            F.round(F.col("eff_tokens").cast("double") / F.col("z"), 6).alias("eff_share"),
+        )
+    )
+
+
+# --- V15: subword fertility per language (tokenizer-efficiency monitor) ------------
+# The serving-time tokenizer audit: per language, how many subword
+# tokens the pretokenizer spends per whitespace word (fertility) and how
+# many characters each subword carries. High fertility on a language
+# means the vocabulary under-serves it — THE standard equity metric when
+# one tokenizer feeds a multilingual corpus (v12's coverage curve is the
+# vocab-size face of the same question; x6 is the raw count this derives
+# from). Pure column algebra over one scan — two parity-proven bridges
+# (the whitespace tokenizer and the x6 subword regex), integer sums
+# until the final divisions.
+@query(
+    "v15_subword_fertility",
+    oracle=f"""
+    WITH {toks_cte()},
+    per_doc AS (
+      SELECT d.lang, len(t.toks) AS n_words,
+             len(regexp_extract_all(d.text, '{_SUBWORD_PATTERN.replace("'", "''")}')) AS n_subwords,
+             d.n_chars
+      FROM toks t JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+           round(CAST(sum(n_subwords) AS DOUBLE) / sum(n_words), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_subwords), 6) AS chars_per_subword
+    FROM per_doc GROUP BY lang
+    """,
+)
+def v15_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_PATTERN), 0))
+        .cast("long")
+        .alias("n_subwords"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.round(F.sum("n_subwords").cast("double") / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_subwords"), 6).alias(
+            "chars_per_subword"
+        ),
+    )

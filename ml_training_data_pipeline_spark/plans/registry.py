@@ -44,14 +44,15 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-10 PREFIX (50), exactly as pre-staged by the round-9 rotation
-    # comment and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ...
-    # s18) plus the 5 round-10 additions (n17, st13, s19, cur12, cur13)
-    # — every one oracle-verified driver-style from /tmp at sf0.01
-    # before its commit; (b) the 26 r5-era names (x1 ... ep3 — the
-    # stalest driver rows); (c) the first 11 of the r6-checked tail
-    # (x8 ... m4) to fill 50 (v5 sits at position 51: unchanged, r6
-    # driver row, locally parity-tested every round).
+    # ROUND-10 PREFIX (50), as pre-staged by the round-9 rotation comment
+    # and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ... s18) plus
+    # the 10 round-10 additions (n17, st13, s19, cur12, cur13, h20, w17,
+    # mix8, v15, st14) — every one oracle-verified driver-style from /tmp
+    # at sf0.01 before its commit; (b) the 26 r5-era names (x1 ... ep3 —
+    # the stalest driver rows); (c) the first 6 of the r6-checked tail
+    # (x8 ... h2) to fill 50 (v1/c1/m2/l1/m4/v5 sit at positions 51-56:
+    # unchanged, r6 driver rows, locally parity-tested every round; the
+    # round-11 rotation below re-fronts them).
     # Names whose implementation changed in round 10 but sit beyond
     # the prefix — d3/d4/cur3/cur10/d10/cur2/d17/d11/cur5 (band_sig →
     # 60-bit long), ep5/ep7/st10/ep6 (fingerprint_pair), ep8
@@ -65,6 +66,8 @@ PRIORITY: tuple[str, ...] = (
     "n17_ann_hard_negatives", "st13_stream_neardup_admission",
     "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
     "cur13_decontamination_sweep",
+    "h20_late_shipping_priority", "w17_trailing_range_stats",
+    "mix8_epoch_upsampling", "v15_subword_fertility", "st14_stream_outer_join",
     "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
     "w1_tumbling_window_agg", "w2_sessionization",
     "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
@@ -77,17 +80,20 @@ PRIORITY: tuple[str, ...] = (
     "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
     "x8_approx_profile", "cur1_corpus_curation", "d5_simhash",
     "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
-    "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
+    "h2_revenue_per_nation",
+    # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
+    # order): (a) any round-11 additions, (b) the six r6-tail names the
+    # round-10 additions displaced from the prefix (v1 ... v5, first
+    # below), (c) the round-10 changed-implementation names that did not
+    # get an r10 driver row — d3_lsh_candidate_pairs, d4_minhash_dedup,
+    # cur3_decontaminate, d10_neardup_components, cur2_component_survivors,
+    # d17_lsh_precision, ep5_dedup_split_shards, ep7_dataset_card,
+    # st10_stream_dedup_gate, ep6_stream_ingest_gate, ep8_drift_report —
+    # (d) the r6-tail remainder below (x5 ... d9, 38 names) in listed
+    # order to fill 50.
+    "v1_tfidf_ngram", "c1_cluster_term_scores",
     "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",
     "v5_pos_keywords",
-    # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
-    # order): (a) any round-11 additions, (b) the round-10
-    # changed-implementation names that did not get an r10 driver row —
-    # d3_lsh_candidate_pairs, d4_minhash_dedup, cur3_decontaminate,
-    # d10_neardup_components, cur2_component_survivors, d17_lsh_precision,
-    # ep5_dedup_split_shards, ep7_dataset_card, st10_stream_dedup_gate,
-    # ep6_stream_ingest_gate, ep8_drift_report — (c) the r6-tail
-    # remainder below (x5 ... d9, 38 names) in listed order to fill 50.
     "x5_corpus_profile", "s3_csv_chunk_roundtrip", "s7_inline_table",
     "p8_threshold_bands", "w4_argmax_per_group", "u2_vocab_intersection",
     "g1_rollup_totals", "l2_cluster_labels", "st3_stream_enrich",

@@ -1,0 +1,168 @@
+"""Round-10 additions, second batch: invariants for h20 (Q12-shape
+conditional counts), w17 (RANGE-frame rolling stats — including the
+gap-thinning semantics that distinguish RANGE from ROWS), mix8
+(epoch-aware upsampling), v15 (subword fertility) and st14 (stream-stream
+LEFT OUTER join with watermark eviction). Oracle parity for all five is
+covered by tests/test_oracle_parity.py; these pin the semantic contracts
+a hash match alone would not explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_DIR
+
+
+# --- h20: late-shipping priority counts ---------------------------------------
+
+
+def test_h20_counts_reconcile_with_plain_filter(spark):
+    rows = entry_mod.queries()["h20_late_shipping_priority"](spark, SF_DIR).collect()
+    assert {r.l_linestatus for r in rows} <= {"F", "O"}
+    total = sum(r.high_line_count + r.low_line_count for r in rows)
+    # recount the gated join without the CASE split — the two conditional
+    # counts must partition it exactly
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    delay = F.floor(
+        (F.col("l_shipdate").cast("double") - F.col("o_orderdate").cast("double")) / 86400.0
+    )
+    n = l.join(o, l.l_orderkey == o.o_orderkey).where(delay >= 60).count()
+    assert total == n > 0
+    assert all(r.max_delay_days >= 60 for r in rows)
+
+
+# --- w17: RANGE-frame rolling stats -------------------------------------------
+
+
+def test_w17_frame_invariants(spark):
+    rows = entry_mod.queries()["w17_trailing_range_stats"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.trail7_active_days <= 7
+        assert r.trail7_events >= r.n_events
+        assert r.trail7_peak >= r.n_events
+        assert abs(r.trail7_avg - round(r.trail7_events / 7.0, 6)) < 1e-9
+
+
+def test_w17_range_frame_thins_across_gaps(spark):
+    # THE semantic difference vs a ROWS frame: a day gap must shrink the
+    # trailing frame instead of silently reaching further back in time.
+    daily = spark.createDataFrame(
+        [("a", d, 10) for d in (1, 2, 3, 10, 11)], "event_type string, day long, c long"
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    got = {
+        r.day: (r.active, r.total)
+        for r in daily.select(
+            "day",
+            F.count("*").over(w).alias("active"),
+            F.sum("c").over(w).alias("total"),
+        ).collect()
+    }
+    # day 10: the frame covers days 4..10 — only day 10 itself is present
+    assert got[10] == (1, 10)
+    # day 11: days 5..11 — present days 10 and 11
+    assert got[11] == (2, 20)
+    # a ROWS frame would have kept all preceding rows in both frames
+    assert got[3] == (3, 30)
+
+
+# --- mix8: epoch-aware upsampling ---------------------------------------------
+
+
+def test_mix8_epoch_arithmetic_and_materialization(spark):
+    rows = entry_mod.queries()["mix8_epoch_upsampling"](spark, SF_DIR).collect()
+    assert rows
+    biggest = max(rows, key=lambda r: r.n_tokens)
+    assert biggest.epochs == 1, "the largest source is never upsampled"
+    max_tokens = biggest.n_tokens
+    for r in rows:
+        assert 1 <= r.epochs <= 4
+        # the exploded frame must be exactly epochs-fold
+        assert r.eff_docs == r.n_docs * r.epochs
+        assert r.eff_tokens == r.n_tokens * r.epochs
+        # epochs is the capped integer ceil of the shortfall ratio
+        want = min(4, -(-max_tokens // r.n_tokens))
+        assert r.epochs == want
+    assert abs(sum(r.eff_share for r in rows) - 1.0) < 1e-4
+
+
+# --- v15: subword fertility ----------------------------------------------------
+
+
+def test_v15_fertility_bounds(spark):
+    rows = entry_mod.queries()["v15_subword_fertility"](spark, SF_DIR).collect()
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    langs = {
+        r.lang
+        for r in load_table(spark, SF_DIR, "documents")
+        .where(F.col("text").isNotNull())
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r.lang for r in rows} == langs
+    for r in rows:
+        # every whitespace word yields at least one subword token
+        assert r.n_subwords >= r.n_words > 0
+        assert r.fertility >= 1.0
+        assert r.chars_per_subword > 0
+
+
+# --- st14: stream-stream LEFT OUTER join --------------------------------------
+
+
+def test_st14_outer_join_matches_batch_eviction_rule(spark):
+    out = entry_mod.queries()["st14_stream_outer_join"](spark, SF_DIR)
+    got_inner = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in out.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    got_null = {
+        (r.user_id, r.click_id) for r in out.where(F.col("purchase_id").isNull()).collect()
+    }
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour"))
+    )
+    want_inner = {
+        (r.cu, r.click_id, r.purchase_id) for r in c.join(p, cond, "inner").collect()
+    }
+    assert got_inner == want_inner, "non-null rows are exactly the batch inner join"
+
+    # the eviction rule: unmatched clicks emit NULL iff their join window
+    # closed strictly before the final watermark (min of both inputs' max
+    # event time, minus the 10-minute delay)
+    wm = min(
+        c.agg(F.max("cts")).collect()[0][0], p.agg(F.max("pts")).collect()[0][0]
+    )
+    import datetime
+
+    horizon = wm - datetime.timedelta(minutes=10) - datetime.timedelta(hours=1)
+    unmatched = c.join(p, cond, "left_anti")
+    want_null = {
+        (r.cu, r.click_id) for r in unmatched.where(F.col("cts") < F.lit(horizon)).collect()
+    }
+    assert got_null == want_null
+    # sanity: the stream really did emit NULL-side rows, and really did
+    # hold back the tail-horizon clicks
+    assert want_null
+    assert unmatched.count() > len(want_null)
