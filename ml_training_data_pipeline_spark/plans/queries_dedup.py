@@ -18,6 +18,7 @@ from ..operators.dedup import (
     lsh_bands,
     lsh_bands_from_wide,
     lsh_candidate_pairs,
+    md5_long,
     minhash_dedup,
     minhash_signatures,
     minhash_wide,
@@ -1687,4 +1688,131 @@ def cur13_decontamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(dropped, 1).otherwise(0)) / F.count("*").cast("double"), 6
         ).alias("drop_rate"),
+    )
+
+
+# --- CUR14: Bloom-filter decontamination screen + false-positive audit --------------
+# cur3's broadcast-set decontamination ships the eval shingle SET to
+# every executor; at a 100 TB probe volume the cheaper artifact is a
+# Bloom BITSET — K=3 md5-derived positions over M=8192 bits. One-sided
+# error is the contract under audit: every exact-contaminated doc must
+# be bloom-flagged (a shared shingle's bits are set by construction —
+# no false negatives), and the per-source excess n_bloom_flagged −
+# n_exact_flagged is the collateral a lossy screen would discard — the
+# v8/d16/n11 estimator-audit discipline, measured instead of assumed.
+# Sizing rule the config encodes: at ~80 probes/doc, doc-level fp ≈
+# 80·fill^K, so M ≈ 30×|eval shingles| with K=3 keeps it in the
+# few-percent range — exactly where the sf0.01 fixture lands (~270 eval
+# shingles → 9% fill → a handful of false-pos docs). A real eval set is
+# a FIXED benchmark suite, so M is sized once; the %97 testdata slice
+# grows with sf, so larger fixtures deliberately show the saturation
+# failure mode the audit exists to catch. Scale shape: the bitset is
+# ≤ M rows broadcast into K LEFT SEMI probes on the train shingle
+# stream (at deployment: a literal bitmask in a closure — same plan,
+# fewer rows); exact ground truth rides cur3's broadcast join;
+# everything aggregates map-side on doc_id then source. Positions reuse
+# the minhash_wide seed-hash bridge (md5_long(i||':'||shingle)), so
+# both engines compute bit-identical filters.
+@query(
+    "cur14_bloom_decontamination",
+    oracle=f"""
+    WITH {_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    bits AS (
+      SELECT DISTINCT {H60.format(x="k.i::VARCHAR || ':' || ev.shingle::VARCHAR")} % 8192 AS bit
+      FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) k
+    ),
+    nb AS (SELECT count(*) AS bits_set FROM bits),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    probe AS (
+      SELECT doc_id,
+             {H60.format(x="'0:' || shingle::VARCHAR")} % 8192 AS b0,
+             {H60.format(x="'1:' || shingle::VARCHAR")} % 8192 AS b1,
+             {H60.format(x="'2:' || shingle::VARCHAR")} % 8192 AS b2
+      FROM train
+    ),
+    bloom_docs AS (
+      SELECT DISTINCT doc_id FROM probe
+      WHERE b0 IN (SELECT bit FROM bits) AND b1 IN (SELECT bit FROM bits)
+        AND b2 IN (SELECT bit FROM bits)
+    ),
+    exact_docs AS (SELECT DISTINCT t.doc_id FROM train t JOIN ev USING (shingle)),
+    base AS (
+      SELECT d.source,
+             CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_bloom,
+             CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+      FROM documents d
+      LEFT JOIN bloom_docs b USING (doc_id)
+      LEFT JOIN exact_docs e USING (doc_id)
+      WHERE d.text IS NOT NULL AND d.doc_id % 97 <> 0
+    )
+    SELECT base.source,
+           count(*) AS n_train_docs,
+           CAST(sum(is_bloom) AS BIGINT) AS n_bloom_flagged,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact_flagged,
+           CAST(sum(is_bloom) - sum(is_exact) AS BIGINT) AS n_false_pos,
+           round((sum(is_bloom) - sum(is_exact))
+                 / CAST(count(*) - sum(is_exact) AS DOUBLE), 6) AS fp_doc_rate,
+           CAST(any_value(nb.bits_set) AS BIGINT) AS bits_set
+    FROM base CROSS JOIN nb
+    GROUP BY base.source
+    """,
+)
+def cur14_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    M, K = 8192, 3
+
+    def pos(i: int) -> F.Column:
+        return (
+            md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle").cast("string"))) % M
+        ).alias(f"b{i}")
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_eval = F.col("doc_id") % 97 == 0
+    # one shingle build, three consumers (eval bits, exact truth, train probes)
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    bits = (
+        sh.where(is_eval)
+        .select(F.explode(F.array(*[pos(i) for i in range(K)])).alias("bit"))
+        .distinct()
+    )
+    nb = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    train = sh.where(~is_eval)
+    probe = train.select("doc_id", *[pos(i) for i in range(K)])
+    for i in range(K):  # one broadcast LEFT SEMI per hash function
+        probe = probe.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"b{i}"))), f"b{i}", "left_semi"
+        )
+    bloom_docs = probe.select("doc_id").distinct().withColumn("is_bloom", F.lit(1))
+    exact_docs = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+    base = (
+        docs.where(~is_eval)
+        .select("doc_id", "source")
+        .join(bloom_docs, "doc_id", "left")
+        .join(exact_docs, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("is_bloom", F.lit(0)).alias("is_bloom"),
+            F.coalesce("is_exact", F.lit(0)).alias("is_exact"),
+        )
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum("is_bloom").cast("long").alias("n_bloom_flagged"),
+            F.sum("is_exact").cast("long").alias("n_exact_flagged"),
+            (F.sum("is_bloom") - F.sum("is_exact")).cast("long").alias("n_false_pos"),
+            F.round(
+                (F.sum("is_bloom") - F.sum("is_exact"))
+                / (F.count("*") - F.sum("is_exact")).cast("double"),
+                6,
+            ).alias("fp_doc_rate"),
+        )
+        .crossJoin(F.broadcast(nb))  # singleton fill-level row
     )

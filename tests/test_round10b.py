@@ -166,3 +166,21 @@ def test_st14_outer_join_matches_batch_eviction_rule(spark):
     # hold back the tail-horizon clicks
     assert want_null
     assert unmatched.count() > len(want_null)
+
+
+# --- cur14: Bloom decontamination screen --------------------------------------
+
+
+def test_cur14_one_sided_error_and_fill(spark):
+    rows = entry_mod.queries()["cur14_bloom_decontamination"](spark, SF_DIR).collect()
+    assert rows
+    bits = {r.bits_set for r in rows}
+    assert len(bits) == 1 and 0 < bits.pop() <= 8192
+    total_exact = sum(r.n_exact_flagged for r in rows)
+    assert total_exact > 0, "the %97 eval slice must contaminate something"
+    for r in rows:
+        # the one-sided-error contract: a Bloom filter can over-flag but
+        # never under-flag
+        assert r.n_bloom_flagged >= r.n_exact_flagged
+        assert r.n_false_pos == r.n_bloom_flagged - r.n_exact_flagged >= 0
+        assert r.n_train_docs >= r.n_bloom_flagged
