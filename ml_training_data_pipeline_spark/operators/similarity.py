@@ -503,3 +503,130 @@ def multi_table_lsh_topk(
     chance to co-bucket a true neighbor)."""
     cands = multi_table_candidates(vectors, queries, plane_tables, vec_col, id_col)
     return rank_topk(score_pairs(vectors, queries, cands, vec_col, id_col), k)
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 123,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Product-quantization index build: split each d-dim vector into
+    ``m`` contiguous subvectors and fit an independent ``ksub``-centroid
+    KMeans codebook per subspace (seeded per subspace — deterministic
+    across runs/retries). A vector's code is its m nearest-centroid ids:
+    m·log2(ksub) bits (8×4 = 4 bytes here) standing in for d floats —
+    the 64× compression that lets a 100 TB embedding corpus serve ANN
+    from memory, one tier beyond n10's int8 (8×) scalar quantization.
+    Build cost is m small fits over the SAME cached projection; encode
+    is m model.transforms joined back on vec_id. Returns
+    (codebooks[j][code] -> centroid, encoded (vec_id, j, code) long
+    frame)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    d = base.select(F.size("vec")).first()[0]  # bounded scalar: one row
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    base = base.localCheckpoint()  # m fits + m transforms share one materialization
+    books: list[list[list[float]]] = []
+    encoded_parts = []
+    for j in range(m):
+        feats = base.select(
+            "vec_id", F.slice("vec", j * sub + 1, sub).alias("s")
+        ).withColumn("features", array_to_vector(F.col("s")))
+        model = KMeans(
+            k=ksub, seed=seed + j, featuresCol="features", predictionCol="code"
+        ).fit(feats)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+        encoded_parts.append(
+            model.transform(feats).select(
+                "vec_id", F.lit(j).alias("j"), F.col("code").cast("int").alias("code")
+            )
+        )
+    encoded = encoded_parts[0]
+    for part in encoded_parts[1:]:
+        encoded = encoded.unionAll(part)
+    return books, encoded
+
+
+def pq_adc_scores(
+    books: list[list[list[float]]],
+    encoded: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) scoring off a PRE-BUILT PQ index: the
+    query stays full-precision, the corpus is codes. The classic ADC
+    lookup table is built RELATIONALLY — per (query, subspace, code) the
+    partial inner product ⟨q_j, c_{j,code}⟩ (Q·m·ksub rows, tiny,
+    broadcast) — then scoring is pure ADDITION: each corpus code row
+    joins its LUT entry and a groupBy(query, vec) sums m partials. No
+    full-precision corpus vector is ever touched at probe time (the
+    entire point of PQ); the corpus-side norm is likewise reconstructed
+    from per-(j,code) centroid norms so the ranking metric is
+    approximate COSINE, matching the exact baseline it is audited
+    against. Returns (query_id, neighbor_id, approx_cos)."""
+    spark = queries.sparkSession
+    m = len(books)
+    ksub = len(books[0])
+    sub = len(books[0][0])
+    book_rows = [
+        (j, c, books[j][c], float(sum(x * x for x in books[j][c])))
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    book_df = spark.createDataFrame(
+        book_rows, "j int, code int, cvec array<double>, cnorm2 double"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).select(
+        "query_id",
+        norm(F.col("qvec")).alias("qnrm"),
+        F.posexplode(
+            F.array(*[F.slice("qvec", j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "qslice"),
+    )
+    lut = q.join(F.broadcast(book_df), "j").select(
+        "query_id",
+        "qnrm",
+        "j",
+        "code",
+        "cnorm2",
+        dot(F.col("qslice"), F.col("cvec")).alias("pdot"),
+    )
+    return (
+        encoded.join(F.broadcast(lut), ["j", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum("pdot") / (F.sqrt(F.sum("cnorm2")) * F.first("qnrm")), 6
+            ).alias("approx_cos")
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_cos")
+    )
+
+
+def pq_adc_topk(
+    books: list[list[list[float]]],
+    encoded: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query top-k over ``pq_adc_scores`` — the PQ serving call.
+    Returns (query_id, neighbor_id, approx_cos, rank)."""
+    scored = pq_adc_scores(books, encoded, queries, vec_col, id_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )

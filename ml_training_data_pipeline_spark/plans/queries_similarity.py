@@ -1112,3 +1112,63 @@ def n17_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("overlap_at_5"),
     )
+
+
+# --- N18: product-quantization ADC recall + distortion audit ------------------------
+# The compression tier beyond n10's int8 (8×): PQ stores m·log2(ksub)
+# bits per 64-dim vector — the layout that lets a 100 TB embedding
+# corpus serve ANN from memory. Estimator-audit discipline
+# (v8/d16/n11/n15): the PQ-ADC top-5 is measured against n1-style
+# exact cosine ground truth per query — recall@5 — and the score
+# fidelity is measured directly as the mean |approx_cos − exact_cos|
+# over each query's true top-5 (the distortion recall alone hides: a
+# ranking can survive scores that drifted). Config = m=16 × ksub=16
+# (8 bytes/vec, 32×), the measured knee of the byte-budget sweep on
+# this space at sf0.01: 4 B (m8·k16) recall 0.24 → 8 B (m16·k16) 0.46
+# → 12 B (m16·k64) 0.62 → 8 B (m8·k256) 0.70 — richer codebooks over
+# coarser subspaces beat more subspaces at equal bytes, but ksub=256
+# needs a corpus ≫ codebook (not true of the smallest fixture), so the
+# shipped default is the scale-safe 8-byte config and the sweep is the
+# recorded evidence for raising ksub at deployment. Rows-only (two
+# KMeans layers inside; DuckDB cannot restate fitted codebooks);
+# determinism + bounds pinned in tests/test_round10b.py. Scale shape:
+# the index build is m small fits over one cached projection; serving
+# touches only the codes and a broadcast Q·m·ksub lookup table —
+# additions, no corpus-side float math.
+@query("n18_pq_adc_audit")
+def n18_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_scores, pq_codebooks, rank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, probes, k=5).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+    books, encoded = pq_codebooks(emb, m=16, ksub=16, seed=123)
+    scored = pq_adc_scores(books, encoded, probes).localCheckpoint()  # 2 consumers
+    approx = rank_topk(
+        scored.select("query_id", "neighbor_id", F.col("approx_cos").alias("cos_sim")),
+        k=5,
+    ).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    ).join(scored, ["query_id", "neighbor_id"], "left")
+    return hit.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall_at_5"),
+        F.round(F.avg(F.abs(F.col("approx_cos") - F.col("cos_sim"))), 6).alias(
+            "mean_cos_err"
+        ),
+    )

@@ -168,6 +168,32 @@ def test_st14_outer_join_matches_batch_eviction_rule(spark):
     assert unmatched.count() > len(want_null)
 
 
+# --- n18: product-quantization ADC audit --------------------------------------
+
+
+def test_n18_pq_shapes_and_audit_bounds(spark):
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.similarity import pq_codebooks
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    books, encoded = pq_codebooks(emb, m=16, ksub=16, seed=123)
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 4 for b in books for c in b), "64 dims / 16 subspaces"
+    enc = encoded.collect()
+    assert len(enc) == 16 * n, "one code row per (vector, subspace)"
+    assert all(0 <= r.code < 16 for r in enc)
+
+    rows = entry_mod.queries()["n18_pq_adc_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.n_exact == 5 for r in rows)
+    assert all(0.0 <= r.recall_at_5 <= 1.0 for r in rows)
+    assert sum(r.n_hit for r in rows) > 0, "PQ must beat zero recall"
+    # score fidelity: reconstructed-cosine drift stays small on the true
+    # top-5 (measured ~0.03-0.11 across fixtures; 0.25 is the alarm bound)
+    assert all(r.mean_cos_err < 0.25 for r in rows)
+
+
 # --- cur14: Bloom decontamination screen --------------------------------------
 
 
