@@ -2396,6 +2396,86 @@ def mix8_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- EP9: the unified mixture roadmap (one policy table, one scan) -----------------
+# mix7 (downsample-only) and mix8 (integer epochs) are the two halves of
+# the decision a data roadmap actually publishes; this composite unifies
+# them: per source, the raw weight toward a uniform token target
+# w = target/current, clamped by the 4-epoch repetition cap, then
+# DECOMPOSED into what an export executes — floor(w) full epochs plus a
+# deterministic sample at rate frac(w) on the last partial epoch
+# (w < 1 ⇒ zero full epochs, pure downsample at rate w). The achieved
+# share and per-source shortfall against target close the loop: sources
+# pinned at the cap show exactly how far uniform is unreachable without
+# new data. ONE corpus scan: the per-source aggregate is checkpointed at
+# |sources| rows and every downstream branch (totals, weights,
+# normalizer) reuses it — the ep4/ep8 fusion discipline, pinned by a
+# plan test asserting the final plan touches no parquet.
+@query(
+    "ep9_mixture_roadmap",
+    oracle=f"""
+    WITH {toks_cte()},
+    per_src AS (
+      SELECT d.source, count(*) AS n_docs, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n, count(*) AS n_src FROM per_src),
+    w AS (
+      SELECT p.source, p.n_docs, p.n_tokens,
+             least((t.n / CAST(t.n_src AS DOUBLE)) / p.n_tokens, 4.0) AS w_eff,
+             1.0 / t.n_src AS target_share
+      FROM per_src p CROSS JOIN tot t
+    ),
+    z AS (SELECT CAST(sum(w_eff * n_tokens) AS DOUBLE) AS z FROM w)
+    SELECT w.source, w.n_docs, w.n_tokens,
+           round(w.w_eff, 6) AS weight,
+           CAST(floor(w.w_eff) AS BIGINT) AS full_epochs,
+           round(w.w_eff - floor(w.w_eff), 6) AS last_epoch_rate,
+           round(w.w_eff * w.n_tokens, 6) AS eff_tokens,
+           round(w.w_eff * w.n_tokens / z.z, 6) AS achieved_share,
+           round(w.target_share - w.w_eff * w.n_tokens / z.z, 6) AS shortfall
+    FROM w CROSS JOIN z
+    """,
+)
+def ep9_mixture_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # |sources|-sized; materialized ONCE so the three downstream branches
+    # (totals, weights, normalizer) cannot re-scan the corpus
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint()
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("n"), F.count("*").alias("n_src")
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(  # singleton totals row
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            (F.col("n") / F.col("n_src").cast("double")) / F.col("n_tokens"), F.lit(4.0)
+        ).alias("w_eff"),
+        (F.lit(1.0) / F.col("n_src")).alias("target_share"),
+    )
+    z = w.agg(F.sum(F.col("w_eff") * F.col("n_tokens")).cast("double").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(  # singleton normalizer row
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("w_eff", 6).alias("weight"),
+        F.floor("w_eff").cast("long").alias("full_epochs"),
+        F.round(F.col("w_eff") - F.floor("w_eff"), 6).alias("last_epoch_rate"),
+        F.round(F.col("w_eff") * F.col("n_tokens"), 6).alias("eff_tokens"),
+        F.round(F.col("w_eff") * F.col("n_tokens") / F.col("z"), 6).alias(
+            "achieved_share"
+        ),
+        F.round(
+            F.col("target_share") - F.col("w_eff") * F.col("n_tokens") / F.col("z"), 6
+        ).alias("shortfall"),
+    )
+
+
 # --- V15: subword fertility per language (tokenizer-efficiency monitor) ------------
 # The serving-time tokenizer audit: per language, how many subword
 # tokens the pretokenizer spends per whitespace word (fertility) and how

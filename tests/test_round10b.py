@@ -168,6 +168,33 @@ def test_st14_outer_join_matches_batch_eviction_rule(spark):
     assert unmatched.count() > len(want_null)
 
 
+# --- ep9: unified mixture roadmap ---------------------------------------------
+
+
+def test_ep9_policy_decomposition_and_single_scan(spark):
+    df = entry_mod.queries()["ep9_mixture_roadmap"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0.0 < r.weight <= 4.0
+        # the export decomposition: weight = full epochs + last-epoch rate
+        assert abs(r.weight - (r.full_epochs + r.last_epoch_rate)) < 2e-6
+        assert 0.0 <= r.last_epoch_rate < 1.0
+        # uncapped sources land exactly on target mass
+        if r.weight < 4.0:
+            assert abs(r.eff_tokens - target) < 1.0
+    assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-4
+    # fusion discipline: the corpus is scanned ONCE — at the per-source
+    # localCheckpoint (a linear scan→groupBy plan), after which the three
+    # downstream branches (totals, weights, normalizer) read the
+    # |sources|-sized checkpoint, so the final plan touches no parquet
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 0, "branches must reuse the checkpoint"
+    assert "Scan ExistingRDD" in plan
+
+
 # --- n18: product-quantization ADC audit --------------------------------------
 
 
