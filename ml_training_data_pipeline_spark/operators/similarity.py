@@ -573,6 +573,33 @@ def pq_adc_scores(
     from per-(j,code) centroid norms so the ranking metric is
     approximate COSINE, matching the exact baseline it is audited
     against. Returns (query_id, neighbor_id, approx_cos)."""
+    lut = _pq_query_lut(books, queries, vec_col, id_col)
+    return (
+        encoded.join(F.broadcast(lut), ["j", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum("pdot") / (F.sqrt(F.sum("cnorm2")) * F.first("qnrm")), 6
+            ).alias("approx_cos")
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_cos")
+    )
+
+
+def _pq_query_lut(
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ADC lookup table: per (query, subspace, code), the partial
+    inner product ⟨q_j, c_{j,code}⟩ plus the codeword's squared norm —
+    Q·m·ksub rows, the only place query floats meet codebook floats.
+    Shared by flat-PQ scoring (pq_adc_scores) and IVF-PQ probing
+    (ivfpq_topk, whose queries are residual-shifted per probed cell are
+    NOT needed for inner product: ⟨q, c_cell + r⟩ splits into
+    ⟨q, c_cell⟩ + ⟨q, r⟩, so the residual LUT uses the raw query)."""
     spark = queries.sparkSession
     m = len(books)
     ksub = len(books[0])
@@ -594,24 +621,13 @@ def pq_adc_scores(
             F.array(*[F.slice("qvec", j * sub + 1, sub) for j in range(m)])
         ).alias("j", "qslice"),
     )
-    lut = q.join(F.broadcast(book_df), "j").select(
+    return q.join(F.broadcast(book_df), "j").select(
         "query_id",
         "qnrm",
         "j",
         "code",
         "cnorm2",
         dot(F.col("qslice"), F.col("cvec")).alias("pdot"),
-    )
-    return (
-        encoded.join(F.broadcast(lut), ["j", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.round(
-                F.sum("pdot") / (F.sqrt(F.sum("cnorm2")) * F.first("qnrm")), 6
-            ).alias("approx_cos")
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_cos")
     )
 
 
@@ -626,6 +642,131 @@ def pq_adc_topk(
     """Per-query top-k over ``pq_adc_scores`` — the PQ serving call.
     Returns (query_id, neighbor_id, approx_cos, rank)."""
     scored = pq_adc_scores(books, encoded, queries, vec_col, id_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_index(
+    vectors: DataFrame,
+    nlist: int = 16,
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 123,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame, DataFrame]:
+    """The FAISS-style IVF-PQ index build: a coarse KMeans quantizer
+    assigns each vector to one of ``nlist`` cells, then PQ codebooks are
+    fitted on the RESIDUALS (vec − cell center) — residuals concentrate
+    around zero with far less variance than raw vectors, so the same
+    byte budget quantizes them with less distortion (the reason IVF-PQ
+    beats flat PQ at equal bytes, which n19 measures rather than
+    asserts). One codebook set is shared across cells (the standard
+    layout — per-cell codebooks would be nlist× the training and LUT
+    cost). Returns (cell centers, residual codebooks,
+    cellmap (vec_id, cell), encoded (vec_id, j, code))."""
+    centers, assigned = ivf_assignments(vectors, nlist, seed, vec_col, id_col)
+    spark = vectors.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+    )
+    residuals = assigned.join(F.broadcast(centers_df), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("vec", "center", lambda x, y: x - y).alias("rvec"),
+    )
+    books, encoded = pq_codebooks(
+        residuals, m=m, ksub=ksub, seed=seed + 1000, vec_col="rvec", id_col="vec_id"
+    )
+    return centers, books, assigned.select("vec_id", "cell"), encoded
+
+
+def ivfpq_topk(
+    centers: list[list[float]],
+    books: list[list[list[float]]],
+    cellmap: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ADC top-k off a PRE-BUILT index: each query probes its
+    ``nprobe`` nearest cells and scores ONLY their members, from codes —
+    the inverted-file pruning of n5 composed with the no-float-corpus
+    scoring of n18, i.e. the production 100 TB serving shape. The inner
+    product splits exactly: ⟨q, c_cell + r_v⟩ = ⟨q, c_cell⟩ (Q×nprobe
+    tiny join) + ⟨q, r_v⟩ (the residual LUT); the corpus-side norm is
+    reconstructed as ‖c_cell‖² + Σ_j(2⟨c_cell,j, r̂_j⟩ + ‖r̂_j‖²) where
+    the cell×codebook cross terms are precomputed driver-side
+    (nlist·m·ksub rows, broadcast) — so ranking is approximate cosine,
+    comparable to every other tier's audit. Returns
+    (query_id, neighbor_id, approx_cos, rank)."""
+    spark = queries.sparkSession
+    m = len(books)
+    ksub = len(books[0])
+    sub = len(books[0][0])
+    # per-cell squared norms and cell×(j,code) cross terms — tiny, exact,
+    # deterministic (pure python double math over fitted constants)
+    cell_rows = [(i, float(sum(x * x for x in c))) for i, c in enumerate(centers)]
+    cell_df = spark.createDataFrame(cell_rows, "cell int, cellnorm2 double")
+    cross_rows = [
+        (
+            i,
+            j,
+            c,
+            float(
+                sum(
+                    centers[i][j * sub + t] * books[j][c][t] for t in range(sub)
+                )
+            ),
+        )
+        for i in range(len(centers))
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    cross_df = spark.createDataFrame(cross_rows, "cell int, j int, code int, cdot double")
+    probes = (
+        _query_cell_ranks(centers, queries, vec_col, id_col)
+        .where(F.col("p") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    # ⟨q, c_cell⟩ per (query, probed cell): Q×nprobe rows
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+    )
+    qc = probes.join(F.broadcast(centers_df), "cell").select(
+        "query_id", "cell", dot(F.col("qvec"), F.col("center")).alias("qcdot")
+    )
+    lut = _pq_query_lut(books, queries, vec_col, id_col)
+    cand = (
+        cellmap.join(F.broadcast(qc), "cell")  # inverted-file pruning
+        .join(encoded, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "j", "code"])
+        .join(F.broadcast(cross_df), ["cell", "j", "code"])
+        .join(F.broadcast(cell_df), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = (
+        cand.groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                (F.first("qcdot") + F.sum("pdot"))
+                / (
+                    F.sqrt(
+                        F.first("cellnorm2")
+                        + F.sum(F.lit(2.0) * F.col("cdot") + F.col("cnorm2"))
+                    )
+                    * F.first("qnrm")
+                ),
+                6,
+            ).alias("approx_cos")
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k

@@ -1172,3 +1172,75 @@ def n18_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cos_err"
         ),
     )
+
+
+# --- N19: IVF-PQ — the production index layout, audited -----------------------------
+# The tier the similarity family was building toward: n5's inverted-file
+# pruning (scan nprobe/nlist of the corpus) composed with n18's
+# product-quantized scoring (no corpus floats at probe time), with PQ
+# fitted on RESIDUALS (vec − cell center) — the FAISS IVFPQ layout that
+# serves billion-vector corpora from memory. The audit measures, per
+# query, recall@5 vs exact brute force AND the candidate count the
+# inverted file actually scanned (the cost face). Measured at sf0.01,
+# same 8-byte budget as n18: the losses COMPOSE — n15's IVF ceiling at
+# nprobe=8 (0.88) × flat-PQ score quality (0.46) predicts ≈0.40, and
+# 0.40 is what IVF-PQ measures, scanning 57–77% of the corpus (cells
+# are skewed on this space). The residual-variance win FAISS sees on
+# clustered real embeddings does NOT materialize on this near-uniform
+# synthetic space — which is precisely what an estimator audit is for:
+# n19 is the query a deployment reruns on ITS embeddings before
+# trusting the layout, with nlist√N-scaling and nprobe as the recall
+# lever. Fully deterministic (seeded coarse + subspace fits); rows-only
+# (two fitted KMeans layers); bounds and pruning invariants in
+# tests/test_round10b.py.
+@query("n19_ivfpq_audit")
+def n19_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_index, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    centers, books, cellmap, encoded = ivfpq_index(
+        emb, nlist=16, m=16, ksub=16, seed=123
+    )
+    cellmap = cellmap.localCheckpoint()  # 2 consumers: scoring + cost count
+    encoded = encoded.localCheckpoint()
+    approx = ivfpq_topk(centers, books, cellmap, encoded, probes, nprobe=8, k=5)
+    # the cost face: how many corpus vectors each query's probed cells hold
+    from ..operators.similarity import _query_cell_ranks
+
+    probed = (
+        _query_cell_ranks(centers, probes)
+        .where(F.col("p") <= 8)
+        .select("query_id", "cell")
+    )
+    cell_sizes = cellmap.groupBy("cell").agg(F.count("*").alias("n_in_cell"))
+    cost = (
+        probed.join(F.broadcast(cell_sizes), "cell")
+        .groupBy("query_id")
+        .agg(F.sum("n_in_cell").cast("long").alias("n_candidates"))
+    )
+    hit = exact.join(
+        approx.select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        ),
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .join(cost, "query_id")
+    )

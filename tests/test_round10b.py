@@ -221,6 +221,24 @@ def test_n18_pq_shapes_and_audit_bounds(spark):
     assert all(r.mean_cos_err < 0.25 for r in rows)
 
 
+# --- n19: IVF-PQ audit ---------------------------------------------------------
+
+
+def test_n19_ivfpq_bounds_and_pruning(spark):
+    from ml_training_data_pipeline_spark.io.sources import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    rows = entry_mod.queries()["n19_ivfpq_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.n_exact == 5 for r in rows)
+    assert all(0.0 <= r.recall_at_5 <= 1.0 for r in rows)
+    assert sum(r.n_hit for r in rows) > 0
+    for r in rows:
+        # the inverted file must actually prune: probed cells hold fewer
+        # vectors than the corpus, and at least one candidate
+        assert 0 < r.n_candidates < n
+
+
 # --- cur14: Bloom decontamination screen --------------------------------------
 
 
