@@ -505,6 +505,41 @@ def multi_table_lsh_topk(
     return rank_topk(score_pairs(vectors, queries, cands, vec_col, id_col), k)
 
 
+def _make_codebook_fitter(ksub: int, seed: int, iters: int = 20):
+    """The per-subspace Lloyd's fit behind ``pq_codebooks``, exposed as a
+    factory so determinism is unit-testable: rows are sorted by vec_id
+    before any sampling or mean (so partitioning/arrival order cannot
+    change the result), inits draw from RandomState(seed + subspace),
+    argmin ties break to the lowest code, and empty clusters re-seed
+    from the same RandomState in fixed loop order."""
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["s"].to_numpy())
+        j = int(pdf["j"].iloc[0])
+        rng = np.random.RandomState(seed + j)
+        n = len(X)
+        k = min(ksub, n)
+        centers = X[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            dists = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+            assign = dists.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                centers[c] = X[mask].mean(axis=0) if mask.any() else X[rng.randint(n)]
+        return pd.DataFrame(
+            {
+                "j": j,
+                "code": range(k),
+                "cvec": [[float(x) for x in c] for c in centers],
+            }
+        )
+
+    return fit
+
+
 def pq_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -515,43 +550,56 @@ def pq_codebooks(
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """Product-quantization index build: split each d-dim vector into
     ``m`` contiguous subvectors and fit an independent ``ksub``-centroid
-    KMeans codebook per subspace (seeded per subspace — deterministic
-    across runs/retries). A vector's code is its m nearest-centroid ids:
-    m·log2(ksub) bits (8×4 = 4 bytes here) standing in for d floats —
-    the 64× compression that lets a 100 TB embedding corpus serve ANN
-    from memory, one tier beyond n10's int8 (8×) scalar quantization.
-    Build cost is m small fits over the SAME cached projection; encode
-    is m model.transforms joined back on vec_id. Returns
-    (codebooks[j][code] -> centroid, encoded (vec_id, j, code) long
-    frame)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    codebook per subspace. A vector's code is its m nearest-centroid
+    ids: m·log2(ksub) bits (16×4 = 8 bytes at the n18 config) standing
+    in for d floats — the compression that lets a 100 TB embedding
+    corpus serve ANN from memory, one tier beyond n10's int8 (8×)
+    scalar quantization. Execution is SURVEY §4's many-small-fits
+    strategy: ONE slice-explode shuffle groups the corpus by subspace,
+    then all m Lloyd's fits run concurrently inside a single
+    applyInPandas pass (deterministic per-subspace seeds; 16 sequential
+    MLlib fits measured ~8× slower on the same data). Encoding is
+    relational: nearest code per (vector, subspace) via a broadcast
+    codebook join + min(struct(dist, code)) — no per-model transform
+    round trips. Returns (codebooks[j][code] -> centroid,
+    encoded (vec_id, j, code) long frame)."""
     base = vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
     )
     d = base.select(F.size("vec")).first()[0]  # bounded scalar: one row
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     sub = d // m
-    base = base.localCheckpoint()  # m fits + m transforms share one materialization
-    books: list[list[list[float]]] = []
-    encoded_parts = []
-    for j in range(m):
-        feats = base.select(
-            "vec_id", F.slice("vec", j * sub + 1, sub).alias("s")
-        ).withColumn("features", array_to_vector(F.col("s")))
-        model = KMeans(
-            k=ksub, seed=seed + j, featuresCol="features", predictionCol="code"
-        ).fit(feats)
-        books.append([list(map(float, c)) for c in model.clusterCenters()])
-        encoded_parts.append(
-            model.transform(feats).select(
-                "vec_id", F.lit(j).alias("j"), F.col("code").cast("int").alias("code")
-            )
+    # one long frame, two consumers (fit + encode)
+    slices = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("vec", j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "s"),
+    ).localCheckpoint()
+    book_df = (
+        slices.groupBy("j")
+        .applyInPandas(
+            _make_codebook_fitter(ksub, seed), "j int, code int, cvec array<double>"
         )
-    encoded = encoded_parts[0]
-    for part in encoded_parts[1:]:
-        encoded = encoded.unionAll(part)
+        .localCheckpoint()  # consumers: the collect below + the encode join
+    )
+    rows = book_df.collect()  # bounded: m × ksub codebook rows
+    by_j: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_j.setdefault(r.j, {})[r.code] = list(r.cvec)
+    books = [[by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)]
+    sq = F.aggregate(
+        F.zip_with(F.col("s"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    encoded = (
+        slices.join(F.broadcast(book_df), "j")
+        .select("vec_id", "j", "code", sq.alias("dist"))
+        .groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select("vec_id", "j", F.col("best.code").alias("code"))
+    )
     return books, encoded
 
 

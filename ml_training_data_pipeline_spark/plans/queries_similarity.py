@@ -1124,8 +1124,8 @@ def n17_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over each query's true top-5 (the distortion recall alone hides: a
 # ranking can survive scores that drifted). Config = m=16 × ksub=16
 # (8 bytes/vec, 32×), the measured knee of the byte-budget sweep on
-# this space at sf0.01: 4 B (m8·k16) recall 0.24 → 8 B (m16·k16) 0.46
-# → 12 B (m16·k64) 0.62 → 8 B (m8·k256) 0.70 — richer codebooks over
+# this space at sf0.01: 4 B (m8·k16) recall 0.28 → 8 B (m16·k16) 0.46
+# → 12 B (m16·k64) 0.62 → 8 B (m8·k256) 0.66 — richer codebooks over
 # coarser subspaces beat more subspaces at equal bytes, but ksub=256
 # needs a corpus ≫ codebook (not true of the smallest fixture), so the
 # shipped default is the scale-safe 8-byte config and the sweep is the
@@ -1184,7 +1184,7 @@ def n18_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inverted file actually scanned (the cost face). Measured at sf0.01,
 # same 8-byte budget as n18: the losses COMPOSE — n15's IVF ceiling at
 # nprobe=8 (0.88) × flat-PQ score quality (0.46) predicts ≈0.40, and
-# 0.40 is what IVF-PQ measures, scanning 57–77% of the corpus (cells
+# 0.38 is what IVF-PQ measures, scanning 57–77% of the corpus (cells
 # are skewed on this space). The residual-variance win FAISS sees on
 # clustered real embeddings does NOT materialize on this near-uniform
 # synthetic space — which is precisely what an estimator audit is for:

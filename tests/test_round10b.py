@@ -211,6 +211,11 @@ def test_n18_pq_shapes_and_audit_bounds(spark):
     assert len(enc) == 16 * n, "one code row per (vector, subspace)"
     assert all(0 <= r.code < 16 for r in enc)
 
+    # determinism under reconfiguration: the in-UDF vec_id sort makes the
+    # codebooks independent of partitioning/arrival order
+    books2, _ = pq_codebooks(emb.repartition(7), m=16, ksub=16, seed=123)
+    assert books == books2
+
     rows = entry_mod.queries()["n18_pq_adc_audit"](spark, SF_DIR).collect()
     assert len(rows) == 10
     assert all(r.n_exact == 5 for r in rows)
