@@ -293,3 +293,31 @@ def test_s17_report_joins_all_broadcast(spark):
     plan = explain_str(spark, "s17_tombstone_delete")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_h20_join_broadcasts_with_residual_predicate(spark):
+    # the Q12 shape: orders broadcasts into lineitem with the day-gap
+    # predicate as a JOIN RESIDUAL (it references both sides, so it can
+    # never push to a scan — but it must not force a sort-merge or a
+    # second filter stage), and both scans carry only their 3 referenced
+    # columns.
+    import re
+
+    plan = explain_str(spark, "h20_late_shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [{c.split(":")[0] for c in s.split(",") if c} for s in schemas]
+    assert {"l_orderkey", "l_linestatus", "l_shipdate"} in cols, schemas
+    assert {"o_orderkey", "o_orderdate", "o_orderpriority"} in cols, schemas
+
+
+def test_w17_window_rides_the_daily_grain(spark):
+    # the RANGE frame must sit on the (type, day) aggregate — ONE
+    # corpus-sized shuffle (the groupBy); the window's exchange moves
+    # only |types|x|days| rows. A plan where Window precedes the
+    # HashAggregate would roll the frame over raw events.
+    plan = explain_str(spark, "w17_trailing_range_stats")
+    agg = plan.index("HashAggregate")
+    win = plan.index("Window")
+    assert agg > win, "formatted plan lists Window above (after) the aggregate"
