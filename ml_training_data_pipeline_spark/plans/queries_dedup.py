@@ -1816,3 +1816,97 @@ def cur14_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(nb))  # singleton fill-level row
     )
+
+
+def _band_config_cte(r: int) -> str:
+    """bands/candidates CTE pair for one (rows_per_band = r) config over
+    the shared 8-hash signature — the d3 SQL parameterized on r."""
+    sig = H60.format(x="string_agg(min_hash::VARCHAR, ',' ORDER BY seed)")
+    return f"""
+    bands_{r} AS (
+      SELECT doc_id, CAST(floor(seed / {r}.0) AS INT) AS band,
+             {sig} AS band_sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed / {r}.0) AS INT)
+    ),
+    cand_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{r} a JOIN bands_{r} b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def _band_config_select(r: int) -> str:
+    b = 8 // r
+    return f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           (SELECT count(*) FROM cand_{r}) AS n_candidates,
+           (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand_{r} c JOIN truth t
+             ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit,
+           round((SELECT count(*) FROM cand_{r} c JOIN truth t
+                   ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 / CAST((SELECT count(*) FROM cand_{r}) AS DOUBLE), 6) AS precision_,
+           round((SELECT count(*) FROM cand_{r} c JOIN truth t
+                   ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall
+    """
+
+
+# --- D20: LSH band-configuration sweep (the S-curve, measured) ----------------------
+# d3/d4 serve at (bands=4, rows_per_band=2) — this query measures WHY,
+# the d19/n13/n15 knob-audit discipline applied to LSH's central
+# parameter. Over the SAME 8-hash signature, three band layouts —
+# (8,1), (4,2), (2,4) — trade candidate volume against recall along the
+# S-curve P(candidate) = 1 − (1 − J^r)^b: more, shorter bands catch
+# lower-Jaccard pairs (recall↑, precision↓ — more verification cost);
+# fewer, longer bands prune harder. Ground truth = the full
+# inverted-index Jaccard join at threshold 0.5 (d7's machinery).
+# Per config: candidate count, hits, precision (the verification-cost
+# face d17 profiles) and recall (the miss face). One signature build,
+# one truth build, three cheap band projections — at 100 TB the sweep
+# costs three extra groupBy's over an 8-column frame, which is why a
+# deployment can afford to MEASURE its config instead of trusting the
+# formula's independence assumptions (shingle hashes are not
+# independent; the measured curve is the real one).
+@query(
+    "d20_lsh_band_sweep",
+    oracle=f"""
+    WITH {_MINHASH},
+    {_JACCARD},
+    truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+    {",".join(_band_config_cte(r) for r in (1, 2, 4))}
+    {" UNION ALL ".join(_band_config_select(r) for r in (1, 2, 4))}
+    """,
+)
+def d20_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, k=3).localCheckpoint()  # signature + truth share it
+    wide = minhash_wide(sh, num_hashes=8).localCheckpoint()  # 3 band projections
+    truth = (
+        jaccard_pairs(sh, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # joined by all 3 configs
+    )
+    n_true = truth.count()
+    parts = []
+    for r in (1, 2, 4):
+        cands = lsh_candidate_pairs(lsh_bands_from_wide(wide, rows_per_band=r))
+        agg = cands.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        n_cand = cands.count()
+        parts.append(
+            agg.select(
+                F.lit(8 // r).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(n_cand).cast("long").alias("n_candidates"),
+                F.lit(n_true).cast("long").alias("n_true"),
+                F.col("n_hit"),
+                F.round(F.col("n_hit") / F.lit(float(n_cand)), 6).alias("precision_"),
+                F.round(F.col("n_hit") / F.lit(float(n_true)), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

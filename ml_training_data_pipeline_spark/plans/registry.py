@@ -69,7 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "h20_late_shipping_priority", "w17_trailing_range_stats",
     "mix8_epoch_upsampling", "v15_subword_fertility", "st14_stream_outer_join",
     "cur14_bloom_decontamination", "n18_pq_adc_audit", "ep9_mixture_roadmap",
-    "n19_ivfpq_audit",
+    "n19_ivfpq_audit", "d20_lsh_band_sweep",
     "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
     "w1_tumbling_window_agg", "w2_sessionization",
     "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
@@ -80,17 +80,18 @@ PRIORITY: tuple[str, ...] = (
     "g2_event_type_pivot", "s8_partitioned_sink_roundtrip",
     "j6_range_band_join", "u3_union_mixed_schemas",
     "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
-    "x8_approx_profile", "cur1_corpus_curation",
+    "x8_approx_profile",
     # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
-    # order): (a) any round-11 additions, (b) the ten r6-tail names the
-    # round-10 additions displaced from the prefix (d5 ... v5, first
-    # below), (c) the round-10 changed-implementation names that did not
+    # order): (a) any round-11 additions, (b) the eleven r6-tail names
+    # the round-10 additions displaced from the prefix (cur1 ... v5,
+    # first below), (c) the round-10 changed-implementation names that did not
     # get an r10 driver row — d3_lsh_candidate_pairs, d4_minhash_dedup,
     # cur3_decontaminate, d10_neardup_components, cur2_component_survivors,
     # d17_lsh_precision, ep5_dedup_split_shards, ep7_dataset_card,
     # st10_stream_dedup_gate, ep6_stream_ingest_gate, ep8_drift_report —
     # (d) the r6-tail remainder below (x5 ... d9, 38 names) in listed
     # order to fill 50.
+    "cur1_corpus_curation",
     "d5_simhash", "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
     "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
     "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",

@@ -226,6 +226,30 @@ def test_n18_pq_shapes_and_audit_bounds(spark):
     assert all(r.mean_cos_err < 0.25 for r in rows)
 
 
+# --- d20: LSH band-configuration sweep ----------------------------------------
+
+
+def test_d20_scurve_monotonicity(spark):
+    rows = {
+        r.rows_per_band: r
+        for r in entry_mod.queries()["d20_lsh_band_sweep"](spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert {rows[r].n_true for r in rows} == {rows[1].n_true}, "one shared truth set"
+    for r in rows.values():
+        assert r.bands * r.rows_per_band == 8
+        assert 0 <= r.n_hit <= min(r.n_candidates, r.n_true)
+        assert 0.0 <= r.precision_ <= 1.0 and 0.0 <= r.recall <= 1.0
+    # structural containment: a matching r=2k band implies both its r=k
+    # halves match, so cand(4) ⊆ cand(2) ⊆ cand(1) — candidate volume
+    # and recall are non-increasing in r BY CONSTRUCTION; precision's
+    # monotonicity is the empirical S-curve shape on this corpus
+    assert rows[1].n_candidates >= rows[2].n_candidates >= rows[4].n_candidates
+    assert rows[1].precision_ <= rows[2].precision_ <= rows[4].precision_
+    assert rows[1].recall >= rows[2].recall >= rows[4].recall
+    assert rows[1].n_candidates > rows[1].n_hit, "r=1 must over-generate"
+
+
 # --- n19: IVF-PQ audit ---------------------------------------------------------
 
 
