@@ -1910,3 +1910,104 @@ def d20_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --- CUR15: decontamination impact on the mixture ----------------------------------
+# cur3 flags, cur13 sweeps the knob — cur15 answers the question the
+# mixture owner asks AFTER the policy is chosen (K = 2 here, the
+# mid-sweep setting): what does dropping the flagged docs do to the
+# SOURCE MIXTURE? Contamination is never uniform across sources, so
+# decontamination silently reweights the corpus; this report shows each
+# source's doc/token loss and its mixture share before vs after — the
+# shift ep9's roadmap must be recomputed against. Two corpus scans
+# (shingle stream + token counts), the tfidf_long/d4 measured trade:
+# checkpointing corpus text costs what the re-scan costs locally and
+# flips only at deployment scale. Flagging rides cur3's broadcast
+# eval-shingle join; everything after is per-source arithmetic.
+@query(
+    "cur15_decontamination_impact",
+    oracle=f"""
+    WITH {_SHINGLES},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    flagged AS (
+      SELECT s.doc_id FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id HAVING count(*) >= 2
+    ),
+    counted AS (
+      SELECT d.doc_id, d.source, len(t.toks) AS n_tokens,
+             CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_flagged
+      FROM toks t JOIN documents d USING (doc_id)
+      LEFT JOIN flagged f ON f.doc_id = d.doc_id
+      WHERE d.doc_id % 97 <> 0
+    ),
+    per_src AS (
+      SELECT source,
+             count(*) AS docs_before,
+             CAST(count(*) - sum(is_flagged) AS BIGINT) AS docs_after,
+             CAST(sum(n_tokens) AS BIGINT) AS toks_before,
+             CAST(sum(CASE WHEN is_flagged = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS toks_after
+      FROM counted GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(toks_before) AS DOUBLE) AS tb, CAST(sum(toks_after) AS DOUBLE) AS ta
+      FROM per_src
+    )
+    SELECT p.source, p.docs_before, p.docs_after, p.toks_before, p.toks_after,
+           round(1.0 - p.toks_after / CAST(p.toks_before AS DOUBLE), 6) AS token_loss_frac,
+           round(p.toks_before / t.tb, 6) AS share_before,
+           round(p.toks_after / t.ta, 6) AS share_after,
+           round(p.toks_after / t.ta - p.toks_before / t.tb, 6) AS share_shift
+    FROM per_src p CROSS JOIN tot t
+    """,
+)
+def cur15_decontamination_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = doc_shingles(docs, k=3)
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    flagged = (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("doc_id")
+        .withColumn("is_flagged", F.lit(1))
+    )
+    counted = (
+        docs.where(~is_eval)
+        .select("doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "source", "n_tokens", F.coalesce("is_flagged", F.lit(0)).alias("is_flagged")
+        )
+    )
+    keep_toks = F.when(F.col("is_flagged") == 0, F.col("n_tokens")).otherwise(0)
+    per_src = counted.groupBy("source").agg(
+        F.count("*").alias("docs_before"),
+        (F.count("*") - F.sum("is_flagged")).cast("long").alias("docs_after"),
+        F.sum("n_tokens").cast("long").alias("toks_before"),
+        F.sum(keep_toks).cast("long").alias("toks_after"),
+    )
+    tot = per_src.agg(
+        F.sum("toks_before").cast("double").alias("tb"),
+        F.sum("toks_after").cast("double").alias("ta"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(  # singleton totals row
+        "source",
+        "docs_before",
+        "docs_after",
+        "toks_before",
+        "toks_after",
+        F.round(1.0 - F.col("toks_after") / F.col("toks_before").cast("double"), 6).alias(
+            "token_loss_frac"
+        ),
+        F.round(F.col("toks_before") / F.col("tb"), 6).alias("share_before"),
+        F.round(F.col("toks_after") / F.col("ta"), 6).alias("share_after"),
+        F.round(
+            F.col("toks_after") / F.col("ta") - F.col("toks_before") / F.col("tb"), 6
+        ).alias("share_shift"),
+    )

@@ -257,3 +257,80 @@ def l4_llm_cache_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("pk")) / F.count("*").cast("double"), 6
         ).alias("hit_rate"),
     )
+
+
+# --- L5: batched-inference plan (token-budgeted request packing) -------------------
+# The serving-side lever after l4's cache: providers price and rate-limit
+# per REQUEST as well as per token, so an enrichment pass packs many
+# prompts into one batched call. This query materializes that plan —
+# pack1's greedy running-total assignment applied to the prompt-token
+# stream, per language (batches never mix languages: the prompt template
+# and downstream parsing are per-locale), 2048 prompt tokens per batch —
+# and reports the request-count reduction the packing buys. Token
+# accounting is l3's chars/4 proxy over the SAME prompt constructor the
+# enrichment path uses. Scale shape identical to pack1: one window per
+# lang partition, no global sort; the batch plan is itself the exportable
+# work-queue table a batch-inference runner consumes.
+@query(
+    "l5_batched_inference_plan",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang,
+             CAST(ceil(length('{TOPIC_PROMPT_PREFIX}' || text) / 4.0) AS BIGINT) AS p_toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    packed AS (
+      SELECT lang, doc_id, p_toks,
+             CAST(floor((sum(p_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - p_toks) / 2048.0) AS BIGINT) AS batch_id
+      FROM counted
+    ),
+    batches AS (
+      SELECT lang, batch_id, count(*) AS n_prompts, CAST(sum(p_toks) AS BIGINT) AS batch_toks
+      FROM packed GROUP BY lang, batch_id
+    )
+    SELECT lang,
+           CAST(sum(n_prompts) AS BIGINT) AS n_docs,
+           count(*) AS n_batches,
+           CAST(sum(n_prompts) - count(*) AS BIGINT) AS calls_saved,
+           round((sum(n_prompts) - count(*)) / CAST(sum(n_prompts) AS DOUBLE), 6)
+             AS saved_frac,
+           round(CAST(sum(batch_toks) AS DOUBLE) / count(*), 6) AS avg_batch_tokens
+    FROM batches GROUP BY lang
+    """,
+)
+def l5_batched_inference_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.llm import topic_prompt
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.length(topic_prompt(F.col("text"))) / 4.0).cast("long").alias("p_toks"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = counted.select(
+        "lang",
+        "p_toks",
+        F.floor((F.sum("p_toks").over(w) - F.col("p_toks")) / 2048.0)
+        .cast("long")
+        .alias("batch_id"),
+    )
+    batches = packed.groupBy("lang", "batch_id").agg(
+        F.count("*").alias("n_prompts"), F.sum("p_toks").cast("long").alias("batch_toks")
+    )
+    return batches.groupBy("lang").agg(
+        F.sum("n_prompts").cast("long").alias("n_docs"),
+        F.count("*").alias("n_batches"),
+        (F.sum("n_prompts") - F.count("*")).cast("long").alias("calls_saved"),
+        F.round(
+            (F.sum("n_prompts") - F.count("*")) / F.sum("n_prompts").cast("double"), 6
+        ).alias("saved_frac"),
+        F.round(F.sum("batch_toks").cast("double") / F.count("*"), 6).alias(
+            "avg_batch_tokens"
+        ),
+    )

@@ -46,13 +46,12 @@ def query(name: str, oracle: str | None = None):
 PRIORITY: tuple[str, ...] = (
     # ROUND-10 PREFIX (50), as pre-staged by the round-9 rotation comment
     # and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ... s18) plus
-    # the 10 round-10 additions (n17, st13, s19, cur12, cur13, h20, w17,
-    # mix8, v15, st14) — every one oracle-verified driver-style from /tmp
-    # at sf0.01 before its commit; (b) the 26 r5-era names (x1 ... ep3 —
-    # the stalest driver rows); (c) the first 6 of the r6-checked tail
-    # (x8 ... h2) to fill 50 (v1/c1/m2/l1/m4/v5 sit at positions 51-56:
-    # unchanged, r6 driver rows, locally parity-tested every round; the
-    # round-11 rotation below re-fronts them).
+    # the 17 round-10 additions (n17 ... cur15) — every one
+    # oracle-verified driver-style from /tmp at sf0.01 before its
+    # commit; (b) 25 of the 26 r5-era names (x1 ... v4 — the stalest
+    # driver rows; ep3, 🔶 rows-only, overflowed to the round-11
+    # rotation along with the whole r6-checked tail x8 ... v5 —
+    # unchanged, locally parity-tested every round).
     # Names whose implementation changed in round 10 but sit beyond
     # the prefix — d3/d4/cur3/cur10/d10/cur2/d17/d11/cur5 (band_sig →
     # 60-bit long), ep5/ep7/st10/ep6 (fingerprint_pair), ep8
@@ -69,7 +68,8 @@ PRIORITY: tuple[str, ...] = (
     "h20_late_shipping_priority", "w17_trailing_range_stats",
     "mix8_epoch_upsampling", "v15_subword_fertility", "st14_stream_outer_join",
     "cur14_bloom_decontamination", "n18_pq_adc_audit", "ep9_mixture_roadmap",
-    "n19_ivfpq_audit", "d20_lsh_band_sweep",
+    "n19_ivfpq_audit", "d20_lsh_band_sweep", "l5_batched_inference_plan",
+    "cur15_decontamination_impact",
     "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
     "w1_tumbling_window_agg", "w2_sessionization",
     "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
@@ -82,9 +82,10 @@ PRIORITY: tuple[str, ...] = (
     "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
     "x8_approx_profile",
     # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
-    # order): (a) any round-11 additions, (b) the eleven r6-tail names
-    # the round-10 additions displaced from the prefix (cur1 ... v5,
-    # first below), (c) the round-10 changed-implementation names that did not
+    # order): (a) any round-11 additions, (b) the names the round-10
+    # additions displaced from the prefix — ep3 and x8 just above
+    # (positions 51-52), then the r6-tail cur1 ... v5 below —
+    # (c) the round-10 changed-implementation names that did not
     # get an r10 driver row — d3_lsh_candidate_pairs, d4_minhash_dedup,
     # cur3_decontaminate, d10_neardup_components, cur2_component_survivors,
     # d17_lsh_precision, ep5_dedup_split_shards, ep7_dataset_card,

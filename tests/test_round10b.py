@@ -226,6 +226,40 @@ def test_n18_pq_shapes_and_audit_bounds(spark):
     assert all(r.mean_cos_err < 0.25 for r in rows)
 
 
+# --- l5: batched-inference plan -------------------------------------------------
+
+
+def test_l5_batching_conserves_work(spark):
+    rows = entry_mod.queries()["l5_batched_inference_plan"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_batches <= r.n_docs
+        assert r.calls_saved == r.n_docs - r.n_batches
+        assert 0.0 <= r.saved_frac < 1.0
+        # batches aim at the 2048 budget; the cumulative assignment can
+        # overshoot by at most one doc's prompt, never undershoot to
+        # absurdity (each non-final batch carries >= one prompt)
+        assert r.avg_batch_tokens > 0
+    assert sum(r.calls_saved for r in rows) > 0, "batching must save requests"
+
+
+# --- cur15: decontamination impact ----------------------------------------------
+
+
+def test_cur15_conservation_and_shift(spark):
+    rows = entry_mod.queries()["cur15_decontamination_impact"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.docs_after <= r.docs_before
+        assert 0 <= r.toks_after <= r.toks_before
+        assert 0.0 <= r.token_loss_frac <= 1.0
+    assert sum(r.docs_before - r.docs_after for r in rows) > 0, "K=2 must drop docs"
+    # shares are distributions before AND after; shifts cancel globally
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_shift for r in rows)) < 1e-4
+
+
 # --- d20: LSH band-configuration sweep ----------------------------------------
 
 
