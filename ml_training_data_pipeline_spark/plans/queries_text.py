@@ -2278,10 +2278,12 @@ def mix7_target_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import token_count
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # |sources|-sized, materialized ONCE: the totals/weights/normalizer
+    # branches would otherwise each re-scan the corpus (the ep9 fix)
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint()
     tot = per_src.agg(
         F.sum("n_tokens").cast("long").alias("n"), F.count("*").alias("n_src")
     )
@@ -2356,12 +2358,14 @@ def mix8_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.analysis import token_count
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # per-doc token counts feed BOTH the per-source stats and the
+    # exploded repetition — one materialization, not two corpus scans
     with_tokens = docs.select(
         "doc_id", "source", token_count(F.col("text")).cast("long").alias("doc_tokens")
-    )
+    ).localCheckpoint()
     per_src = with_tokens.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("doc_tokens").cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint()  # |sources|-sized; epochs/report branches reuse it
     tot = per_src.agg(F.max("n_tokens").cast("long").alias("max_tokens"))
     epochs = per_src.crossJoin(F.broadcast(tot)).select(  # singleton max row
         "source",
