@@ -289,9 +289,27 @@ def lsh_admission_rejects(
     canonicalized (least/greatest) for ``jaccard_pairs``'s a < b order;
     the delta-side orientation is carried on the candidate row and
     recovered by joining verified pairs back, so membership — not any
-    doc_id parity convention — decides which side was the delta."""
+    doc_id parity convention — decides which side was the delta.
+
+    The id spaces need NOT be disjoint: a delta doc whose doc_id already
+    exists on the corpus side is rejected directly (``shingles`` is
+    keyed by doc_id, so a shared id IS identical content — Jaccard with
+    itself is 1, trivially over any threshold). Without this branch the
+    least/greatest canonicalization would collapse such a pair to
+    doc_a == doc_b, which jaccard_pairs's a < b filter silently drops —
+    re-ingesting a standing doc under its own id would be ADMITTED."""
+    same_id = (
+        delta_bands.select("delta_doc")
+        .join(
+            corpus_bands.select(F.col("corpus_doc").alias("delta_doc")),
+            "delta_doc",
+            "left_semi",
+        )
+        .distinct()
+    )
     cand = (
         delta_bands.join(corpus_bands, ["band", "band_sig"])
+        .where(F.col("delta_doc") != F.col("corpus_doc"))
         .select(
             "delta_doc",
             F.least("delta_doc", "corpus_doc").alias("doc_a"),
@@ -303,7 +321,12 @@ def lsh_admission_rejects(
         shingles, threshold=threshold, candidates=cand.select("doc_a", "doc_b")
     )
     # verified pairs are tiny — AQE broadcasts them onto the candidates
-    return ver.join(cand, ["doc_a", "doc_b"]).select("delta_doc").distinct()
+    return (
+        ver.join(cand, ["doc_a", "doc_b"])
+        .select("delta_doc")
+        .unionByName(same_id)
+        .distinct()
+    )
 
 
 def shingle_df_audit(shingles: DataFrame, cap: int = 20) -> DataFrame:

@@ -479,9 +479,14 @@ def score_pairs(
     )
 
 
-def rank_topk(scored: DataFrame, k: int = 5) -> DataFrame:
-    """Per-query rank filter over (query_id, neighbor_id, cos_sim)."""
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+def rank_topk(scored: DataFrame, k: int = 5, score_col: str = "cos_sim") -> DataFrame:
+    """Per-query rank filter over (query_id, neighbor_id, <score_col>) —
+    the ONE ranking idiom (desc score, asc neighbor_id tie-break) shared
+    by every exact and approximate serving path, so a tie-break or
+    k-semantics change can never drift between copies."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k
     )
@@ -547,6 +552,7 @@ def pq_codebooks(
     seed: int = 123,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_n: int = 65536,
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """Product-quantization index build: split each d-dim vector into
     ``m`` contiguous subvectors and fit an independent ``ksub``-centroid
@@ -558,10 +564,18 @@ def pq_codebooks(
     strategy: ONE slice-explode shuffle groups the corpus by subspace,
     then all m Lloyd's fits run concurrently inside a single
     applyInPandas pass (deterministic per-subspace seeds; 16 sequential
-    MLlib fits measured ~8× slower on the same data). Encoding is
-    relational: nearest code per (vector, subspace) via a broadcast
-    codebook join + min(struct(dist, code)) — no per-model transform
-    round trips. Returns (codebooks[j][code] -> centroid,
+    MLlib fits measured ~8× slower on the same data). The fit trains on
+    a BOUNDED deterministic sample of ``train_n`` vectors — the
+    smallest-``xxhash64(vec_id)`` prefix, so partitioning and arrival
+    order cannot change the selection — because applyInPandas
+    materializes a whole group in one task: ksub=16 needs thousands of
+    training points, not the corpus, and an unbounded fit group would
+    hold 1/m of all corpus floats in a single executor's pandas frame
+    at 100 TB (the standard FAISS practice: train on a sample, encode
+    everything). Encoding is relational over ALL rows: nearest code per
+    (vector, subspace) via a broadcast codebook join +
+    min(struct(dist, code)) — no per-model transform round trips.
+    Returns (codebooks[j][code] -> centroid,
     encoded (vec_id, j, code) long frame)."""
     base = vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
@@ -576,8 +590,17 @@ def pq_codebooks(
             F.array(*[F.slice("vec", j * sub + 1, sub) for j in range(m)])
         ).alias("j", "s"),
     ).localCheckpoint()
+    # bounded training sample: smallest-hash prefix of ids (TakeOrdered on
+    # a narrow projection — deterministic, partitioning-invariant, and a
+    # no-op whenever the corpus fits inside train_n, as every fixture does)
+    train_ids = (
+        base.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(train_n)
+    )
+    fit_slices = slices.join(F.broadcast(train_ids), "vec_id", "left_semi")
     book_df = (
-        slices.groupBy("j")
+        fit_slices.groupBy("j")
         .applyInPandas(
             _make_codebook_fitter(ksub, seed), "j int, code int, cvec array<double>"
         )
@@ -690,10 +713,7 @@ def pq_adc_topk(
     """Per-query top-k over ``pq_adc_scores`` — the PQ serving call.
     Returns (query_id, neighbor_id, approx_cos, rank)."""
     scored = pq_adc_scores(books, encoded, queries, vec_col, id_col)
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
-    )
+    return rank_topk(scored, k, score_col="approx_cos")
 
 
 def ivfpq_index(
@@ -704,6 +724,7 @@ def ivfpq_index(
     seed: int = 123,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_n: int = 65536,
 ) -> tuple[list[list[float]], list[list[list[float]]], DataFrame, DataFrame]:
     """The FAISS-style IVF-PQ index build: a coarse KMeans quantizer
     assigns each vector to one of ``nlist`` cells, then PQ codebooks are
@@ -726,7 +747,8 @@ def ivfpq_index(
         F.zip_with("vec", "center", lambda x, y: x - y).alias("rvec"),
     )
     books, encoded = pq_codebooks(
-        residuals, m=m, ksub=ksub, seed=seed + 1000, vec_col="rvec", id_col="vec_id"
+        residuals, m=m, ksub=ksub, seed=seed + 1000, vec_col="rvec",
+        id_col="vec_id", train_n=train_n,
     )
     return centers, books, assigned.select("vec_id", "cell"), encoded
 
@@ -815,7 +837,4 @@ def ivfpq_topk(
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
-    )
+    return rank_topk(scored, k, score_col="approx_cos")

@@ -1890,19 +1890,27 @@ def d20_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.count()
     parts = []
     for r in (1, 2, 4):
+        # ONE pass per config: candidate count and truth hits come from a
+        # single left join with a truth marker (truth is unique per pair),
+        # not a semi-join agg PLUS a separate count() — the expensive
+        # candidate self-join must execute once, not twice.
         cands = lsh_candidate_pairs(lsh_bands_from_wide(wide, rows_per_band=r))
-        agg = cands.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
-            F.count("*").cast("long").alias("n_hit")
+        stats = cands.join(
+            truth.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_hit"),
         )
-        n_cand = cands.count()
         parts.append(
-            agg.select(
+            stats.select(
                 F.lit(8 // r).cast("int").alias("bands"),
                 F.lit(r).cast("int").alias("rows_per_band"),
-                F.lit(n_cand).cast("long").alias("n_candidates"),
+                F.col("n_candidates"),
                 F.lit(n_true).cast("long").alias("n_true"),
                 F.col("n_hit"),
-                F.round(F.col("n_hit") / F.lit(float(n_cand)), 6).alias("precision_"),
+                F.round(
+                    F.col("n_hit") / F.col("n_candidates").cast("double"), 6
+                ).alias("precision_"),
                 F.round(F.col("n_hit") / F.lit(float(n_true)), 6).alias("recall"),
             )
         )

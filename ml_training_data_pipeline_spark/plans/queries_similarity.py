@@ -1146,10 +1146,7 @@ def n18_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books, encoded = pq_codebooks(emb, m=16, ksub=16, seed=123)
     scored = pq_adc_scores(books, encoded, probes).localCheckpoint()  # 2 consumers
-    approx = rank_topk(
-        scored.select("query_id", "neighbor_id", F.col("approx_cos").alias("cos_sim")),
-        k=5,
-    ).select(
+    approx = rank_topk(scored, k=5, score_col="approx_cos").select(
         F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
     )
     hit = exact.join(
