@@ -2019,3 +2019,107 @@ def cur15_decontamination_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("toks_after") / F.col("ta") - F.col("toks_before") / F.col("tb"), 6
         ).alias("share_shift"),
     )
+
+
+# --- CUR16: train/test split leakage via near-duplicates ----------------------------
+# The eval-integrity audit every serious pipeline runs BEFORE trusting a
+# benchmark number: cur3/cur13/cur14 decontaminate against an external
+# eval set, but a pipeline that carves its OWN held-out split from the
+# corpus leaks through near-duplicates — a test doc whose near-twin
+# stayed in train is partially memorized, and the benchmark silently
+# inflates (Lee et al., "Deduplicating Training Data Makes Language
+# Models Better"). cur9 already screens the conservative face (ANY
+# shared shingle with train); this query measures the face a benchmark
+# owner subtracts: NEAR-DUPLICATE leakage at the dedup serving config.
+# Split = doc_id % 10 (a stand-in for the real split key); leakage
+# detection is the SAME shared admission pipeline as
+# cur10/st13/cur12 — test-side bands probe the train-side band index on
+# the (band, band_sig) equi-join, candidate-scoped Jaccard >= 0.5 —
+# so the leakage definition can never diverge from the dedup serving
+# config. Reported per source (leakage is never uniform): leaked doc
+# count AND leaked token share of the test split — the number a
+# benchmark owner must subtract before reading an eval delta. Scale
+# shape: one shingle/band build over the whole corpus, split by key
+# afterwards; the only test×train contact is the banded equi-join.
+@query(
+    "cur16_neardup_split_leakage",
+    oracle=f"""
+    WITH {_BANDS},
+    xc AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    {_JACCARD},
+    leaked AS (
+      SELECT DISTINCT CASE WHEN j.doc_a % 10 = 0 THEN j.doc_a ELSE j.doc_b END AS doc_id
+      FROM jac j JOIN xc ON j.doc_a = xc.doc_a AND j.doc_b = xc.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    test AS (
+      SELECT d.doc_id, d.source, len(t.toks) AS ntok
+      FROM toks t JOIN documents d USING (doc_id)
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT s.source,
+           count(*) AS n_test,
+           count(l.doc_id) AS n_leaked,
+           round(count(l.doc_id) / CAST(count(*) AS DOUBLE), 6) AS leak_rate,
+           CAST(sum(s.ntok) AS BIGINT) AS test_tokens,
+           CAST(coalesce(sum(CASE WHEN l.doc_id IS NOT NULL THEN s.ntok END), 0) AS BIGINT)
+             AS leaked_tokens,
+           round(coalesce(sum(CASE WHEN l.doc_id IS NOT NULL THEN s.ntok END), 0)
+                 / CAST(sum(s.ntok) AS DOUBLE), 6) AS leaked_token_share
+    FROM test s LEFT JOIN leaked l ON l.doc_id = s.doc_id
+    GROUP BY s.source
+    """,
+)
+def cur16_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+    from ..operators.dedup import (
+        lsh_admission_rejects,
+        lsh_bands_from_wide,
+        minhash_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_test = F.col("doc_id") % 10 == 0
+    # one shingle/band build over BOTH splits (the cur10 checkpoint
+    # discipline), split by the holdout key afterwards; bands is itself
+    # checkpointed because the admission pipeline reads each side twice
+    # (same-id screen + band equi-join) — without it the minhash groupBy
+    # re-executes per consumer
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    bands = lsh_bands_from_wide(
+        minhash_wide(sh, num_hashes=8), rows_per_band=2
+    ).localCheckpoint()
+    tb = bands.where(is_test).select(
+        F.col("doc_id").alias("delta_doc"), "band", "band_sig"
+    )
+    rb = bands.where(~is_test).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    leaked = lsh_admission_rejects(tb, rb, sh, threshold=0.5).select(
+        F.col("delta_doc").alias("doc_id"), F.lit(1).alias("_l")
+    )
+    test = docs.where(is_test).select(
+        "doc_id", "source", token_count(F.col("text")).alias("ntok")
+    )
+    leaked_tok = F.when(F.col("_l").isNotNull(), F.col("ntok"))
+    return (
+        test.join(leaked, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.count("_l").cast("long").alias("n_leaked"),
+            F.round(F.count("_l") / F.count("*").cast("double"), 6).alias("leak_rate"),
+            F.sum("ntok").cast("long").alias("test_tokens"),
+            F.coalesce(F.sum(leaked_tok), F.lit(0)).cast("long").alias("leaked_tokens"),
+            F.round(
+                F.coalesce(F.sum(leaked_tok), F.lit(0))
+                / F.sum("ntok").cast("double"),
+                6,
+            ).alias("leaked_token_share"),
+        )
+    )

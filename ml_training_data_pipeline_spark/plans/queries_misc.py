@@ -2022,3 +2022,60 @@ def s19_textlines_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("src_file").endswith(".gz"), F.col("src_file"))
         ).alias("n_plain_files"),
     )
+
+
+# --- S20: schema-evolution read across ingest snapshots ------------------------------
+# The ingest-robustness face the format matrix (s3/s8/s18/s19) doesn't
+# cover: long-lived corpora GROW COLUMNS — early shards were written
+# before `lang` existed, later shards carry it — and a 100 TB re-read
+# must unify them without rewriting history. Spark's answer is
+# mergeSchema at the parquet source: snapshot directories become a
+# `snap` partition column, the union schema is reconciled per footer,
+# and rows from pre-`lang` shards surface NULL backfill. The audit
+# writes two real snapshot trees (snap=1 without `lang`, snap=2 with
+# it), re-reads the WRITTEN files (the s17/s19 readback discipline) and
+# proves the two behaviors a reader depends on: the partition column
+# materializes, and backfilled NULLs are exactly the old snapshot's row
+# count — so a silently-dropped column or a failed merge flips the hash
+# instead of shipping a corrupt union. Scale note: mergeSchema reads
+# EVERY footer at planning time; production pins the union schema
+# explicitly once known (.schema(...)) — this query is the audit that
+# derives it.
+@query(
+    "s20_schema_evolution_read",
+    oracle="""
+    WITH s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    s2 AS (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 1)
+    SELECT 1 AS snap,
+           count(*) AS n_rows,
+           count(*) AS n_lang_null,
+           CAST(0 AS BIGINT) AS n_distinct_lang
+    FROM s1
+    UNION ALL
+    SELECT 2 AS snap,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_null,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_lang
+    FROM s2
+    """,
+)
+def s20_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = scratch_dir(spark, "schemaevo", sf_dir)
+    docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(out_dir + "/snap=1")
+    docs.where(F.col("doc_id") % 3 == 1).select("doc_id", "source", "lang").write.mode(
+        "overwrite"
+    ).parquet(out_dir + "/snap=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    return (
+        merged.groupBy(F.col("snap").cast("int").alias("snap"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lang_null"),
+            F.count_distinct("lang").cast("long").alias("n_distinct_lang"),
+        )
+    )

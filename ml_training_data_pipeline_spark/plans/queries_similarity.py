@@ -1241,3 +1241,85 @@ def n19_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cost, "query_id")
     )
+
+
+# --- N20: embedding-space health audit ----------------------------------------------
+# The pre-flight every ANN tier (n1-n19) silently assumes: cosine
+# serving is meaningless if the embedding space is degenerate. Per
+# label: (a) mean per-vector L2 norm — proves the normalization
+# contract an IP-as-cosine index depends on (1.0 here; a drifted
+# encoder shows up as != 1 before any recall number moves); (b) the
+# label-centroid norm — mean of unit vectors has norm in [0, 1], 1 =
+# the label collapsed to a point, ~0 = no intra-label coherence at all
+# (the signal cur11's medoid selection and c-family centroids feed on);
+# (c) cosine of the label centroid to the GLOBAL centroid — the
+# anisotropy/hubness proxy (Ethayarajh 2019): centroids crowding one
+# cone means cosine contrast is compressed and every LSH/IVF audit
+# above will under-perform its theory. Exact and fully relational: ONE
+# posexplode to (label, dim) partial sums (|labels|×d rows — tiny at
+# any corpus size), the global centroid rolled up FROM those sums (no
+# second corpus scan), per-row norms map-side. 100 TB shape: two
+# shuffles, both keyed on domains independent of corpus row count.
+@query(
+    "n20_embedding_health",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    nrm AS (SELECT label, sqrt(list_sum([x*x for x in v])) AS nrm FROM e),
+    pl AS (SELECT label, count(*) AS n_vecs, avg(nrm) AS m_nrm FROM nrm GROUP BY label),
+    dims AS (
+      SELECT label, i, v[i] AS x FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    lab AS (SELECT label, i, sum(x) AS sx, count(*) AS cnt FROM dims GROUP BY label, i),
+    gc AS (SELECT i, sum(sx) / sum(cnt) AS g FROM lab GROUP BY i),
+    geo AS (
+      SELECT l.label,
+             sqrt(sum((l.sx / l.cnt) * (l.sx / l.cnt))) AS c_nrm,
+             sum((l.sx / l.cnt) * g.g) AS cg,
+             sqrt(sum(g.g * g.g)) AS g_nrm
+      FROM lab l JOIN gc g USING (i) GROUP BY l.label
+    )
+    SELECT p.label,
+           p.n_vecs,
+           round(p.m_nrm, 6) AS mean_norm,
+           round(geo.c_nrm, 6) AS centroid_norm,
+           round(geo.cg / (geo.c_nrm * geo.g_nrm), 6) AS cos_to_global
+    FROM pl p JOIN geo USING (label)
+    """,
+)
+def n20_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    )
+    per_label = emb.select("label", norm(F.col("v")).alias("nrm")).groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"), F.avg("nrm").alias("m_nrm")
+    )
+    # ONE explode to (label, dim) partial sums; the global centroid is a
+    # rollup OF those sums — never a second pass over the vectors
+    lab = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("cnt"))
+        .localCheckpoint()  # consumers: label centroids + global rollup
+    )
+    glob = lab.groupBy("i").agg((F.sum("sx") / F.sum("cnt")).alias("g"))
+    geo = (
+        lab.select("label", "i", (F.col("sx") / F.col("cnt")).alias("c"))
+        .join(glob, "i")
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("c_nrm"),
+            F.sum(F.col("c") * F.col("g")).alias("cg"),
+            F.sqrt(F.sum(F.col("g") * F.col("g"))).alias("g_nrm"),
+        )
+    )
+    return per_label.join(geo, "label").select(
+        "label",
+        "n_vecs",
+        F.round("m_nrm", 6).alias("mean_norm"),
+        F.round("c_nrm", 6).alias("centroid_norm"),
+        F.round(F.col("cg") / (F.col("c_nrm") * F.col("g_nrm")), 6).alias(
+            "cos_to_global"
+        ),
+    )

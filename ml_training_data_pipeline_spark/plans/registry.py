@@ -46,7 +46,8 @@ def query(name: str, oracle: str | None = None):
 PRIORITY: tuple[str, ...] = (
     # ROUND-10 PREFIX (50), as pre-staged by the round-9 rotation comment
     # and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ... s18) plus
-    # the 17 round-10 additions (n17 ... cur15) — every one
+    # 17 of the 20 round-10 additions (n17 ... cur15; the 3 post-review
+    # additions cur16/n20/s20 lead the round-11 rotation) — every one
     # oracle-verified driver-style from /tmp at sf0.01 before its
     # commit; (b) 25 of the 26 r5-era names (x1 ... v4 — the stalest
     # driver rows; ep3, 🔶 rows-only, overflowed to the round-11
@@ -82,16 +83,21 @@ PRIORITY: tuple[str, ...] = (
     "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
     "x8_approx_profile",
     # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
-    # order): (a) any round-11 additions, (b) the names the round-10
-    # additions displaced from the prefix — ep3 and x8 just above
-    # (positions 51-52), then the r6-tail cur1 ... v5 below —
-    # (c) the round-10 changed-implementation names that did not
-    # get an r10 driver row — d3_lsh_candidate_pairs, d4_minhash_dedup,
+    # order): (a) the 3 late round-10 additions just below
+    # (cur16/n20/s20 — each oracle-verified driver-style from /tmp at
+    # sf0.01 AND sf0.1 before commit, but no driver row yet), then any
+    # round-11 additions, (b) the names the round-10 additions displaced
+    # from the prefix — ep3 and x8 just above (positions 51-52), then
+    # the r6-tail cur1 ... v5 below — (c) the round-10
+    # changed-implementation names that did not get an r10 driver row —
+    # d3_lsh_candidate_pairs, d4_minhash_dedup,
     # cur3_decontaminate, d10_neardup_components, cur2_component_survivors,
     # d17_lsh_precision, ep5_dedup_split_shards, ep7_dataset_card,
     # st10_stream_dedup_gate, ep6_stream_ingest_gate, ep8_drift_report —
     # (d) the r6-tail remainder below (x5 ... d9, 38 names) in listed
     # order to fill 50.
+    "cur16_neardup_split_leakage", "n20_embedding_health",
+    "s20_schema_evolution_read",
     "cur1_corpus_curation",
     "d5_simhash", "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
     "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",

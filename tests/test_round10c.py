@@ -70,3 +70,50 @@ def test_pq_codebook_fit_trains_on_bounded_sample(spark):
         emb.repartition(7), m=16, ksub=8, seed=123, train_n=train_n
     )
     assert books == books2
+
+
+# --- late round-10 additions: cur16 / n20 / s20 --------------------------------
+
+
+def test_cur16_leakage_invariants(spark):
+    rows = entry_mod.queries()["cur16_neardup_split_leakage"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # leaked is a subset of the test split, token mass likewise
+        assert 0 <= r.n_leaked <= r.n_test
+        assert 0 <= r.leaked_tokens <= r.test_tokens
+        assert abs(r.leak_rate - round(r.n_leaked / r.n_test, 6)) < 1e-9
+        assert abs(
+            r.leaked_token_share - round(r.leaked_tokens / r.test_tokens, 6)
+        ) < 1e-9
+    # the fixture plants near-dups across the parity split, so some must
+    # cross the %10 split too
+    assert sum(r.n_leaked for r in rows) > 0
+
+
+def test_n20_health_bounds(spark):
+    rows = entry_mod.queries()["n20_embedding_health"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_vecs > 0
+        # fixture embeddings are unit-normalized — the normalization
+        # contract the audit exists to check
+        assert abs(r.mean_norm - 1.0) < 1e-6
+        # mean of unit vectors has norm in [0, 1]
+        assert 0.0 <= r.centroid_norm <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r.cos_to_global <= 1.0 + 1e-9
+
+
+def test_s20_mergeschema_backfill(spark):
+    rows = {
+        r.snap: r
+        for r in entry_mod.queries()["s20_schema_evolution_read"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    # the old snapshot lacks `lang`: mergeSchema must backfill EVERY row
+    # with NULL, and the new snapshot must carry real values
+    assert rows[1].n_lang_null == rows[1].n_rows > 0
+    assert rows[1].n_distinct_lang == 0
+    assert rows[2].n_distinct_lang > 0
