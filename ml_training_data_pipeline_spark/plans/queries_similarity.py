@@ -1292,16 +1292,24 @@ def n20_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", _as_double(F.col("embedding")).alias("v")
     )
-    per_label = emb.select("label", norm(F.col("v")).alias("nrm")).groupBy("label").agg(
-        F.count("*").cast("long").alias("n_vecs"), F.avg("nrm").alias("m_nrm")
-    )
-    # ONE explode to (label, dim) partial sums; the global centroid is a
-    # rollup OF those sums — never a second pass over the vectors
+    # ONE corpus scan: the per-row norm rides the posexplode (each vector
+    # contributes exactly one row per dim, so avg(nrm) within any (label,
+    # dim) group IS the label's mean norm, and cnt IS its vector count);
+    # the global centroid is a rollup OF the (label, dim) partial sums —
+    # never a second pass over the vectors
     lab = (
-        emb.select("label", F.posexplode("v").alias("i", "x"))
+        emb.select("label", norm(F.col("v")).alias("nrm"), F.posexplode("v").alias("i", "x"))
         .groupBy("label", "i")
-        .agg(F.sum("x").alias("sx"), F.count("*").alias("cnt"))
-        .localCheckpoint()  # consumers: label centroids + global rollup
+        .agg(
+            F.sum("x").alias("sx"),
+            F.count("*").alias("cnt"),
+            F.avg("nrm").alias("mn"),
+        )
+        .localCheckpoint()  # consumers: label stats, label centroids, global rollup
+    )
+    per_label = lab.groupBy("label").agg(
+        F.max("cnt").cast("long").alias("n_vecs"),
+        F.avg("mn").alias("m_nrm"),  # identical across dims; d=2^k so exact
     )
     glob = lab.groupBy("i").agg((F.sum("sx") / F.sum("cnt")).alias("g"))
     geo = (
