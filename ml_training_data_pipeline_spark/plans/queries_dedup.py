@@ -2015,6 +2015,13 @@ def cur15_decontamination_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("toks_before") / F.col("tb"), 6).alias("share_before"),
         F.round(F.col("toks_after") / F.col("ta"), 6).alias("share_after"),
+        # signed-zero audit (round-12, after ep9's post-mortem): this
+        # a−b is SAFE — ta/tb are exact integer sums cast to double and
+        # each quotient is ONE division of deterministic values, so both
+        # engines compute bit-identical operands and therefore the
+        # bit-identical difference (a zero here carries the SAME sign on
+        # both sides — unlike old ep9, where a float-sum normalizer gave
+        # each engine a different last-ulp quotient and ±0.0 split).
         F.round(
             F.col("toks_after") / F.col("ta") - F.col("toks_before") / F.col("tb"), 6
         ).alias("share_shift"),

@@ -635,6 +635,11 @@ def w11_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(s)).select(
         "window_start",
         "n_events",
+        # signed-zero audit (round-12): safe — the sign of z is decided
+        # by n_events − mu, where n_events is an exact integer and mu is
+        # an exact-integer-sum / count (deterministic double on both
+        # engines), so a zero or near-zero numerator is bit-identical
+        # cross-engine; sd only scales it and cannot flip the sign.
         F.round((F.col("n_events") - F.col("mu")) / F.col("sd"), 6).alias("z"),
         (F.abs(F.col("n_events") - F.col("mu")) >= 3 * F.col("sd")).alias("is_burst"),
     )

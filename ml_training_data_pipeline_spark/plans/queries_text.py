@@ -2245,9 +2245,20 @@ def mix6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and report the EFFECTIVE share the capped weights actually realize
 # (min(t, p) renormalized). The cap-vs-target gap per source is the
 # number a data roadmap acts on: it says which sources are short of
-# their target and by how much, in tokens. All arithmetic is exact
-# integer sums until the final divisions (the cur8 decimal discipline);
-# two map-side-combinable aggregates, everything after is |sources|-sized.
+# their target and by how much, in tokens.
+#
+# INTEGER-EXACT CONTRACT (the mix8 discipline, applied after round 10's
+# ep9 signed-zero post-mortem): every float output is a SINGLE division
+# of two exact BIGINTs, so both engines divide the same integers and
+# produce the bit-identical double — and a zero numerator yields +0.0 by
+# construction (never -0.0 from a float subtraction of equal-but-not-
+# bitwise-equal doubles). The algebra: w_capped = min(1, n/(n_src·tok_s))
+# ⇒ with cap_s = least(n, n_src·tok_s) (BIGINT), w_capped·cur_share =
+# cap_s/(n_src·n) exactly, so eff_share = cap_s/Σcap and shortfall =
+# 1/n_src − cap_s/Σcap = (Σcap − n_src·cap_s)/(n_src·Σcap) — integer
+# numerator, integer denominator. Overflow headroom: at 100 TB
+# (n ≈ 2.5e13 tokens, n_src ≈ 100), n_src·Σcap ≤ n_src²·n ≈ 2.5e17,
+# well under the 9.2e18 BIGINT ceiling.
 @query(
     "mix7_target_mixture_weights",
     oracle=f"""
@@ -2258,19 +2269,17 @@ def mix6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n, count(*) AS n_src FROM per_src),
     w AS (
-      SELECT p.source, p.n_docs, p.n_tokens,
-             p.n_tokens / CAST(t.n AS DOUBLE) AS cur_share,
-             1.0 / t.n_src AS target_share,
-             least((1.0 / t.n_src) / (p.n_tokens / CAST(t.n AS DOUBLE)), 1.0) AS w_capped
+      SELECT p.source, p.n_docs, p.n_tokens, t.n, t.n_src,
+             least(t.n, t.n_src * p.n_tokens) AS cap
       FROM per_src p CROSS JOIN tot t
     ),
-    z AS (SELECT CAST(sum(w_capped * cur_share) AS DOUBLE) AS z FROM w)
+    z AS (SELECT CAST(sum(cap) AS BIGINT) AS zc FROM w)
     SELECT w.source, w.n_docs, w.n_tokens,
-           round(w.cur_share, 6) AS cur_share,
-           round(w.target_share, 6) AS target_share,
-           round(w.w_capped, 6) AS weight,
-           round(w.w_capped * w.cur_share / z.z, 6) AS eff_share,
-           round(w.target_share - w.w_capped * w.cur_share / z.z, 6) AS shortfall
+           round(w.n_tokens / w.n, 6) AS cur_share,
+           round(1.0 / w.n_src, 6) AS target_share,
+           round(w.cap / (w.n_src * w.n_tokens), 6) AS weight,
+           round(w.cap / z.zc, 6) AS eff_share,
+           round((z.zc - w.n_src * w.cap) / (w.n_src * z.zc), 6) AS shortfall
     FROM w CROSS JOIN z
     """,
 )
@@ -2287,31 +2296,28 @@ def mix7_target_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_src.agg(
         F.sum("n_tokens").cast("long").alias("n"), F.count("*").alias("n_src")
     )
+    # cap = least(n, n_src·tok_s) as BIGINT: every output below is ONE
+    # division of exact integers (see the contract note above the oracle)
     w = per_src.crossJoin(F.broadcast(tot)).select(  # singleton stats row
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.col("n").cast("double")).alias("cur_share"),
-        (F.lit(1.0) / F.col("n_src")).alias("target_share"),
-        F.least(
-            (F.lit(1.0) / F.col("n_src"))
-            / (F.col("n_tokens") / F.col("n").cast("double")),
-            F.lit(1.0),
-        ).alias("w_capped"),
+        "n",
+        "n_src",
+        F.least(F.col("n"), F.col("n_src") * F.col("n_tokens")).cast("long").alias("cap"),
     )
-    z = w.agg(F.sum(F.col("w_capped") * F.col("cur_share")).alias("z"))
+    z = w.agg(F.sum("cap").cast("long").alias("zc"))
     return w.crossJoin(F.broadcast(z)).select(  # singleton normalizer row
         "source",
         "n_docs",
         "n_tokens",
-        F.round("cur_share", 6).alias("cur_share"),
-        F.round("target_share", 6).alias("target_share"),
-        F.round("w_capped", 6).alias("weight"),
-        F.round(F.col("w_capped") * F.col("cur_share") / F.col("z"), 6).alias(
-            "eff_share"
-        ),
+        F.round(F.col("n_tokens") / F.col("n"), 6).alias("cur_share"),
+        F.round(F.lit(1.0) / F.col("n_src"), 6).alias("target_share"),
+        F.round(F.col("cap") / (F.col("n_src") * F.col("n_tokens")), 6).alias("weight"),
+        F.round(F.col("cap") / F.col("zc"), 6).alias("eff_share"),
         F.round(
-            F.col("target_share") - F.col("w_capped") * F.col("cur_share") / F.col("z"),
+            (F.col("zc") - F.col("n_src") * F.col("cap"))
+            / (F.col("n_src") * F.col("zc")),
             6,
         ).alias("shortfall"),
     )
@@ -2414,6 +2420,20 @@ def mix8_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |sources| rows and every downstream branch (totals, weights,
 # normalizer) reuses it — the ep4/ep8 fusion discipline, pinned by a
 # plan test asserting the final plan touches no parquet.
+#
+# INTEGER-EXACT CONTRACT (round-10 post-mortem: the old float form
+# round(target − w_eff·tok/z, 6) produced ±1e-17 → a SIGNED zero whose
+# sign the two engines' summation order decided, the suite's only
+# driver hash failure). Restated so every float output is ONE division
+# of two exact BIGINTs: w_eff = min(4, n/(n_src·tok_s)) ⇒ with
+# cap_s = least(n, 4·n_src·tok_s) (BIGINT), w_eff = cap_s/(n_src·tok_s),
+# full_epochs = cap_s div (n_src·tok_s), last_epoch_rate =
+# (cap_s mod (n_src·tok_s))/(n_src·tok_s), eff_tokens = cap_s/n_src,
+# achieved_share = cap_s/Σcap, shortfall = (Σcap − n_src·cap_s)/
+# (n_src·Σcap). Identical doubles on both engines; zero numerators give
+# +0.0 by construction. Overflow headroom at 100 TB (n ≈ 2.5e13 tokens,
+# n_src ≈ 100): 4·n_src·tok_s ≤ 4·n_src·n ≈ 1e16 and n_src·Σcap ≤
+# 4·n_src²·n ≈ 1e18, under the 9.2e18 BIGINT ceiling.
 @query(
     "ep9_mixture_roadmap",
     oracle=f"""
@@ -2424,19 +2444,19 @@ def mix8_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n, count(*) AS n_src FROM per_src),
     w AS (
-      SELECT p.source, p.n_docs, p.n_tokens,
-             least((t.n / CAST(t.n_src AS DOUBLE)) / p.n_tokens, 4.0) AS w_eff,
-             1.0 / t.n_src AS target_share
+      SELECT p.source, p.n_docs, p.n_tokens, t.n_src,
+             least(t.n, 4 * t.n_src * p.n_tokens) AS cap
       FROM per_src p CROSS JOIN tot t
     ),
-    z AS (SELECT CAST(sum(w_eff * n_tokens) AS DOUBLE) AS z FROM w)
+    z AS (SELECT CAST(sum(cap) AS BIGINT) AS zc FROM w)
     SELECT w.source, w.n_docs, w.n_tokens,
-           round(w.w_eff, 6) AS weight,
-           CAST(floor(w.w_eff) AS BIGINT) AS full_epochs,
-           round(w.w_eff - floor(w.w_eff), 6) AS last_epoch_rate,
-           round(w.w_eff * w.n_tokens, 6) AS eff_tokens,
-           round(w.w_eff * w.n_tokens / z.z, 6) AS achieved_share,
-           round(w.target_share - w.w_eff * w.n_tokens / z.z, 6) AS shortfall
+           round(w.cap / (w.n_src * w.n_tokens), 6) AS weight,
+           CAST(w.cap // (w.n_src * w.n_tokens) AS BIGINT) AS full_epochs,
+           round((w.cap % (w.n_src * w.n_tokens)) / (w.n_src * w.n_tokens), 6)
+             AS last_epoch_rate,
+           round(w.cap / w.n_src, 6) AS eff_tokens,
+           round(w.cap / z.zc, 6) AS achieved_share,
+           round((z.zc - w.n_src * w.cap) / (w.n_src * z.zc), 6) AS shortfall
     FROM w CROSS JOIN z
     """,
 )
@@ -2453,29 +2473,32 @@ def ep9_mixture_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_src.agg(
         F.sum("n_tokens").cast("long").alias("n"), F.count("*").alias("n_src")
     )
+    # cap = least(n, 4·n_src·tok_s) as BIGINT: every float below is ONE
+    # division of exact integers (see the contract note above the oracle)
     w = per_src.crossJoin(F.broadcast(tot)).select(  # singleton totals row
         "source",
         "n_docs",
         "n_tokens",
-        F.least(
-            (F.col("n") / F.col("n_src").cast("double")) / F.col("n_tokens"), F.lit(4.0)
-        ).alias("w_eff"),
-        (F.lit(1.0) / F.col("n_src")).alias("target_share"),
+        "n_src",
+        F.least(F.col("n"), F.lit(4) * F.col("n_src") * F.col("n_tokens"))
+        .cast("long")
+        .alias("cap"),
     )
-    z = w.agg(F.sum(F.col("w_eff") * F.col("n_tokens")).cast("double").alias("z"))
+    z = w.agg(F.sum("cap").cast("long").alias("zc"))
+    den = F.col("n_src") * F.col("n_tokens")  # BIGINT per-source denominator
     return w.crossJoin(F.broadcast(z)).select(  # singleton normalizer row
         "source",
         "n_docs",
         "n_tokens",
-        F.round("w_eff", 6).alias("weight"),
-        F.floor("w_eff").cast("long").alias("full_epochs"),
-        F.round(F.col("w_eff") - F.floor("w_eff"), 6).alias("last_epoch_rate"),
-        F.round(F.col("w_eff") * F.col("n_tokens"), 6).alias("eff_tokens"),
-        F.round(F.col("w_eff") * F.col("n_tokens") / F.col("z"), 6).alias(
-            "achieved_share"
-        ),
+        F.round(F.col("cap") / den, 6).alias("weight"),
+        F.expr("cap div (n_src * n_tokens)").cast("long").alias("full_epochs"),
+        F.round(F.pmod(F.col("cap"), den) / den, 6).alias("last_epoch_rate"),
+        F.round(F.col("cap") / F.col("n_src"), 6).alias("eff_tokens"),
+        F.round(F.col("cap") / F.col("zc"), 6).alias("achieved_share"),
         F.round(
-            F.col("target_share") - F.col("w_eff") * F.col("n_tokens") / F.col("z"), 6
+            (F.col("zc") - F.col("n_src") * F.col("cap"))
+            / (F.col("n_src") * F.col("zc")),
+            6,
         ).alias("shortfall"),
     )
 

@@ -40,7 +40,15 @@ def compare(sp_df, od_df) -> dict:
     ok = True
     for c in cols:
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
-            ok = ok and a[c].astype(float).round(6).equals(b[c].astype(float).round(6))
+            # Compare the REPR of the rounded doubles, not the doubles:
+            # numpy's == (and Series.equals) treats -0.0 == 0.0, but the
+            # driver's value-hash is byte-level and DOES distinguish them
+            # (round-10's ep9 red row was exactly a -0.0-vs-0.0 split this
+            # comparator waved through). repr keeps the sign ('-0.0' !=
+            # '0.0') and makes NaN==NaN ('nan'), matching hash semantics.
+            av = a[c].astype(float).round(6).map(repr)
+            bv = b[c].astype(float).round(6).map(repr)
+            ok = ok and av.equals(bv)
         else:
             ok = ok and a[c].astype(str).equals(b[c].astype(str))
     out["hash_match"] = ok
