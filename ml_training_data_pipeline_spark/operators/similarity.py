@@ -583,13 +583,18 @@ def pq_codebooks(
     d = base.select(F.size("vec")).first()[0]  # bounded scalar: one row
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     sub = d // m
-    # one long frame, two consumers (fit + encode)
+    # one long frame, two consumers (fit + encode). NOT checkpointed:
+    # the posexplode is a narrow map over the scan (no shuffle), so
+    # letting each consumer recompute it costs one extra scan — whereas
+    # materializing it would write corpus×d doubles (the full slice
+    # expansion) to executor disk, exactly the thing that cannot exist
+    # at 100 TB. Only the train_n-BOUNDED fit input is pinned below.
     slices = base.select(
         "vec_id",
         F.posexplode(
             F.array(*[F.slice("vec", j * sub + 1, sub) for j in range(m)])
         ).alias("j", "s"),
-    ).localCheckpoint()
+    )
     # bounded training sample: smallest-hash prefix of ids (TakeOrdered on
     # a narrow projection — deterministic, partitioning-invariant, and a
     # no-op whenever the corpus fits inside train_n, as every fixture does)
@@ -598,7 +603,11 @@ def pq_codebooks(
         .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(train_n)
     )
-    fit_slices = slices.join(F.broadcast(train_ids), "vec_id", "left_semi")
+    # ≤ train_n·m rows regardless of corpus size — safe to materialize,
+    # and pinning it keeps the fit input stable across the fit/collect
+    fit_slices = slices.join(
+        F.broadcast(train_ids), "vec_id", "left_semi"
+    ).localCheckpoint()
     book_df = (
         fit_slices.groupBy("j")
         .applyInPandas(

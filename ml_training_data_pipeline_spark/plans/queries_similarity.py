@@ -1212,10 +1212,25 @@ def n19_ivfpq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cell")
     )
     cell_sizes = cellmap.groupBy("cell").agg(F.count("*").alias("n_in_cell"))
+    # the scorer never scores a query against itself (vec_id != query_id
+    # inside ivfpq_topk), so the cost face must not count the query's own
+    # row either: subtract 1 whenever the query's OWN cell is among its
+    # probed cells (ADVICE r10: the old count was off by one per query)
+    self_probed = probed.join(
+        cellmap.select(F.col("vec_id").alias("query_id"), "cell"),
+        ["query_id", "cell"],
+    ).groupBy("query_id").agg(F.count("*").alias("n_self"))
     cost = (
         probed.join(F.broadcast(cell_sizes), "cell")
         .groupBy("query_id")
-        .agg(F.sum("n_in_cell").cast("long").alias("n_candidates"))
+        .agg(F.sum("n_in_cell").alias("n_all"))
+        .join(self_probed, "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("n_all") - F.coalesce(F.col("n_self"), F.lit(0)))
+            .cast("long")
+            .alias("n_candidates"),
+        )
     )
     hit = exact.join(
         approx.select(

@@ -44,84 +44,67 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-10 PREFIX (50), as pre-staged by the round-9 rotation comment
-    # and VERDICT r9 #1: (a) the 8 round-9 additions (st12 ... s18) plus
-    # 17 of the 20 round-10 additions (n17 ... cur15; the 3 post-review
-    # additions cur16/n20/s20 lead the round-11 rotation) — every one
-    # oracle-verified driver-style from /tmp at sf0.01 before its
-    # commit; (b) 25 of the 26 r5-era names (x1 ... v4 — the stalest
-    # driver rows; ep3, 🔶 rows-only, overflowed to the round-11
-    # rotation along with the whole r6-checked tail x8 ... v5 —
-    # unchanged, locally parity-tested every round).
-    # Names whose implementation changed in round 10 but sit beyond
-    # the prefix — d3/d4/cur3/cur10/d10/cur2/d17/d11/cur5 (band_sig →
-    # 60-bit long), ep5/ep7/st10/ep6 (fingerprint_pair), ep8
-    # (grouping-sets marginals) — were ALL re-verified driver-style at
-    # sf0.01 in round 10 right after each change (the same standard
-    # round 9 applied to its fingerprint64/ep8 refactors).
-    "st12_stream_drift_gate", "cur10_incremental_neardup",
-    "mix7_target_mixture_weights", "d19_shingle_df_audit",
-    "n16_hard_negatives", "cur11_semantic_survivors", "s17_tombstone_delete",
-    "s18_textlines_roundtrip",
-    "n17_ann_hard_negatives", "st13_stream_neardup_admission",
-    "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
-    "cur13_decontamination_sweep",
-    "h20_late_shipping_priority", "w17_trailing_range_stats",
-    "mix8_epoch_upsampling", "v15_subword_fertility", "st14_stream_outer_join",
-    "cur14_bloom_decontamination", "n18_pq_adc_audit", "ep9_mixture_roadmap",
-    "n19_ivfpq_audit", "d20_lsh_band_sweep", "l5_batched_inference_plan",
-    "cur15_decontamination_impact",
-    "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
-    "w1_tumbling_window_agg", "w2_sessionization",
-    "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
-    "n2_srp_buckets", "n3_ann_lsh_topk", "n4_embedding_near_dups",
-    "st1_stream_window_counts", "st2_stream_sessionize", "st5_stream_dedup",
-    "st6_stream_stream_join", "mix1_source_mixing_sample",
-    "x7_language_length_quantiles", "w5_asof_attribution",
-    "g2_event_type_pivot", "s8_partitioned_sink_roundtrip",
-    "j6_range_band_join", "u3_union_mixed_schemas",
-    "t6_range_partitioned_export", "v4_vocab_top2000", "ep3_phase1_pipeline",
-    "x8_approx_profile",
-    # ROUND-11 ROTATION (pre-staged; fill round 11's 50-prefix with, in
-    # order): (a) the 3 late round-10 additions just below
-    # (cur16/n20/s20 — each oracle-verified driver-style from /tmp at
-    # sf0.01 AND sf0.1 before commit, but no driver row yet), then any
-    # round-11 additions, (b) the names the round-10 additions displaced
-    # from the prefix — ep3 and x8 just above (positions 51-52), then
-    # the r6-tail cur1 ... v5 below — (c) the round-10
-    # changed-implementation names that did not get an r10 driver row —
-    # d3_lsh_candidate_pairs, d4_minhash_dedup,
-    # cur3_decontaminate, d10_neardup_components, cur2_component_survivors,
-    # d17_lsh_precision, ep5_dedup_split_shards, ep7_dataset_card,
-    # st10_stream_dedup_gate, ep6_stream_ingest_gate, ep8_drift_report —
-    # (d) the r6-tail remainder below (x5 ... d9, 38 names) in listed
-    # order to fill 50.
+    # ROUND-12 PREFIX (50), per VERDICT r11 #4: (a) the 3 names that have
+    # never had a driver row (cur16/n20/s20 — oracle-verified driver-style
+    # at sf0.01 AND sf0.1 before their round-10 commit), (b) ep9 + mix7,
+    # restated integer-exact THIS round (the signed-zero fix) and
+    # re-verified driver-style from /tmp at both scales before commit,
+    # (c) ep3/x8 (displaced from the round-10 prefix; ep3 carries the
+    # stalest rows-only stamp, r5), (d) the 11 round-10
+    # changed-implementation names that never got a post-change driver
+    # row, (e) the r6-tail head (cur1 ... v3, 32 names) to fill 50.
     "cur16_neardup_split_leakage", "n20_embedding_health",
-    "s20_schema_evolution_read",
-    "cur1_corpus_curation",
+    "s20_schema_evolution_read", "ep9_mixture_roadmap",
+    "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",
+    "d3_lsh_candidate_pairs", "d4_minhash_dedup", "cur3_decontaminate",
+    "d10_neardup_components", "cur2_component_survivors", "d17_lsh_precision",
+    "ep5_dedup_split_shards", "ep7_dataset_card", "st10_stream_dedup_gate",
+    "ep6_stream_ingest_gate", "ep8_drift_report", "cur1_corpus_curation",
     "d5_simhash", "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
     "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
     "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",
-    "v5_pos_keywords",
-    "x5_corpus_profile", "s3_csv_chunk_roundtrip", "s7_inline_table",
-    "p8_threshold_bands", "w4_argmax_per_group", "u2_vocab_intersection",
-    "g1_rollup_totals", "l2_cluster_labels", "st3_stream_enrich",
-    "mm1_media_features", "t1_sort_topk", "c5_merge_components",
-    "d8_jaccard_capped", "n5_ann_ivf_topk", "mm2_frame_samples",
-    "x6_subword_counts", "m1_kmeans_assignments",
+    "v5_pos_keywords", "x5_corpus_profile", "s3_csv_chunk_roundtrip",
+    "s7_inline_table", "p8_threshold_bands", "w4_argmax_per_group",
+    "u2_vocab_intersection", "g1_rollup_totals", "l2_cluster_labels",
+    "st3_stream_enrich", "mm1_media_features", "t1_sort_topk",
+    "c5_merge_components", "d8_jaccard_capped", "n5_ann_ivf_topk",
+    "mm2_frame_samples", "x6_subword_counts", "m1_kmeans_assignments",
     "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",
-    "v3_tfidf_unigram", "v6_doc_top_terms", "c2_group_centroids",
+    "v3_tfidf_unigram",
+    # ROUND-13 ROTATION (pre-staged): lead with any round-13
+    # additions/changes, then the r6-tail remainder
+    # (v6_doc_top_terms ... d9_simhash_banded_near_dups, 15 names,
+    # mid-list below — after this round the stalest stamps), then the
+    # ROUND-7 PREFIX block (r7 stamps) in listed order to fill 50.
+    "st12_stream_drift_gate", "cur10_incremental_neardup",
+    "d19_shingle_df_audit", "n16_hard_negatives", "cur11_semantic_survivors",
+    "s17_tombstone_delete", "s18_textlines_roundtrip",
+    "n17_ann_hard_negatives", "st13_stream_neardup_admission",
+    "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
+    "cur13_decontamination_sweep", "h20_late_shipping_priority",
+    "w17_trailing_range_stats", "mix8_epoch_upsampling",
+    "v15_subword_fertility", "st14_stream_outer_join",
+    "cur14_bloom_decontamination", "n18_pq_adc_audit", "n19_ivfpq_audit",
+    "d20_lsh_band_sweep", "l5_batched_inference_plan",
+    "cur15_decontamination_impact", "x1_token_stats", "x2_quality_scores",
+    "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg",
+    "w2_sessionization", "w3_conditional_agg_funnel", "d7_jaccard_pairs",
+    "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
+    "n4_embedding_near_dups", "st1_stream_window_counts",
+    "st2_stream_sessionize", "st5_stream_dedup", "st6_stream_stream_join",
+    "mix1_source_mixing_sample", "x7_language_length_quantiles",
+    "w5_asof_attribution", "g2_event_type_pivot",
+    "s8_partitioned_sink_roundtrip", "j6_range_band_join",
+    "u3_union_mixed_schemas", "t6_range_partitioned_export",
+    "v4_vocab_top2000", "v6_doc_top_terms", "c2_group_centroids",
     "c3_group_withinss", "c4_centroid_cosine_pairs", "c6_prob_coherence",
     "c7_quality_summary", "d1_exact_dup_groups", "d2_minhash_signatures",
-    "d3_lsh_candidate_pairs", "cur3_decontaminate", "x9_repetition_quality",
-    "x10_pii_redaction", "pack1_token_budget_packing",
-    "cur4_incremental_dedup", "st7_stream_curation_gate",
-    "x11_unigram_logprob", "d9_simhash_banded_near_dups",
-    # ROUND-9 PREFIX (50, all hash-green or rows-only-by-design in
-    # CORRECTNESS_r09 — fresh r9 driver rows).
-    "p11_referential_integrity", "st11_stream_type_totals",
-    "l4_llm_cache_report", "w15_daily_autocorr", "x25_lexicon_screen",
-    "ep7_dataset_card", "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff",
+    "x9_repetition_quality", "x10_pii_redaction",
+    "pack1_token_budget_packing", "cur4_incremental_dedup",
+    "st7_stream_curation_gate", "x11_unigram_logprob",
+    "d9_simhash_banded_near_dups", "p11_referential_integrity",
+    "st11_stream_type_totals", "l4_llm_cache_report", "w15_daily_autocorr",
+    "x25_lexicon_screen", "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff",
     "j13_coactivity_pairs", "x26_crosslang_dups",
     "h19_ship_latency_quantiles", "x27_effective_tokens",
     "v13_bpe_compression_curve", "d18_component_size_histogram",
@@ -129,20 +112,16 @@ PRIORITY: tuple[str, ...] = (
     "m9_classifier_threshold_sweep", "x29_token_psi", "g6_source_lang_chi2",
     "cur8_dedup_quality_interaction", "w16_cusum_changepoint",
     "s16_orc_roundtrip", "v14_oov_by_source", "cur9_split_leakage",
-    "mix6_weighted_sample", "mm7_image_channel_stats", "ep8_drift_report",
-    "d10_neardup_components", "n6_embedding_dedup_groups",
-    "cur2_component_survivors", "d4_minhash_dedup", "ep2_build_models",
+    "mix6_weighted_sample", "mm7_image_channel_stats",
+    "n6_embedding_dedup_groups", "ep2_build_models",
     "st4_stream_stateful_user_stats", "m5_refine_pipeline",
     "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
     "p4_filter_nonempty", "p6_group_count_having", "a6_distinct",
     "a9_max_watermark", "t2_topk_per_group", "j1_broadcast_lookup_join",
     "j2_dense_rank_renumber", "j5_semi_anti_join", "u1_union_all",
     "f1_clean_text", "f6_stopword_removal", "f8_regex_extract",
-    "f11_json_decode",
-    # ROUND-7 PREFIX (50, all hash-green or rows-only-by-design in
-    # CORRECTNESS_r07).
-    "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
-    "t7_training_shards", "w6_decayed_engagement",
+    "f11_json_decode", "cur5_passage_dedup", "mix2_stratified_quota",
+    "x12_char_entropy", "t7_training_shards", "w6_decayed_engagement",
     "s9_bucketed_join_roundtrip", "d11_containment_pairs", "x13_zipf_profile",
     "w7_cohort_retention", "n7_prototype_confusion", "st8_stream_static_join",
     "x14_source_divergence", "mm3_audio_features", "mm4_video_features",
@@ -158,30 +137,27 @@ PRIORITY: tuple[str, ...] = (
     "h6_order_priority_check", "h7_promo_revenue_share",
     "h8_returned_revenue_ranking", "d15_duplicate_spans", "t9_zorder_layout",
     "mm5_image_phash_groups", "x19_readability", "v8_count_min_heavy_hitters",
-    "st9_stream_sliding_counts",
-    # ROUND-8 PREFIX (50, all hash-green or rows-only-by-design in
-    # CORRECTNESS_r08).
-    "j10_salted_skew_join", "mix4_train_val_test_split",
-    "d16_minhash_estimate_audit", "w11_rate_bursts", "n11_ann_recall_audit",
-    "ep5_dedup_split_shards", "h9_customer_distribution",
+    "st9_stream_sliding_counts", "j10_salted_skew_join",
+    "mix4_train_val_test_split", "d16_minhash_estimate_audit",
+    "w11_rate_bursts", "n11_ann_recall_audit", "h9_customer_distribution",
     "h10_large_volume_customers", "pack2_overlap_chunking",
     "v9_bpe_merge_candidates", "v10_bpe_learned_merges",
     "v11_bpe_token_budget", "s11_small_file_compaction",
-    "l3_inference_cost_report", "st10_stream_dedup_gate", "f13_html_strip",
-    "m7_kmeans_elbow", "s12_dynamic_partition_overwrite",
-    "s13_upsert_latest_wins", "n12_ann_multitable_recall",
-    "x20_term_burstiness", "w12_weekday_hour_heatmap",
-    "h11_dormant_high_balance", "x21_heaps_law", "p10_data_quality_profile",
-    "ep6_stream_ingest_gate", "s14_snapshot_diff", "w13_interevent_quantiles",
-    "m8_cluster_stability", "n13_ann_table_sweep", "h12_two_nation_volume",
-    "h13_market_share", "h14_top_supplier_revenue", "h15_small_qty_revenue",
-    "h16_disjunctive_revenue", "h17_sole_final_supplier",
-    "x22_lexical_diversity", "w14_activity_gini", "n14_ann_margin",
-    "g5_grouping_sets_profile", "cur7_length_survivorship",
-    "t10_balanced_shards", "s15_schema_evolution_scan", "d17_lsh_precision",
+    "l3_inference_cost_report", "f13_html_strip", "m7_kmeans_elbow",
+    "s12_dynamic_partition_overwrite", "s13_upsert_latest_wins",
+    "n12_ann_multitable_recall", "x20_term_burstiness",
+    "w12_weekday_hour_heatmap", "h11_dormant_high_balance", "x21_heaps_law",
+    "p10_data_quality_profile", "s14_snapshot_diff",
+    "w13_interevent_quantiles", "m8_cluster_stability", "n13_ann_table_sweep",
+    "h12_two_nation_volume", "h13_market_share", "h14_top_supplier_revenue",
+    "h15_small_qty_revenue", "h16_disjunctive_revenue",
+    "h17_sole_final_supplier", "x22_lexical_diversity", "w14_activity_gini",
+    "n14_ann_margin", "g5_grouping_sets_profile", "cur7_length_survivorship",
+    "t10_balanced_shards", "s15_schema_evolution_scan",
     "x23_langid_confusion", "v12_vocab_coverage", "h18_nation_profit",
     "mm6_audio_frame_profile", "x24_template_families",
     "mix5_mixture_entropy",
+
 )
 
 
