@@ -92,6 +92,27 @@ def test_mix7_no_negative_zero(spark):
         assert ((pdf["weight"] > 0) & (pdf["weight"] <= 1.0)).all()
 
 
+# --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
+
+
+def test_proc_tree_cpu_seconds_positive_and_monotone():
+    import importlib.util as ilu
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "bench.py")
+    spec = ilu.spec_from_file_location("bench_mod", path)
+    bench = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    c0 = bench.proc_tree_cpu_s()
+    assert c0 > 0  # this pytest process has burned CPU already
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    c1 = bench.proc_tree_cpu_s()
+    assert c1 >= c0
+    assert c1 - c0 < 60  # sane scale: a busy-loop, not garbage ticks
+
+
 def test_ep9_integer_exact_reconstruction(spark):
     """Recompute ep9's floats from the exact integers in pure Python and
     require BIT equality with the Spark output — proving every output is
