@@ -2130,3 +2130,299 @@ def cur16_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leaked_token_share"),
         )
     )
+
+
+# --- EP10: the release roadmap (leakage gate → decontamination → mixture plan) ------
+# The composite a dataset release actually publishes, chaining the three
+# audits that were previously separate answers: (1) cur16's near-dup
+# split-leakage gate — train docs that are near-twins (same admission
+# config as cur10/st13/cur12: 8-hash MinHash, 2-row bands, candidate-
+# scoped Jaccard >= 0.5) of the held-out test split (doc_id % 10 == 0)
+# are DROPPED, because a twin left in train silently inflates the
+# benchmark; (2) cur15's decontamination screen — train docs sharing
+# >= 2 shingles with the external eval slice (doc_id % 97 == 0, itself
+# excluded from both splits) are DROPPED; (3) ep9's integer-exact epoch
+# roadmap over the SURVIVING per-source token mass — weight toward a
+# uniform token target, clamped at 4 epochs, every float ONE division
+# of exact BIGINTs (+0.0 by construction; see ep9's contract note in
+# queries_text.py). Sources whose every doc is dropped leave the
+# roadmap (uniform target over the sources that can still contribute);
+# a surviving source with zero tokens yields NULL weight/epochs on both
+# engines (0/0). Scale shape: one shingle/band build over the corpus
+# (checkpointed, three consumers); test×train contact ONLY via the
+# banded equi-join; eval contact via one broadcast semi-join; the
+# roadmap is |sources|-sized algebra after one aggregate.
+@query(
+    "ep10_release_roadmap",
+    oracle=f"""
+    WITH {_BANDS},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT s.doc_id FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % 10 <> 0 AND s.doc_id % 97 <> 0
+      GROUP BY s.doc_id HAVING count(*) >= 2
+    ),
+    xc AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 10 <> 0 AND a.doc_id % 97 <> 0
+        AND b.doc_id % 10 = 0 AND b.doc_id % 97 <> 0
+    ),
+    {_JACCARD},
+    leaked AS (
+      SELECT DISTINCT CASE WHEN j.doc_a % 10 <> 0 THEN j.doc_a ELSE j.doc_b END AS doc_id
+      FROM jac j JOIN xc ON j.doc_a = xc.doc_a AND j.doc_b = xc.doc_b
+      WHERE j.jaccard >= 0.5
+    ),
+    train AS (
+      SELECT d.doc_id, d.source, len(t.toks) AS ntok,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_cont,
+             CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_leak
+      FROM toks t JOIN documents d USING (doc_id)
+      LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+      LEFT JOIN leaked l ON l.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0 AND d.doc_id % 97 <> 0
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_train_docs,
+             CAST(sum(is_cont) AS BIGINT) AS n_contaminated,
+             CAST(sum(is_leak) AS BIGINT) AS n_leak_twins,
+             CAST(sum(CASE WHEN is_cont = 0 AND is_leak = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_survivors,
+             CAST(sum(CASE WHEN is_cont = 0 AND is_leak = 0 THEN ntok ELSE 0 END) AS BIGINT)
+               AS n_tokens
+      FROM train GROUP BY source
+      HAVING sum(CASE WHEN is_cont = 0 AND is_leak = 0 THEN 1 ELSE 0 END) > 0
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n, count(*) AS n_src FROM per_src),
+    w AS (
+      SELECT p.*, t.n_src, least(t.n, 4 * t.n_src * p.n_tokens) AS cap
+      FROM per_src p CROSS JOIN tot t
+    ),
+    z AS (SELECT CAST(sum(cap) AS BIGINT) AS zc FROM w)
+    SELECT w.source, w.n_train_docs, w.n_contaminated, w.n_leak_twins,
+           w.n_survivors, w.n_tokens,
+           round(w.cap / (w.n_src * w.n_tokens), 6) AS weight,
+           CAST(w.cap // (w.n_src * w.n_tokens) AS BIGINT) AS full_epochs,
+           round(w.cap / z.zc, 6) AS achieved_share,
+           round((z.zc - w.n_src * w.cap) / (w.n_src * z.zc), 6) AS shortfall
+    FROM w CROSS JOIN z
+    """,
+)
+def ep10_release_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+    from ..operators.dedup import (
+        lsh_admission_rejects,
+        lsh_bands_from_wide,
+        minhash_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_test = F.col("doc_id") % 10 == 0
+    is_eval = F.col("doc_id") % 97 == 0
+    is_train = ~is_test & ~is_eval
+    # one shingle build, three consumers (eval gate, bands, Jaccard verify)
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.where(is_train)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("doc_id", F.lit(1).alias("_c"))
+    )
+    bands = lsh_bands_from_wide(
+        minhash_wide(sh, num_hashes=8), rows_per_band=2
+    ).localCheckpoint()  # two sides read it (train delta + test corpus)
+    train_b = bands.where(is_train).select(
+        F.col("doc_id").alias("delta_doc"), "band", "band_sig"
+    )
+    test_b = bands.where(is_test & ~is_eval).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    leaked = lsh_admission_rejects(train_b, test_b, sh, threshold=0.5).select(
+        F.col("delta_doc").alias("doc_id"), F.lit(1).alias("_l")
+    )
+    survives = F.col("_c").isNull() & F.col("_l").isNull()
+    per_src = (
+        docs.where(is_train)
+        .select(
+            "doc_id", "source", token_count(F.col("text")).cast("long").alias("ntok")
+        )
+        .join(contaminated, "doc_id", "left")
+        .join(leaked, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train_docs"),
+            F.count("_c").cast("long").alias("n_contaminated"),
+            F.count("_l").cast("long").alias("n_leak_twins"),
+            F.sum(F.when(survives, 1).otherwise(0)).cast("long").alias("n_survivors"),
+            F.coalesce(F.sum(F.when(survives, F.col("ntok"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .where(F.col("n_survivors") > 0)
+        .localCheckpoint()  # |sources| rows; totals/weights/normalizer reuse it
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("n"), F.count("*").alias("n_src")
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(  # singleton totals row
+        "source",
+        "n_train_docs",
+        "n_contaminated",
+        "n_leak_twins",
+        "n_survivors",
+        "n_tokens",
+        "n_src",
+        F.least(F.col("n"), F.lit(4) * F.col("n_src") * F.col("n_tokens"))
+        .cast("long")
+        .alias("cap"),
+    )
+    z = w.agg(F.sum("cap").cast("long").alias("zc"))
+    den = F.col("n_src") * F.col("n_tokens")
+    return w.crossJoin(F.broadcast(z)).select(  # singleton normalizer row
+        "source",
+        "n_train_docs",
+        "n_contaminated",
+        "n_leak_twins",
+        "n_survivors",
+        "n_tokens",
+        F.round(F.col("cap") / den, 6).alias("weight"),
+        F.expr("cap div (n_src * n_tokens)").cast("long").alias("full_epochs"),
+        F.round(F.col("cap") / F.col("zc"), 6).alias("achieved_share"),
+        F.round(
+            (F.col("zc") - F.col("n_src") * F.col("cap"))
+            / (F.col("n_src") * F.col("zc")),
+            6,
+        ).alias("shortfall"),
+    )
+
+
+# --- CUR17: Bloom bitset sizing sweep (the M knob, measured) -------------------------
+# cur14 audits ONE Bloom configuration (M=8192, K=3); this is the d20
+# discipline applied to the bitset knob: the SAME screen at
+# M ∈ {2048, 8192, 32768} against the same exact ground truth, so the
+# sizing rule (doc-fp ≈ probes·fill^K ⇒ M ≈ 30×|eval shingles|) is
+# measured rather than asserted — undersized M saturates (fill → 1,
+# every train doc flagged), oversized M buys nothing. One output row
+# per M: fill level, flagged/exact/false-positive doc counts, fp rate.
+# Every hash is computed ONCE per (i, shingle) — the three Ms differ
+# only in the mod — and each float is one division of exact integers.
+# Scale shape: the three bitsets stay broadcast-sized (≤ ΣM = 43k bit
+# rows); the probe stream is the train shingle stream × 3 configs, all
+# map-side until the per-(m, doc) distinct.
+@query(
+    "cur17_bloom_sizing_sweep",
+    oracle=f"""
+    WITH {_SHINGLES},
+    ms AS (SELECT unnest([2048, 8192, 32768]) AS m),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    evh AS (
+      SELECT DISTINCT {H60.format(x="k.i::VARCHAR || ':' || ev.shingle::VARCHAR")} AS hv
+      FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) k
+    ),
+    bits AS (SELECT DISTINCT ms.m, evh.hv % ms.m AS bit FROM evh CROSS JOIN ms),
+    nb AS (SELECT m, count(*) AS bits_set FROM bits GROUP BY m),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    probe AS (
+      SELECT t.doc_id, ms.m,
+             {H60.format(x="'0:' || t.shingle::VARCHAR")} % ms.m AS b0,
+             {H60.format(x="'1:' || t.shingle::VARCHAR")} % ms.m AS b1,
+             {H60.format(x="'2:' || t.shingle::VARCHAR")} % ms.m AS b2
+      FROM train t CROSS JOIN ms
+    ),
+    bloom AS (
+      SELECT p.m, count(DISTINCT p.doc_id) AS n_bloom_flagged
+      FROM probe p
+      WHERE EXISTS (SELECT 1 FROM bits b WHERE b.m = p.m AND b.bit = p.b0)
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.m = p.m AND b.bit = p.b1)
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.m = p.m AND b.bit = p.b2)
+      GROUP BY p.m
+    ),
+    ex AS (
+      SELECT count(DISTINCT t.doc_id) AS n_exact_flagged
+      FROM train t JOIN ev USING (shingle)
+    ),
+    tot AS (
+      SELECT count(*) AS n_train_docs FROM documents
+      WHERE text IS NOT NULL AND doc_id % 97 <> 0
+    )
+    SELECT CAST(nb.m AS BIGINT) AS m_bits,
+           CAST(nb.bits_set AS BIGINT) AS bits_set,
+           round(nb.bits_set / nb.m, 6) AS fill_rate,
+           tot.n_train_docs,
+           CAST(bl.n_bloom_flagged AS BIGINT) AS n_bloom_flagged,
+           CAST(ex.n_exact_flagged AS BIGINT) AS n_exact_flagged,
+           CAST(bl.n_bloom_flagged - ex.n_exact_flagged AS BIGINT) AS n_false_pos,
+           round((bl.n_bloom_flagged - ex.n_exact_flagged)
+                 / (tot.n_train_docs - ex.n_exact_flagged), 6) AS fp_doc_rate
+    FROM nb JOIN bloom bl USING (m) CROSS JOIN ex CROSS JOIN tot
+    """,
+)
+def cur17_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    MS, K = (2048, 8192, 32768), 3
+
+    def h(i: int) -> F.Column:
+        return md5_long(
+            F.concat(F.lit(f"{i}:"), F.col("shingle").cast("string"))
+        ).alias(f"h{i}")
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_eval = F.col("doc_id") % 97 == 0
+    m_col = F.explode(F.array(*[F.lit(m) for m in MS])).alias("m")
+    # one shingle build, hashes computed ONCE; three consumers
+    # (bitsets, probes, exact truth)
+    sh = doc_shingles(docs, k=3).localCheckpoint()
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    bits = (
+        sh.where(is_eval)
+        .select(F.explode(F.array(*[h(i) for i in range(K)])).alias("hv"))
+        .distinct()
+        .select("hv", m_col)
+        .select("m", F.pmod(F.col("hv"), F.col("m")).alias("bit"))
+        .distinct()
+        .localCheckpoint()  # ≤ ΣM rows; K probe joins + the fill count read it
+    )
+    nb = bits.groupBy("m").agg(F.count("*").cast("long").alias("bits_set"))
+    probe = sh.where(~is_eval).select("doc_id", *[h(i) for i in range(K)]).select(
+        "doc_id", "h0", "h1", "h2", m_col
+    )
+    for i in range(K):  # one broadcast LEFT SEMI per hash function
+        probe = probe.withColumn(f"b{i}", F.pmod(F.col(f"h{i}"), F.col("m"))).join(
+            F.broadcast(bits.select("m", F.col("bit").alias(f"b{i}"))),
+            ["m", f"b{i}"],
+            "left_semi",
+        )
+    bloom = probe.groupBy("m").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_bloom_flagged")
+    )
+    ex = (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_exact_flagged"))
+    )
+    tot = docs.where(~is_eval).agg(F.count("*").alias("n_train_docs"))
+    return (
+        nb.join(bloom, "m")
+        .crossJoin(F.broadcast(ex))  # singleton truth row
+        .crossJoin(F.broadcast(tot))  # singleton corpus-size row
+        .select(
+            F.col("m").cast("long").alias("m_bits"),
+            "bits_set",
+            F.round(F.col("bits_set") / F.col("m"), 6).alias("fill_rate"),
+            "n_train_docs",
+            "n_bloom_flagged",
+            "n_exact_flagged",
+            (F.col("n_bloom_flagged") - F.col("n_exact_flagged"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.round(
+                (F.col("n_bloom_flagged") - F.col("n_exact_flagged"))
+                / (F.col("n_train_docs") - F.col("n_exact_flagged")),
+                6,
+            ).alias("fp_doc_rate"),
+        )
+    )

@@ -53,6 +53,11 @@ PRIORITY: tuple[str, ...] = (
     # stalest rows-only stamp, r5), (d) the 11 round-10
     # changed-implementation names that never got a post-change driver
     # row, (e) the r6-tail head (cur1 ... v3, 32 names) to fill 50.
+    # round-12 additions (never driver-checked — lead the prefix; both
+    # oracle-verified driver-style from /tmp at sf0.01 AND sf0.1 before
+    # commit); they push v2/v3 (unchanged r6-era, locally parity-tested)
+    # past the 50-cut into the round-13 rotation
+    "ep10_release_roadmap", "cur17_bloom_sizing_sweep",
     "cur16_neardup_split_leakage", "n20_embedding_health",
     "s20_schema_evolution_read", "ep9_mixture_roadmap",
     "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",

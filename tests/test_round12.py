@@ -92,6 +92,43 @@ def test_mix7_no_negative_zero(spark):
         assert ((pdf["weight"] > 0) & (pdf["weight"] <= 1.0)).all()
 
 
+# --- round-12 breadth: ep10 release composite, cur17 Bloom sizing sweep ------
+
+
+def test_ep10_release_roadmap_invariants(spark):
+    pdf = entry_mod.queries()["ep10_release_roadmap"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    _assert_no_negative_zero(pdf, "ep10")
+    # gates only ever DROP: survivors never exceed the split, and the
+    # two drop flags can overlap, so survivors >= docs - both flags
+    assert (pdf["n_survivors"] <= pdf["n_train_docs"]).all()
+    assert (
+        pdf["n_survivors"]
+        >= pdf["n_train_docs"] - pdf["n_contaminated"] - pdf["n_leak_twins"]
+    ).all()
+    # ep9's roadmap contract on the surviving mass
+    assert ((pdf["weight"] > 0) & (pdf["weight"] <= 4.0)).all()
+    assert pdf["full_epochs"].between(0, 4).all()
+    assert abs(pdf["achieved_share"].sum() - 1.0) < 1e-3  # round(6) per row
+
+
+def test_cur17_bloom_sweep_one_sided_and_sizing(spark):
+    pdf = (
+        entry_mod.queries()["cur17_bloom_sizing_sweep"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("m_bits", ignore_index=True)
+    )
+    assert list(pdf["m_bits"]) == [2048, 8192, 32768]
+    # one-sided error: a Bloom filter NEVER misses a truly contaminated doc
+    assert (pdf["n_bloom_flagged"] >= pdf["n_exact_flagged"]).all()
+    assert (pdf["n_false_pos"] >= 0).all()
+    # exact truth is config-independent: one value across the sweep
+    assert pdf["n_exact_flagged"].nunique() == 1
+    # sizing physics: quadrupling M strictly drops the fill level
+    fills = list(pdf["fill_rate"])
+    assert fills[0] > fills[1] > fills[2] > 0
+
+
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
