@@ -2426,3 +2426,209 @@ def cur17_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_doc_rate"),
         )
     )
+
+
+# --- CUR18: n-gram-width decontamination sweep (the overlap-n knob) ------------------
+# cur13/cur14/cur15 decontaminate on word-3-shingles; production
+# decontamination picks a WIDER window (the GPT-3 appendix used 13-gram
+# overlap; Llama-family reports 8-10) because short n flags idiom-level
+# false positives while long n misses paraphrases. This is the d20/cur17
+# discipline applied to that knob: the SAME screen (≥1 shared shingle
+# with the eval slice, doc_id % 97 == 0) at n ∈ {5, 9, 13} against one
+# corpus, reporting per n what the gate would cost — docs dropped and
+# token mass lost. ONE tokenize pass generates all three widths (a
+# posexplode over the three gram arrays, tagged by width), the eval
+# shingle sets stay broadcast-sized, and every float is one division of
+# exact integer sums. Monotone by construction: wider n ⇒ fewer flags
+# (a shared 13-gram contains shared 5-grams) — pinned in pytest.
+@query(
+    "cur18_ngram_decontamination_sweep",
+    oracle=f"""
+    WITH {{toks}},
+    shn AS (
+      SELECT DISTINCT s.n, s.doc_id, {H60.format(x="s.g")} AS shingle FROM (
+        SELECT doc_id, 5 AS n,
+               unnest([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) AS g
+        FROM toks WHERE len(toks) >= 5
+        UNION ALL
+        SELECT doc_id, 9 AS n,
+               unnest([array_to_string(toks[i:i+8], ' ') for i in range(1, len(toks) - 7)]) AS g
+        FROM toks WHERE len(toks) >= 9
+        UNION ALL
+        SELECT doc_id, 13 AS n,
+               unnest([array_to_string(toks[i:i+12], ' ') for i in range(1, len(toks) - 11)]) AS g
+        FROM toks WHERE len(toks) >= 13
+      ) s
+    ),
+    ev AS (SELECT DISTINCT n, shingle FROM shn WHERE doc_id % 97 = 0),
+    flagged AS (
+      SELECT DISTINCT s.n, s.doc_id
+      FROM shn s JOIN ev ON ev.n = s.n AND ev.shingle = s.shingle
+      WHERE s.doc_id % 97 <> 0
+    ),
+    train AS (SELECT doc_id, len(toks) AS ntok FROM toks WHERE doc_id % 97 <> 0),
+    expanded AS (
+      SELECT t.doc_id, t.ntok, ns.n
+      FROM train t CROSS JOIN (SELECT unnest([5, 9, 13]) AS n) ns
+    )
+    SELECT CAST(e.n AS BIGINT) AS ngram_n,
+           count(*) AS n_train_docs,
+           count(f.doc_id) AS n_dropped,
+           round(count(f.doc_id) / CAST(count(*) AS DOUBLE), 6) AS drop_rate,
+           CAST(coalesce(sum(CASE WHEN f.doc_id IS NOT NULL THEN e.ntok END), 0) AS BIGINT)
+             AS dropped_tokens,
+           round(coalesce(sum(CASE WHEN f.doc_id IS NOT NULL THEN e.ntok END), 0)
+                 / CAST(sum(e.ntok) AS DOUBLE), 6) AS token_loss_frac
+    FROM expanded e LEFT JOIN flagged f ON f.n = e.n AND f.doc_id = e.doc_id
+    GROUP BY e.n
+    """.replace("{toks}", toks_cte()),
+)
+def cur18_ngram_decontamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+    from ..functions.text import ngrams, tokenize
+
+    NS = (5, 9, 13)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    is_eval = F.col("doc_id") % 97 == 0
+    # Generate barrier before the gram lambdas (the doc_shingles codegen
+    # guard), then ONE projection emits all three widths tagged by n
+    tok_rows = docs.select(
+        "doc_id", F.explode(F.array(tokenize(F.col("text")))).alias("_toks")
+    )
+    sh = (
+        tok_rows.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[ngrams(F.col("_toks"), n) for n in NS])
+            ).alias("p", "grams"),
+        )
+        .select(
+            "doc_id",
+            F.element_at(F.array(*[F.lit(n) for n in NS]), F.col("p") + 1).alias("n"),
+            F.explode("grams").alias("g"),
+        )
+        .select("doc_id", "n", md5_long(F.col("g")).alias("shingle"))
+        .distinct()
+        .localCheckpoint()  # consumers: eval sets + train probe
+    )
+    ev = sh.where(is_eval).select("n", "shingle").distinct()
+    flagged = (
+        sh.where(~is_eval)
+        .join(F.broadcast(ev), ["n", "shingle"], "left_semi")
+        .select("n", "doc_id")
+        .distinct()
+        .withColumn("_f", F.lit(1))
+    )
+    train = docs.where(~is_eval).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("ntok")
+    )
+    expanded = train.select(
+        "doc_id", "ntok", F.explode(F.array(*[F.lit(n) for n in NS])).alias("n")
+    )
+    dropped_tok = F.when(F.col("_f").isNotNull(), F.col("ntok"))
+    return (
+        expanded.join(flagged, ["n", "doc_id"], "left")
+        .groupBy(F.col("n").cast("long").alias("ngram_n"))
+        .agg(
+            F.count("*").cast("long").alias("n_train_docs"),
+            F.count("_f").cast("long").alias("n_dropped"),
+            F.round(F.count("_f") / F.count("*").cast("double"), 6).alias("drop_rate"),
+            F.coalesce(F.sum(dropped_tok), F.lit(0))
+            .cast("long")
+            .alias("dropped_tokens"),
+            F.round(
+                F.coalesce(F.sum(dropped_tok), F.lit(0)) / F.sum("ntok").cast("double"),
+                6,
+            ).alias("token_loss_frac"),
+        )
+    )
+
+
+# --- D21: Jaccard verification-threshold sweep (the dedup aggressiveness knob) -------
+# d20 sweeps the LSH BAND configuration (candidate generation); this
+# sweeps the other half of the dedup operating point — the verification
+# threshold — over ONE fixed candidate set (d3/d4's serving config:
+# 8 hashes, 2-row bands). Per t ∈ {0.5, 0.7, 0.9}: pairs surviving
+# verification, docs a keep-smallest pair policy would drop, and the
+# corpus-level drop rate — the table a corpus owner reads to pick how
+# aggressive dedup should be before committing a 100 TB pass. The
+# expensive parts run ONCE (candidate join + candidate-scoped Jaccard,
+# both checkpointed); the sweep itself is three filters over the tiny
+# verified-pair frame. Thresholding happens on the round(·, 6) value on
+# both engines (the jaccard_pairs contract), so boundary pairs cannot
+# split across engines.
+@query(
+    "d21_jaccard_threshold_sweep",
+    oracle=f"""
+    WITH {_CANDIDATES},
+    {_JACCARD},
+    cj AS (
+      SELECT j.doc_a, j.doc_b, j.jaccard
+      FROM jac j JOIN cands c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    ),
+    ts AS (SELECT unnest([0.5::DOUBLE, 0.7::DOUBLE, 0.9::DOUBLE]) AS threshold),
+    per AS (
+      SELECT t.threshold,
+             count(*) AS n_verified_pairs,
+             count(DISTINCT cj.doc_b) AS n_docs_flagged
+      FROM ts t JOIN cj ON cj.jaccard >= t.threshold
+      GROUP BY t.threshold
+    ),
+    nc AS (SELECT count(*) AS n_candidate_pairs FROM cands),
+    nd AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL)
+    SELECT t.threshold,
+           CAST(nc.n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+           CAST(coalesce(p.n_verified_pairs, 0) AS BIGINT) AS n_verified_pairs,
+           CAST(coalesce(p.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+           round(coalesce(p.n_docs_flagged, 0) / CAST(nd.n_docs AS DOUBLE), 6)
+             AS flag_rate
+    FROM ts t LEFT JOIN per p ON p.threshold = t.threshold
+    CROSS JOIN nc CROSS JOIN nd
+    """,
+)
+def d21_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        jaccard_pairs,
+        lsh_bands_from_wide,
+        lsh_candidate_pairs,
+        minhash_wide,
+    )
+
+    TS = (0.5, 0.7, 0.9)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sh = doc_shingles(docs, k=3).localCheckpoint()  # consumers: bands + verify
+    cands = lsh_candidate_pairs(
+        lsh_bands_from_wide(minhash_wide(sh, num_hashes=8), rows_per_band=2)
+    ).localCheckpoint()  # consumers: verification scope + the count face
+    # ONE candidate-scoped verification; three thresholds filter it
+    jac = jaccard_pairs(sh, candidates=cands).localCheckpoint()
+    n_cand = cands.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    ts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in TS])).alias("threshold")
+    )
+    per = (
+        ts.join(jac, F.col("jaccard") >= F.col("threshold"))  # 3-row side broadcasts
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_verified_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_flagged"),
+        )
+    )
+    return (
+        ts.join(per, "threshold", "left")  # keep a row even when a t drops nothing
+        .crossJoin(F.broadcast(n_cand))  # singleton count row
+        .crossJoin(F.broadcast(n_docs))  # singleton corpus-size row
+        .select(
+            "threshold",
+            "n_candidate_pairs",
+            F.coalesce("n_verified_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_verified_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0)).cast("long").alias("n_docs_flagged"),
+            F.round(
+                F.coalesce("n_docs_flagged", F.lit(0)) / F.col("n_docs").cast("double"),
+                6,
+            ).alias("flag_rate"),
+        )
+    )

@@ -129,6 +129,48 @@ def test_cur17_bloom_sweep_one_sided_and_sizing(spark):
     assert fills[0] > fills[1] > fills[2] > 0
 
 
+def test_cur18_width_monotonicity(spark):
+    pdf = (
+        entry_mod.queries()["cur18_ngram_decontamination_sweep"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("ngram_n", ignore_index=True)
+    )
+    assert list(pdf["ngram_n"]) == [5, 9, 13]
+    # train split is width-independent
+    assert pdf["n_train_docs"].nunique() == 1
+    # subset property: a shared 13-gram contains shared 5-grams, so the
+    # flagged set strictly shrinks (or stays) as the window widens
+    assert pdf["n_dropped"].iloc[0] >= pdf["n_dropped"].iloc[1] >= pdf["n_dropped"].iloc[2]
+    assert (
+        pdf["dropped_tokens"].iloc[0]
+        >= pdf["dropped_tokens"].iloc[1]
+        >= pdf["dropped_tokens"].iloc[2]
+    )
+
+
+def test_d21_threshold_monotonicity(spark):
+    pdf = (
+        entry_mod.queries()["d21_jaccard_threshold_sweep"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("threshold", ignore_index=True)
+    )
+    assert list(pdf["threshold"]) == [0.5, 0.7, 0.9]
+    # one candidate set across the sweep; verification only ever filters
+    assert pdf["n_candidate_pairs"].nunique() == 1
+    assert (pdf["n_verified_pairs"] <= pdf["n_candidate_pairs"]).all()
+    assert (
+        pdf["n_verified_pairs"].iloc[0]
+        >= pdf["n_verified_pairs"].iloc[1]
+        >= pdf["n_verified_pairs"].iloc[2]
+    )
+    assert (
+        pdf["n_docs_flagged"].iloc[0]
+        >= pdf["n_docs_flagged"].iloc[1]
+        >= pdf["n_docs_flagged"].iloc[2]
+    )
+    assert (pdf["n_docs_flagged"] <= pdf["n_verified_pairs"]).all()
+
+
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
