@@ -817,3 +817,134 @@ def st14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("secs_to_purchase"),
     )
     return run_bounded(joined, "st14_out", output_mode="append")
+
+
+def _semantic_admission_counts(batch_df: DataFrame, corpus_b: DataFrame) -> DataFrame:
+    """One micro-batch of st15: per-label (n_new, n_rejected) for arriving
+    embedding vectors probed against the standing SRP-bucketed corpus
+    index. Candidates come ONLY from the bucket equi-join (never a
+    batch × corpus enumeration); verification is the exact index-order
+    cosine ≥ 0.35 (n4's semantic-dup config). Depends only on the batch
+    and the static index, so micro-batch boundaries cannot change the
+    summed result — the st13 invariance property, embedding-side."""
+    from ..operators.similarity import dot, srp_buckets, with_norm
+    from .queries_similarity import SRP_PLANES
+
+    ab = srp_buckets(batch_df, SRP_PLANES).join(
+        with_norm(batch_df).select("vec_id", "nrm"), "vec_id"
+    )
+    cand = ab.join(corpus_b, "bucket")  # the ONLY batch-corpus contact
+    rejected = (
+        cand.where(
+            F.round(
+                dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")), 6
+            )
+            >= 0.35
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    return (
+        batch_df.select("vec_id", "label")
+        .join(rejected, "vec_id", "left")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_new"), F.count("_r").alias("n_rejected"))
+    )
+
+
+# --- ST15: streaming semantic (embedding) admission gate ----------------------------
+# st13 gates an arriving TEXT feed on MinHash near-duplicates; this is
+# the same deployment shape for the EMBEDDING side — the semantic-dedup
+# serving path (n2's SRP buckets + n4's exact-cosine verification) run
+# continuously against a standing corpus. The corpus index (bucket id +
+# precomputed norm per vector) is built ONCE batch-side; each
+# micro-batch of arriving vectors (vec_id % 2 == 1) is bucketed and
+# probed via foreachBatch — bucket equi-join for candidates, exact
+# cosine ≥ 0.35 inside the bucket, reject on any hit. NO streaming
+# state store: the index is static, per-batch structures die with the
+# batch, and the driver accumulates ≤ |labels| counter rows per batch
+# (st12's bounded-collect discipline). The oracle restates the whole
+# stream as the equivalent batch SQL over the SAME bucketed rule, so
+# LSH recall (deliberately < 1 — that is the serving trade) cannot
+# diverge between the two engines.
+@query(
+    "st15_stream_semantic_admission",
+    oracle=None,  # set below: needs queries_similarity's plane literals
+)
+def st15_stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sources import load_table
+    from ..operators.similarity import srp_buckets, with_norm
+    from ..streaming.enrich import run_bounded_foreach
+    from .queries_similarity import SRP_PLANES
+
+    corpus = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    # standing index, built ONCE before the stream starts: SRP bucket +
+    # norm per corpus vector (norms precomputed so probe-time cosine is
+    # one fold per candidate, never O(pairs) norm recomputation)
+    corpus_b = (
+        srp_buckets(corpus, SRP_PLANES)
+        .join(with_norm(corpus).select("vec_id", "nrm"), "vec_id")
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+            "bucket",
+        )
+        .localCheckpoint()
+    )
+
+    results: list[tuple] = []
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        counts = _semantic_admission_counts(batch_df, corpus_b)
+        # bounded driver transfer: <= |labels| rows per micro-batch
+        results.extend((r.label, r.n_new, r.n_rejected) for r in counts.collect())
+
+    arriving = (
+        stream_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "label", "embedding")
+    )
+    run_bounded_foreach(arriving, admit)
+
+    part = spark.createDataFrame(
+        results or [(-1, 0, 0)], "label int, n_new long, n_rejected long"
+    ).where(F.col("label") >= 0)  # labels are small non-negative ints; -1 = sentinel
+    return part.groupBy("label").agg(
+        F.sum("n_new").cast("long").alias("n_new"),
+        F.sum("n_rejected").cast("long").alias("n_rejected"),
+        (F.sum("n_new") - F.sum("n_rejected")).cast("long").alias("n_admitted"),
+        F.round(F.sum("n_rejected") / F.sum("n_new").cast("double"), 6).alias(
+            "rejection_rate"
+        ),
+    )
+
+
+# the oracle restates the bounded stream as batch SQL over the same
+# bucketed-admission rule; built here because the SRP plane literals live
+# in queries_similarity
+def _st15_oracle() -> str:
+    from .queries_similarity import _BUCKET_SQL
+
+    return f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    c AS (SELECT vec_id, ve, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v WHERE vec_id % 2 = 0),
+    a AS (SELECT vec_id, label, ve, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v WHERE vec_id % 2 = 1),
+    rej AS (
+      SELECT DISTINCT a.vec_id FROM a JOIN c ON a.bucket = c.bucket
+      WHERE round(list_inner_product(a.ve, c.ve)
+            / (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(c.ve, c.ve))), 6)
+            >= 0.35
+    )
+    SELECT a.label,
+           count(*) AS n_new,
+           count(r.vec_id) AS n_rejected,
+           count(*) - count(r.vec_id) AS n_admitted,
+           round(count(r.vec_id) / CAST(count(*) AS DOUBLE), 6) AS rejection_rate
+    FROM a LEFT JOIN rej r ON r.vec_id = a.vec_id
+    GROUP BY a.label
+    """
+
+
+ORACLE_SQL["st15_stream_semantic_admission"] = _st15_oracle()

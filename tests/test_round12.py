@@ -171,6 +171,50 @@ def test_d21_threshold_monotonicity(spark):
     assert (pdf["n_docs_flagged"] <= pdf["n_verified_pairs"]).all()
 
 
+def test_st15_microbatch_invariance(spark):
+    """st15's admission depends only on (batch row, static index), so any
+    micro-batch partitioning of the feed must sum to the same counts —
+    the st13 invariance property, embedding-side."""
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.similarity import (
+        srp_buckets,
+        with_norm,
+    )
+    from ml_training_data_pipeline_spark.plans.queries_similarity import SRP_PLANES
+    from ml_training_data_pipeline_spark.plans.queries_stream import (
+        _semantic_admission_counts,
+    )
+
+    corpus = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") % 2 == 0)
+    corpus_b = (
+        srp_buckets(corpus, SRP_PLANES)
+        .join(with_norm(corpus).select("vec_id", "nrm"), "vec_id")
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+            "bucket",
+        )
+        .localCheckpoint()
+    )
+    feed = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") % 2 == 1)
+
+    def summed(batches):
+        acc: dict[str, tuple[int, int]] = {}
+        for b in batches:
+            for r in _semantic_admission_counts(b, corpus_b).collect():
+                n, rj = acc.get(r.label, (0, 0))
+                acc[r.label] = (n + r.n_new, rj + r.n_rejected)
+        return acc
+
+    whole = summed([feed])
+    halves = summed([feed.where(F.col("vec_id") % 4 == 1), feed.where(F.col("vec_id") % 4 == 3)])
+    assert whole == halves
+    assert sum(n for n, _ in whole.values()) == feed.count()
+
+
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
