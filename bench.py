@@ -155,9 +155,11 @@ def main() -> None:
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # full materialization, no driver transfer cost
-            rep_times.append(
-                (round(time.time() - t0, 3), round(proc_tree_cpu_s() - c0, 3))
-            )
+            c1 = proc_tree_cpu_s()
+            # keep the -1.0 'unavailable' sentinel intact: a failed sample
+            # must not masquerade as 0.0 (or negative garbage) CPU seconds
+            cpu_rep = round(c1 - c0, 3) if (c0 >= 0 and c1 >= 0) else -1.0
+            rep_times.append((round(time.time() - t0, 3), cpu_rep))
         # min wall isolates contention noise; report THAT rep's CPU so the
         # two numbers describe the same execution
         times[name], cpu[name] = min(rep_times)

@@ -79,9 +79,11 @@ PRIORITY: tuple[str, ...] = (
     "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",
     "v3_tfidf_unigram",
     # ROUND-13 ROTATION (pre-staged): lead with any round-13
-    # additions/changes, then the r6-tail remainder
-    # (v6_doc_top_terms ... d9_simhash_banded_near_dups, 15 names,
-    # mid-list below — after this round the stalest stamps), then the
+    # additions/changes, then the 5 names the round-12 additions pushed
+    # past the 50-cut (m1_kmeans_assignments, m3_kmeans_predict_new_docs,
+    # s5_model_roundtrip, v2_term_counts, v3_tfidf_unigram — r6 stamps),
+    # then the r6-tail remainder (v6_doc_top_terms ...
+    # d9_simhash_banded_near_dups, 15 names, mid-list below), then the
     # ROUND-7 PREFIX block (r7 stamps) in listed order to fill 50.
     "st12_stream_drift_gate", "cur10_incremental_neardup",
     "d19_shingle_df_audit", "n16_hard_negatives", "cur11_semantic_survivors",

@@ -35,23 +35,32 @@ def compare(sp_df, od_df) -> dict:
     }
     if not (out["rows_match"] and out["schema_match"]):
         return out
-    a = sp_df[cols].sort_values(by=cols, ignore_index=True)
-    b = od_df[cols].sort_values(by=cols, ignore_index=True)
-    ok = True
-    for c in cols:
-        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
-            # Compare the REPR of the rounded doubles, not the doubles:
-            # numpy's == (and Series.equals) treats -0.0 == 0.0, but the
-            # driver's value-hash is byte-level and DOES distinguish them
-            # (round-10's ep9 red row was exactly a -0.0-vs-0.0 split this
-            # comparator waved through). repr keeps the sign ('-0.0' !=
-            # '0.0') and makes NaN==NaN ('nan'), matching hash semantics.
-            av = a[c].astype(float).round(6).map(repr)
-            bv = b[c].astype(float).round(6).map(repr)
-            ok = ok and av.equals(bv)
-        else:
-            ok = ok and a[c].astype(str).equals(b[c].astype(str))
-    out["hash_match"] = ok
+    import pandas as pd
+
+    # Canonicalize to STRING FORM before sorting, then compare positionally:
+    # numpy's == (and Series.equals, and sort keys) treats -0.0 == 0.0, but
+    # the driver's value-hash is byte-level and DOES distinguish them
+    # (round-10's ep9 red row was exactly a -0.0-vs-0.0 split the old
+    # float-compare waved through). repr keeps the sign ('-0.0' != '0.0')
+    # and makes NaN==NaN ('nan'); sorting the STRINGS makes tie order
+    # deterministic on both sides (a numeric sort leaves -0.0/0.0 ties in
+    # input order, which would flag identical multisets as mismatched).
+    float_cols = {
+        c for c in cols if sp_df[c].dtype.kind == "f" or od_df[c].dtype.kind == "f"
+    }
+
+    def canon(df: "pd.DataFrame") -> "pd.DataFrame":
+        o = {
+            c: (
+                df[c].astype(float).round(6).map(repr)
+                if c in float_cols
+                else df[c].astype(str)
+            )
+            for c in cols
+        }
+        return pd.DataFrame(o).sort_values(by=cols, ignore_index=True)
+
+    out["hash_match"] = canon(sp_df).equals(canon(od_df))
     return out
 
 

@@ -16,8 +16,11 @@ from __future__ import annotations
 import importlib.util
 import math
 import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
+import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR, SF_DIR_T2
@@ -45,6 +48,16 @@ def test_sweep_compare_fails_on_signed_zero():
         "comparator treated -0.0 == 0.0 — the exact failure class the "
         "driver's byte-level value-hash catches (round-10 ep9)"
     )
+
+
+def test_sweep_compare_order_insensitive_on_signed_zero_ties():
+    # identical MULTISETS must match even when -0.0/0.0 ties arrive in
+    # different row orders (a numeric sort key treats them equal and
+    # preserves input order, which a positional compare would flag)
+    ds = _load_driver_sweep()
+    a = pd.DataFrame({"k": [1, 1], "v": [-0.0, 0.0]})
+    b = pd.DataFrame({"k": [1, 1], "v": [0.0, -0.0]})
+    assert ds.compare(a, b)["hash_match"]
 
 
 def test_sweep_compare_passes_on_identical_and_nan():
@@ -218,6 +231,7 @@ def test_st15_microbatch_invariance(spark):
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
+@pytest.mark.skipif(sys.platform != "linux", reason="proc_tree_cpu_s is /proc-based")
 def test_proc_tree_cpu_seconds_positive_and_monotone():
     import importlib.util as ilu
 
@@ -245,6 +259,13 @@ def test_ep9_integer_exact_reconstruction(spark):
         .toPandas()
         .sort_values("source", ignore_index=True)
     )
+
+    def r6(x: float) -> float:
+        # Spark's round() is HALF_UP over the exact BigDecimal expansion of
+        # the double; Python's round() is half-even and would disagree on
+        # representable 6-decimal ties (e.g. 1/128) — mirror Spark exactly
+        return float(Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
     n_src = len(pdf)
     caps = {}
     n = int(pdf["n_tokens"].sum())
@@ -254,9 +275,9 @@ def test_ep9_integer_exact_reconstruction(spark):
     for _, r in pdf.iterrows():
         cap, tok = caps[r["source"]], int(r["n_tokens"])
         d = n_src * tok
-        assert r["weight"] == round(cap / d, 6)
+        assert r["weight"] == r6(cap / d)
         assert r["full_epochs"] == cap // d
-        assert r["last_epoch_rate"] == round((cap % d) / d, 6)
-        assert r["eff_tokens"] == round(cap / n_src, 6)
-        assert r["achieved_share"] == round(cap / zc, 6)
-        assert r["shortfall"] == round((zc - n_src * cap) / (n_src * zc), 6)
+        assert r["last_epoch_rate"] == r6((cap % d) / d)
+        assert r["eff_tokens"] == r6(cap / n_src)
+        assert r["achieved_share"] == r6(cap / zc)
+        assert r["shortfall"] == r6((zc - n_src * cap) / (n_src * zc))
