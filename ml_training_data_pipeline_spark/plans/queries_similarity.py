@@ -1346,3 +1346,228 @@ def n20_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_to_global"
         ),
     )
+
+
+# --- N21: multi-probe SRP — recall lift at one extra bucket, measured ----------------
+# n11 measured the single-table, single-probe SRP config honestly (~0.3
+# recall@5); n13's fix was MORE TABLES (T=16 → 0.8+), which multiplies
+# index storage T×. Multi-probe is the cheaper production lever (FAISS/
+# ANN-benchmarks practice): probe the query's home bucket AND the bucket
+# reached by flipping the query's LEAST-CONFIDENT hash bit — the plane
+# with the smallest |⟨q, plane⟩| margin, i.e. the bit most likely to be
+# wrong — trading ~2× probe cost (still a vanishing corpus fraction) for
+# recall, with ZERO extra index storage. Per query: candidate counts and
+# recall@5 for single vs multi probe, side by side — the table that
+# justifies (or kills) the config. Deterministic: the weakest plane is
+# an argmin over bit-identical doubles with a fixed tie order, and the
+# flipped bucket is integer XOR; everything else is n3/n11 algebra.
+@query(
+    "n21_srp_multiprobe_recall",
+    oracle=f"""
+    WITH {_V},
+    q0 AS (
+      SELECT vec_id AS query_id, ve AS qve, CAST({_BUCKET_SQL} AS BIGINT) AS qbucket,
+             abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[0])})) AS m0,
+             abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[1])})) AS m1,
+             abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[2])})) AS m2,
+             abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[3])})) AS m3
+      FROM v WHERE vec_id < 10
+    ),
+    q AS (
+      SELECT query_id, qve, qbucket,
+             CASE WHEN m0 <= m1 AND m0 <= m2 AND m0 <= m3 THEN 0
+                  WHEN m1 <= m2 AND m1 <= m3 THEN 1
+                  WHEN m2 <= m3 THEN 2 ELSE 3 END AS wplane
+      FROM q0
+    ),
+    probes AS (
+      SELECT query_id, qve, qbucket AS bucket, 1 AS probe FROM q
+      UNION ALL
+      SELECT query_id, qve, CAST(xor(qbucket, 1 << wplane) AS BIGINT), 2 FROM q
+    ),
+    bv AS (SELECT vec_id, ve, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
+    cand AS (
+      SELECT p.query_id, bv.vec_id AS neighbor_id, p.probe,
+             round(list_inner_product(bv.ve, p.qve)
+                   / (sqrt(list_inner_product(bv.ve, bv.ve))
+                      * sqrt(list_inner_product(p.qve, p.qve))), 6) AS cos_sim
+      FROM probes p JOIN bv ON bv.bucket = p.bucket
+      WHERE bv.vec_id <> p.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q0.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY round(list_inner_product(v.ve, q0.qve)
+                     / (sqrt(list_inner_product(v.ve, v.ve))
+                        * sqrt(list_inner_product(q0.qve, q0.qve))), 6) DESC,
+                   v.vec_id ASC) AS rank
+        FROM v CROSS JOIN q0 WHERE v.vec_id <> q0.query_id
+      ) WHERE rank <= 5
+    ),
+    multi AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS r
+        FROM cand
+      ) WHERE r <= 5
+    ),
+    single AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS r
+        FROM cand WHERE probe = 1
+      ) WHERE r <= 5
+    ),
+    counts AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN probe = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_single,
+             count(*) AS n_cand_multi
+      FROM cand GROUP BY query_id
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_exact,
+             CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_single,
+             CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_multi
+      FROM exact e
+      LEFT JOIN single s ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+      LEFT JOIN multi m ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT h.query_id, h.n_exact,
+           CAST(coalesce(c.n_cand_single, 0) AS BIGINT) AS n_cand_single,
+           CAST(coalesce(c.n_cand_multi, 0) AS BIGINT) AS n_cand_multi,
+           h.n_hit_single, h.n_hit_multi,
+           round(h.n_hit_single / CAST(h.n_exact AS DOUBLE), 6) AS recall_single,
+           round(h.n_hit_multi / CAST(h.n_exact AS DOUBLE), 6) AS recall_multi
+    FROM hits h LEFT JOIN counts c USING (query_id)
+    """,
+)
+def n21_srp_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, srp_buckets, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        srp_buckets(emb, SRP_PLANES)
+        .join(with_norm(emb).select("vec_id", "nrm"), "vec_id")
+        .localCheckpoint()  # corpus index: 2 consumers (probe join ×2 rows)
+    )
+    qsrc = emb.where(F.col("vec_id") < 10)
+    margins = [
+        F.abs(dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in p]))).alias(f"m{i}")
+        for i, p in enumerate(SRP_PLANES)
+    ]
+    q0 = (
+        srp_buckets(qsrc, SRP_PLANES)
+        .join(with_norm(qsrc).select("vec_id", "nrm"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+            *margins,
+        )
+    )
+    # least-confident plane: argmin |margin|, tie broken toward the
+    # smallest index — the SAME comparison chain as the oracle's CASE
+    wplane = (
+        F.when(
+            (F.col("m0") <= F.col("m1"))
+            & (F.col("m0") <= F.col("m2"))
+            & (F.col("m0") <= F.col("m3")),
+            0,
+        )
+        .when((F.col("m1") <= F.col("m2")) & (F.col("m1") <= F.col("m3")), 1)
+        .when(F.col("m2") <= F.col("m3"), 2)
+        .otherwise(3)
+    )
+    q = q0.select("query_id", "qvec", "qnrm", "qbucket", wplane.alias("wplane"))
+    probes = q.select(
+        "query_id", "qvec", "qnrm", F.col("qbucket").alias("bucket"), F.lit(1).alias("probe")
+    ).unionByName(
+        q.select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            F.expr("qbucket ^ shiftleft(1, wplane)").cast("long").alias("bucket"),
+            F.lit(2).alias("probe"),
+        )
+    )
+    cand = (
+        probes.join(b, "bucket")  # a corpus row lives in exactly ONE bucket
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probe",
+            F.round(
+                dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+        .localCheckpoint()  # 3 consumers: counts + single top-5 + multi top-5
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    multi = (
+        cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("m_neighbor"))
+    )
+    single = (
+        cand.where(F.col("probe") == 1)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("s_neighbor"))
+    )
+    counts = cand.groupBy("query_id").agg(
+        F.sum(F.when(F.col("probe") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cand_single"),
+        F.count("*").cast("long").alias("n_cand_multi"),
+    )
+    exact = brute_force_topk(emb, qsrc, k=5).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(
+            single,
+            (single.query_id == exact.query_id)
+            & (F.col("s_neighbor") == exact.neighbor_id),
+            "left",
+        )
+        .drop(single.query_id)
+        .join(
+            multi,
+            (multi.query_id == exact.query_id)
+            & (F.col("m_neighbor") == exact.neighbor_id),
+            "left",
+        )
+        .drop(multi.query_id)
+        .groupBy(exact.query_id)
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.when(F.col("s_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit_single"),
+            F.sum(F.when(F.col("m_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit_multi"),
+        )
+    )
+    return hits.join(counts, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_cand_single", F.lit(0)).cast("long").alias("n_cand_single"),
+        F.coalesce("n_cand_multi", F.lit(0)).cast("long").alias("n_cand_multi"),
+        "n_hit_single",
+        "n_hit_multi",
+        F.round(F.col("n_hit_single") / F.col("n_exact").cast("double"), 6).alias(
+            "recall_single"
+        ),
+        F.round(F.col("n_hit_multi") / F.col("n_exact").cast("double"), 6).alias(
+            "recall_multi"
+        ),
+    )

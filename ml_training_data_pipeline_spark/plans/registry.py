@@ -59,7 +59,8 @@ PRIORITY: tuple[str, ...] = (
     # past the 50-cut into the round-13 rotation
     "ep10_release_roadmap", "cur17_bloom_sizing_sweep",
     "cur18_ngram_decontamination_sweep", "d21_jaccard_threshold_sweep",
-    "st15_stream_semantic_admission",
+    "st15_stream_semantic_admission", "mix9_budget_waterfill",
+    "n21_srp_multiprobe_recall",
     "cur16_neardup_split_leakage", "n20_embedding_health",
     "s20_schema_evolution_read", "ep9_mixture_roadmap",
     "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",

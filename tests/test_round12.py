@@ -228,6 +228,35 @@ def test_st15_microbatch_invariance(spark):
     assert sum(n for n, _ in whole.values()) == feed.count()
 
 
+def test_mix9_waterfill_invariants(spark):
+    pdf = entry_mod.queries()["mix9_budget_waterfill"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    _assert_no_negative_zero(pdf, "mix9")
+    b = int(pdf["budget_tokens"].iloc[0])
+    assert (pdf["budget_tokens"] == b).all()
+    # feasibility: every allocation within its cap (tolerate round(6))
+    assert (pdf["alloc_tokens"] <= pdf["cap_tokens"] + 1e-6).all()
+    assert ((pdf["epochs_equiv"] > 0) & (pdf["epochs_equiv"] <= 4.0)).all()
+    # the budget is spent exactly unless EVERY source is capped
+    if not pdf["is_capped"].all():
+        assert abs(pdf["alloc_tokens"].sum() - b) < 1e-2  # round(6) per row
+        # water level: every capped source's cap sits at/below every
+        # uncapped source's equal share (the defining property)
+        lvl = pdf.loc[~pdf["is_capped"], "alloc_tokens"].min()
+        assert (pdf.loc[pdf["is_capped"], "cap_tokens"] <= lvl + 1e-6).all()
+
+
+def test_n21_multiprobe_dominance(spark):
+    pdf = entry_mod.queries()["n21_srp_multiprobe_recall"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 10
+    # the flipped bucket only ADDS candidates, and ranking is consistent
+    # (cos desc, id asc on both exact and approx), so hits are monotone
+    assert (pdf["n_cand_multi"] >= pdf["n_cand_single"]).all()
+    assert (pdf["n_hit_multi"] >= pdf["n_hit_single"]).all()
+    assert ((pdf["recall_multi"] >= 0) & (pdf["recall_multi"] <= 1)).all()
+    assert (pdf["n_hit_multi"] <= pdf["n_exact"]).all()
+
+
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
