@@ -246,6 +246,49 @@ def test_mix9_waterfill_invariants(spark):
         assert (pdf.loc[pdf["is_capped"], "cap_tokens"] <= lvl + 1e-6).all()
 
 
+@pytest.mark.parametrize("seed", range(1))
+def test_waterfill_algebra_properties(seed):
+    """Property-test the math mix9's relational form depends on, for
+    arbitrary inputs: (a) the rowwise capped condition
+    cap_i·(n−i+1) ≤ B − prefix_{i−1} is MONOTONE over the ascending-cap
+    order (so the capped set is a prefix and one window pass finds it);
+    (b) the resulting allocation is feasible (≤ cap each), exhausts B
+    exactly when any source is uncapped, and every capped cap sits at or
+    below the uncapped level (the defining water-filling property)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        hst.lists(hst.integers(1, 10**12), min_size=1, max_size=40),
+        hst.integers(0, 4 * 10**13),
+    )
+    def check(tokens, budget):
+        caps = sorted(4 * t for t in tokens)
+        n = len(caps)
+        prefix = 0
+        conds = []
+        for i, c in enumerate(caps, start=1):
+            conds.append(c * (n - i + 1) <= budget - prefix)
+            prefix += c
+        # (a) True...True,False...False — no interleaving
+        assert conds == sorted(conds, reverse=True)
+        k = sum(conds)
+        p_k = sum(caps[:k])
+        if k < n:
+            level = Fraction(budget - p_k, n - k)
+            # (b) feasibility + exhaustion + the level property, exact
+            assert all(Fraction(c) <= level for c in caps[:k])
+            assert level <= Fraction(caps[k])  # uncapped really fit under cap
+            assert p_k + level * (n - k) == budget
+        else:
+            assert p_k <= budget  # all capped: budget cannot be exceeded
+
+    check()
+
+
 def test_n21_multiprobe_dominance(spark):
     pdf = entry_mod.queries()["n21_srp_multiprobe_recall"](spark, SF_DIR).toPandas()
     assert len(pdf) == 10
