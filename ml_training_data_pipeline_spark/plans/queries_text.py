@@ -2679,3 +2679,94 @@ def mix9_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epochs_equiv"),
     )
+
+
+# --- EP11: release diff card (version-to-version mixture ledger) ---------------------
+# s14 classifies docs between two corpus versions (added/removed/changed/
+# unchanged) per language; this is the RELEASE-facing consequence table a
+# dataset owner reads next: per source, the doc/token ledger of the diff
+# and what it did to the mixture — share before vs after and the shift.
+# Uses s14's exact version-B construction (drop doc_id % 7 == 0; even-id
+# docs metadata-edited, text unchanged) so the two audits can never
+# disagree about what "version B" means. Because B is DERIVED from A
+# here, status is a pure function of doc_id and the whole card is ONE
+# corpus scan + ONE aggregate — no join at all; against two MATERIAL
+# snapshots this becomes s14's key-bucketed full-outer join and the same
+# downstream algebra. share_shift is the cur15-audited-safe a−b shape:
+# each operand is ONE division of exact integer sums, so both engines
+# subtract bit-identical doubles (never old-ep9's ±0.0 roulette), and
+# every other float is a single division of BIGINTs.
+@query(
+    "ep11_release_diff_card",
+    oracle=f"""
+    WITH {toks_cte()},
+    per AS (
+      SELECT d.source,
+             count(*) AS docs_v1,
+             CAST(sum(CASE WHEN d.doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_v2,
+             CAST(sum(CASE WHEN d.doc_id % 7 <> 0 AND d.doc_id % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(sum(len(t.toks)) AS BIGINT) AS tokens_v1,
+             CAST(sum(CASE WHEN d.doc_id % 7 <> 0 THEN len(t.toks) ELSE 0 END)
+                  AS BIGINT) AS tokens_v2
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ),
+    tot AS (
+      SELECT CAST(sum(tokens_v1) AS BIGINT) AS t1, CAST(sum(tokens_v2) AS BIGINT) AS t2
+      FROM per
+    )
+    SELECT p.source, p.docs_v1, p.docs_v2,
+           CAST(p.docs_v1 - p.docs_v2 AS BIGINT) AS n_removed,
+           p.n_changed,
+           CAST(p.docs_v2 - p.n_changed AS BIGINT) AS n_unchanged,
+           p.tokens_v1, p.tokens_v2,
+           CAST(p.tokens_v1 - p.tokens_v2 AS BIGINT) AS tokens_removed,
+           round((p.docs_v1 - p.docs_v2) / CAST(p.docs_v1 AS DOUBLE), 6)
+             AS removal_rate,
+           round(p.tokens_v1 / t.t1, 6) AS share_v1,
+           round(p.tokens_v2 / t.t2, 6) AS share_v2,
+           round(p.tokens_v2 / t.t2 - p.tokens_v1 / t.t1, 6) AS share_shift
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def ep11_release_diff_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    in_v2 = F.col("doc_id") % 7 != 0
+    changed = in_v2 & (F.col("doc_id") % 2 == 0)
+    toks = token_count(F.col("text")).cast("long")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("docs_v1"),
+        F.sum(F.when(in_v2, 1).otherwise(0)).cast("long").alias("docs_v2"),
+        F.sum(F.when(changed, 1).otherwise(0)).cast("long").alias("n_changed"),
+        F.sum(toks).cast("long").alias("tokens_v1"),
+        F.sum(F.when(in_v2, toks).otherwise(0)).cast("long").alias("tokens_v2"),
+    ).localCheckpoint()  # |sources| rows; totals + report reuse it
+    tot = per.agg(
+        F.sum("tokens_v1").cast("long").alias("t1"),
+        F.sum("tokens_v2").cast("long").alias("t2"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(  # singleton totals row
+        "source",
+        "docs_v1",
+        "docs_v2",
+        (F.col("docs_v1") - F.col("docs_v2")).cast("long").alias("n_removed"),
+        "n_changed",
+        (F.col("docs_v2") - F.col("n_changed")).cast("long").alias("n_unchanged"),
+        "tokens_v1",
+        "tokens_v2",
+        (F.col("tokens_v1") - F.col("tokens_v2")).cast("long").alias("tokens_removed"),
+        F.round(
+            (F.col("docs_v1") - F.col("docs_v2")) / F.col("docs_v1").cast("double"), 6
+        ).alias("removal_rate"),
+        F.round(F.col("tokens_v1") / F.col("t1"), 6).alias("share_v1"),
+        F.round(F.col("tokens_v2") / F.col("t2"), 6).alias("share_v2"),
+        # audited-safe a−b (see cur15): bit-identical single-division
+        # operands on both engines, so any zero carries the same sign
+        F.round(
+            F.col("tokens_v2") / F.col("t2") - F.col("tokens_v1") / F.col("t1"), 6
+        ).alias("share_shift"),
+    )

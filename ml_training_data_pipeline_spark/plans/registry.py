@@ -60,7 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "ep10_release_roadmap", "cur17_bloom_sizing_sweep",
     "cur18_ngram_decontamination_sweep", "d21_jaccard_threshold_sweep",
     "st15_stream_semantic_admission", "mix9_budget_waterfill",
-    "n21_srp_multiprobe_recall",
+    "n21_srp_multiprobe_recall", "ep11_release_diff_card",
     "cur16_neardup_split_leakage", "n20_embedding_health",
     "s20_schema_evolution_read", "ep9_mixture_roadmap",
     "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",

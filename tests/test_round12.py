@@ -300,6 +300,20 @@ def test_n21_multiprobe_dominance(spark):
     assert (pdf["n_hit_multi"] <= pdf["n_exact"]).all()
 
 
+def test_ep11_release_diff_ledger_closes(spark):
+    pdf = entry_mod.queries()["ep11_release_diff_card"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    _assert_no_negative_zero(pdf, "ep11")
+    # the ledger must close: statuses partition version B, removals
+    # reconcile both doc and token columns, and the shifts sum to ~0
+    assert (pdf["n_changed"] + pdf["n_unchanged"] == pdf["docs_v2"]).all()
+    assert (pdf["n_removed"] == pdf["docs_v1"] - pdf["docs_v2"]).all()
+    assert (pdf["tokens_removed"] == pdf["tokens_v1"] - pdf["tokens_v2"]).all()
+    assert abs(pdf["share_v1"].sum() - 1.0) < 1e-3
+    assert abs(pdf["share_v2"].sum() - 1.0) < 1e-3
+    assert abs(pdf["share_shift"].sum()) < 2e-3  # round(6) per row
+
+
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
