@@ -80,8 +80,9 @@ PRIORITY: tuple[str, ...] = (
     "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",
     "v3_tfidf_unigram",
     # ROUND-13 ROTATION (pre-staged): lead with any round-13
-    # additions/changes, then the 5 names the round-12 additions pushed
-    # past the 50-cut (m1_kmeans_assignments, m3_kmeans_predict_new_docs,
+    # additions/changes, then the 8 names the round-12 additions pushed
+    # past the 50-cut (n5_ann_ivf_topk, mm2_frame_samples,
+    # x6_subword_counts, m1_kmeans_assignments, m3_kmeans_predict_new_docs,
     # s5_model_roundtrip, v2_term_counts, v3_tfidf_unigram — r6 stamps),
     # then the r6-tail remainder (v6_doc_top_terms ...
     # d9_simhash_banded_near_dups, 15 names, mid-list below), then the
