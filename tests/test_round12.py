@@ -314,6 +314,28 @@ def test_ep11_release_diff_ledger_closes(spark):
     assert abs(pdf["share_shift"].sum()) < 2e-3  # round(6) per row
 
 
+# --- rotation-ritual integrity: PRIORITY must BE the registry ----------------
+
+
+def test_priority_is_exactly_the_registry():
+    """The driver checks the first 50 names of queries(), whose order is
+    PRIORITY — and _load_all has a silent safety net that appends any
+    registered name PRIORITY forgot. A rotation typo would therefore not
+    fail anything; it would quietly demote a query past the 50-cut. Pin
+    exact set equality and no duplicates so rotation edits stay honest."""
+    from ml_training_data_pipeline_spark.plans import registry
+
+    registry._load_all()
+    pri = list(registry.PRIORITY)
+    assert len(pri) == len(set(pri)), "duplicate name in PRIORITY"
+    missing = set(registry.QUERIES) - set(pri)
+    stale = set(pri) - set(registry.QUERIES)
+    assert not missing, f"registered but absent from PRIORITY: {sorted(missing)}"
+    assert not stale, f"in PRIORITY but not registered: {sorted(stale)}"
+    # and the iteration order the driver sees IS the PRIORITY order
+    assert list(registry.QUERIES) == pri
+
+
 # --- VERDICT r11 #6: bench.py records contention-insensitive CPU seconds -----
 
 
