@@ -157,12 +157,19 @@ def main() -> None:
             n = df.count()  # full materialization, no driver transfer cost
             c1 = proc_tree_cpu_s()
             # keep the -1.0 'unavailable' sentinel intact: a failed sample
-            # must not masquerade as 0.0 (or negative garbage) CPU seconds
-            cpu_rep = round(c1 - c0, 3) if (c0 >= 0 and c1 >= 0) else -1.0
+            # must not masquerade as 0.0 CPU seconds. A negative DELTA is
+            # also a failed sample, not data: if an intermediate process
+            # exits between c0 and c1 its children reparent to PID 1 and
+            # leave the tree, so c1-c0 can go negative on a valid host.
+            delta = round(c1 - c0, 3)
+            cpu_rep = delta if (c0 >= 0 and c1 >= 0 and delta >= 0) else -1.0
             rep_times.append((round(time.time() - t0, 3), cpu_rep))
         # min wall isolates contention noise; report THAT rep's CPU so the
-        # two numbers describe the same execution
-        times[name], cpu[name] = min(rep_times)
+        # two numbers describe the same execution — but never let a
+        # sentinel rep win the CPU column when another rep has real data
+        times[name] = min(w for w, _ in rep_times)
+        valid = [(w, c) for w, c in rep_times if c >= 0]
+        cpu[name] = min(valid)[1] if valid else -1.0
         print(
             f"# {name}: {times[name]}s wall / {cpu[name]}s cpu "
             f"({n} rows; reps {rep_times})",
@@ -170,7 +177,11 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    total_cpu = round(sum(cpu.values()), 3)
+    # a single sentinel per-query value must poison the total visibly
+    # (-1.0), not silently drag it negative-by-N or understate it
+    total_cpu = (
+        -1.0 if any(c < 0 for c in cpu.values()) else round(sum(cpu.values()), 3)
+    )
     print(
         json.dumps(
             {

@@ -2354,12 +2354,13 @@ def ep10_release_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nb.bits_set AS BIGINT) AS bits_set,
            round(nb.bits_set / nb.m, 6) AS fill_rate,
            tot.n_train_docs,
-           CAST(bl.n_bloom_flagged AS BIGINT) AS n_bloom_flagged,
+           CAST(coalesce(bl.n_bloom_flagged, 0) AS BIGINT) AS n_bloom_flagged,
            CAST(ex.n_exact_flagged AS BIGINT) AS n_exact_flagged,
-           CAST(bl.n_bloom_flagged - ex.n_exact_flagged AS BIGINT) AS n_false_pos,
-           round((bl.n_bloom_flagged - ex.n_exact_flagged)
+           CAST(coalesce(bl.n_bloom_flagged, 0) - ex.n_exact_flagged AS BIGINT)
+             AS n_false_pos,
+           round((coalesce(bl.n_bloom_flagged, 0) - ex.n_exact_flagged)
                  / (tot.n_train_docs - ex.n_exact_flagged), 6) AS fp_doc_rate
-    FROM nb JOIN bloom bl USING (m) CROSS JOIN ex CROSS JOIN tot
+    FROM nb LEFT JOIN bloom bl USING (m) CROSS JOIN ex CROSS JOIN tot
     """,
 )
 def cur17_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2405,8 +2406,11 @@ def cur17_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").cast("long").alias("n_exact_flagged"))
     )
     tot = docs.where(~is_eval).agg(F.count("*").alias("n_train_docs"))
+    # LEFT join: a bitset config that flags zero train docs must still emit
+    # its sweep row (n_bloom_flagged = 0), not silently vanish from the table
+    nbf = F.coalesce(F.col("n_bloom_flagged"), F.lit(0)).cast("long")
     return (
-        nb.join(bloom, "m")
+        nb.join(bloom, "m", "left")
         .crossJoin(F.broadcast(ex))  # singleton truth row
         .crossJoin(F.broadcast(tot))  # singleton corpus-size row
         .select(
@@ -2414,13 +2418,11 @@ def cur17_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_set",
             F.round(F.col("bits_set") / F.col("m"), 6).alias("fill_rate"),
             "n_train_docs",
-            "n_bloom_flagged",
+            nbf.alias("n_bloom_flagged"),
             "n_exact_flagged",
-            (F.col("n_bloom_flagged") - F.col("n_exact_flagged"))
-            .cast("long")
-            .alias("n_false_pos"),
+            (nbf - F.col("n_exact_flagged")).cast("long").alias("n_false_pos"),
             F.round(
-                (F.col("n_bloom_flagged") - F.col("n_exact_flagged"))
+                (nbf - F.col("n_exact_flagged"))
                 / (F.col("n_train_docs") - F.col("n_exact_flagged")),
                 6,
             ).alias("fp_doc_rate"),

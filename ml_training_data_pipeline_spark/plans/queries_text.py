@@ -2608,7 +2608,8 @@ def v15_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE (m.b - l.p_k) / (m.n - l.k) END, 6) AS alloc_tokens,
            round(CASE WHEN m.is_capped THEN m.cap_tokens / m.b
                       ELSE (m.b - l.p_k) / ((m.n - l.k) * m.b) END, 6) AS alloc_share,
-           round(CASE WHEN m.is_capped THEN 4.0
+           round(CASE WHEN m.cap_tokens = 0 THEN 0.0
+                      WHEN m.is_capped THEN 4.0
                       ELSE (m.b - l.p_k) / ((m.n - l.k) * m.n_tokens) END, 6)
              AS epochs_equiv
     FROM marked m CROSS JOIN lvl l
@@ -2673,9 +2674,11 @@ def mix9_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alloc_share"),
         F.round(
-            F.when(F.col("is_capped"), F.lit(4.0)).otherwise(
-                rem_num / (rem_den * F.col("n_tokens"))
-            ),
+            # a zero-token source is "capped" at zero allocation: reporting
+            # the 4.0 cap multiple there would claim 4 epochs of nothing
+            F.when(F.col("cap_tokens") == 0, F.lit(0.0))
+            .when(F.col("is_capped"), F.lit(4.0))
+            .otherwise(rem_num / (rem_den * F.col("n_tokens"))),
             6,
         ).alias("epochs_equiv"),
     )
