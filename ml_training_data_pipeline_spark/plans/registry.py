@@ -44,70 +44,23 @@ def query(name: str, oracle: str | None = None):
 # are unchanged ops that were hash-green in BOTH earlier rounds, and all
 # remain covered by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-12 PREFIX (50), per VERDICT r11 #4: (a) the 3 names that have
-    # never had a driver row (cur16/n20/s20 — oracle-verified driver-style
-    # at sf0.01 AND sf0.1 before their round-10 commit), (b) ep9 + mix7,
-    # restated integer-exact THIS round (the signed-zero fix) and
-    # re-verified driver-style from /tmp at both scales before commit,
-    # (c) ep3/x8 (displaced from the round-10 prefix; ep3 carries the
-    # stalest rows-only stamp, r5), (d) the 11 round-10
-    # changed-implementation names that never got a post-change driver
-    # row, (e) the r6-tail head (cur1 ... v3, 32 names) to fill 50.
-    # round-12 additions (never driver-checked — lead the prefix; both
+    # ROUND-13 PREFIX (50), per VERDICT r12 #1 (the pre-staged rotation):
+    # (a) the 2 names whose implementation changed this round (mix9
+    # zero-token epochs fix, cur17 row-preserving left join — both
     # oracle-verified driver-style from /tmp at sf0.01 AND sf0.1 before
-    # commit); they push v2/v3 (unchanged r6-era, locally parity-tested)
-    # past the 50-cut into the round-13 rotation
-    "ep10_release_roadmap", "cur17_bloom_sizing_sweep",
-    "cur18_ngram_decontamination_sweep", "d21_jaccard_threshold_sweep",
-    "st15_stream_semantic_admission", "mix9_budget_waterfill",
-    "n21_srp_multiprobe_recall", "ep11_release_diff_card",
-    "cur16_neardup_split_leakage", "n20_embedding_health",
-    "s20_schema_evolution_read", "ep9_mixture_roadmap",
-    "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",
-    "d3_lsh_candidate_pairs", "d4_minhash_dedup", "cur3_decontaminate",
-    "d10_neardup_components", "cur2_component_survivors", "d17_lsh_precision",
-    "ep5_dedup_split_shards", "ep7_dataset_card", "st10_stream_dedup_gate",
-    "ep6_stream_ingest_gate", "ep8_drift_report", "cur1_corpus_curation",
-    "d5_simhash", "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
-    "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
-    "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",
-    "v5_pos_keywords", "x5_corpus_profile", "s3_csv_chunk_roundtrip",
-    "s7_inline_table", "p8_threshold_bands", "w4_argmax_per_group",
-    "u2_vocab_intersection", "g1_rollup_totals", "l2_cluster_labels",
-    "st3_stream_enrich", "mm1_media_features", "t1_sort_topk",
-    "c5_merge_components", "d8_jaccard_capped", "n5_ann_ivf_topk",
+    # commit), (b) the 8 r6-stamp names the round-12 additions pushed past
+    # the 50-cut (n5 ... v3), (c) the r6-tail remainder (v6 ... d9, 15
+    # names), (d) the ROUND-7 PREFIX block (r7 stamps, p11 ... mm7, 25
+    # names) to fill 50. Round-13 additions are inserted at the FRONT as
+    # they land; each insertion pushes the round-7-block tail past the
+    # 50-cut into the round-14 rotation — keep the ROUND-14 note below
+    # accurate. Additions so far: n22 (pushes mm7_image_channel_stats
+    # past the cut).
+    "n22_srp_probe_budget_sweep",
+    "mix9_budget_waterfill", "cur17_bloom_sizing_sweep", "n5_ann_ivf_topk",
     "mm2_frame_samples", "x6_subword_counts", "m1_kmeans_assignments",
     "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",
-    "v3_tfidf_unigram",
-    # ROUND-13 ROTATION (pre-staged): lead with any round-13
-    # additions/changes, then the 8 names the round-12 additions pushed
-    # past the 50-cut (n5_ann_ivf_topk, mm2_frame_samples,
-    # x6_subword_counts, m1_kmeans_assignments, m3_kmeans_predict_new_docs,
-    # s5_model_roundtrip, v2_term_counts, v3_tfidf_unigram — r6 stamps),
-    # then the r6-tail remainder (v6_doc_top_terms ...
-    # d9_simhash_banded_near_dups, 15 names, mid-list below), then the
-    # ROUND-7 PREFIX block (r7 stamps) in listed order to fill 50.
-    "st12_stream_drift_gate", "cur10_incremental_neardup",
-    "d19_shingle_df_audit", "n16_hard_negatives", "cur11_semantic_survivors",
-    "s17_tombstone_delete", "s18_textlines_roundtrip",
-    "n17_ann_hard_negatives", "st13_stream_neardup_admission",
-    "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
-    "cur13_decontamination_sweep", "h20_late_shipping_priority",
-    "w17_trailing_range_stats", "mix8_epoch_upsampling",
-    "v15_subword_fertility", "st14_stream_outer_join",
-    "cur14_bloom_decontamination", "n18_pq_adc_audit", "n19_ivfpq_audit",
-    "d20_lsh_band_sweep", "l5_batched_inference_plan",
-    "cur15_decontamination_impact", "x1_token_stats", "x2_quality_scores",
-    "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg",
-    "w2_sessionization", "w3_conditional_agg_funnel", "d7_jaccard_pairs",
-    "n1_ann_brute_topk", "n2_srp_buckets", "n3_ann_lsh_topk",
-    "n4_embedding_near_dups", "st1_stream_window_counts",
-    "st2_stream_sessionize", "st5_stream_dedup", "st6_stream_stream_join",
-    "mix1_source_mixing_sample", "x7_language_length_quantiles",
-    "w5_asof_attribution", "g2_event_type_pivot",
-    "s8_partitioned_sink_roundtrip", "j6_range_band_join",
-    "u3_union_mixed_schemas", "t6_range_partitioned_export",
-    "v4_vocab_top2000", "v6_doc_top_terms", "c2_group_centroids",
+    "v3_tfidf_unigram", "v6_doc_top_terms", "c2_group_centroids",
     "c3_group_withinss", "c4_centroid_cosine_pairs", "c6_prob_coherence",
     "c7_quality_summary", "d1_exact_dup_groups", "d2_minhash_signatures",
     "x9_repetition_quality", "x10_pii_redaction",
@@ -124,6 +77,50 @@ PRIORITY: tuple[str, ...] = (
     "cur8_dedup_quality_interaction", "w16_cusum_changepoint",
     "s16_orc_roundtrip", "v14_oov_by_source", "cur9_split_leakage",
     "mix6_weighted_sample", "mm7_image_channel_stats",
+    # ROUND-14 ROTATION (pre-staged): lead with any round-14
+    # additions/changes, then whatever round-13 additions pushed past the
+    # 50-cut (count them off the round-7-block tail above: mm7, mix6,
+    # cur9, v14, s16, ... in reverse order), then the round-7-block
+    # remainder (x1_token_stats ... mix1_source_mixing_sample and
+    # onward in listed order below) to fill 50.
+    "ep10_release_roadmap", "cur18_ngram_decontamination_sweep",
+    "d21_jaccard_threshold_sweep", "st15_stream_semantic_admission",
+    "n21_srp_multiprobe_recall", "ep11_release_diff_card",
+    "cur16_neardup_split_leakage", "n20_embedding_health",
+    "s20_schema_evolution_read", "ep9_mixture_roadmap",
+    "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",
+    "d3_lsh_candidate_pairs", "d4_minhash_dedup", "cur3_decontaminate",
+    "d10_neardup_components", "cur2_component_survivors", "d17_lsh_precision",
+    "ep5_dedup_split_shards", "ep7_dataset_card", "st10_stream_dedup_gate",
+    "ep6_stream_ingest_gate", "ep8_drift_report", "cur1_corpus_curation",
+    "d5_simhash", "d6_simhash_near_dups", "h1_lineitem_pricing_summary",
+    "h2_revenue_per_nation", "v1_tfidf_ngram", "c1_cluster_term_scores",
+    "m2_kmeans_cluster_sizes", "l1_enrich_documents", "m4_lda_topic_terms",
+    "v5_pos_keywords", "x5_corpus_profile", "s3_csv_chunk_roundtrip",
+    "s7_inline_table", "p8_threshold_bands", "w4_argmax_per_group",
+    "u2_vocab_intersection", "g1_rollup_totals", "l2_cluster_labels",
+    "st3_stream_enrich", "mm1_media_features", "t1_sort_topk",
+    "c5_merge_components", "d8_jaccard_capped", "st12_stream_drift_gate",
+    "cur10_incremental_neardup", "d19_shingle_df_audit", "n16_hard_negatives",
+    "cur11_semantic_survivors", "s17_tombstone_delete",
+    "s18_textlines_roundtrip", "n17_ann_hard_negatives",
+    "st13_stream_neardup_admission", "s19_textlines_gzip_roundtrip",
+    "cur12_versioned_admission", "cur13_decontamination_sweep",
+    "h20_late_shipping_priority", "w17_trailing_range_stats",
+    "mix8_epoch_upsampling", "v15_subword_fertility",
+    "st14_stream_outer_join", "cur14_bloom_decontamination",
+    "n18_pq_adc_audit", "n19_ivfpq_audit", "d20_lsh_band_sweep",
+    "l5_batched_inference_plan", "cur15_decontamination_impact",
+    "x1_token_stats", "x2_quality_scores", "x3_language_id", "x4_fingerprint",
+    "w1_tumbling_window_agg", "w2_sessionization",
+    "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk",
+    "n2_srp_buckets", "n3_ann_lsh_topk", "n4_embedding_near_dups",
+    "st1_stream_window_counts", "st2_stream_sessionize", "st5_stream_dedup",
+    "st6_stream_stream_join", "mix1_source_mixing_sample",
+    "x7_language_length_quantiles", "w5_asof_attribution",
+    "g2_event_type_pivot", "s8_partitioned_sink_roundtrip",
+    "j6_range_band_join", "u3_union_mixed_schemas",
+    "t6_range_partitioned_export", "v4_vocab_top2000",
     "n6_embedding_dedup_groups", "ep2_build_models",
     "st4_stream_stateful_user_stats", "m5_refine_pipeline",
     "s1_scan_projection", "p2_derived_concat", "p3_hash_sample",
@@ -168,7 +165,6 @@ PRIORITY: tuple[str, ...] = (
     "x23_langid_confusion", "v12_vocab_coverage", "h18_nation_profit",
     "mm6_audio_frame_profile", "x24_template_families",
     "mix5_mixture_entropy",
-
 )
 
 
