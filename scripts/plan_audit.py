@@ -19,6 +19,19 @@ like the driver would:
 
     cd /tmp && python /root/repo/scripts/plan_audit.py            # all
     cd /tmp && python /root/repo/scripts/plan_audit.py --names d4_minhash_dedup
+
+``--ledger PATH`` additionally writes a per-query shuffle ledger
+``{name: {exchanges, broadcasts, bnlj, scans, aqe_shuffle_reads}}`` to
+PATH for round-over-round diffing (committed as PLANS_r{N}.json). The
+remaining regression class the correctness suite cannot catch is a quiet
+plan change that adds a shuffle without changing answers; an Exchange-count
+diff settles such drift questions instantly. ``exchanges``/``broadcasts``/
+``bnlj``/``scans`` are counted on the STATIC physical plan
+(``sparkPlan()``, before adaptive re-planning) so the fingerprint reflects
+what Catalyst would ship to a real cluster, not what AQE locally rewrites
+for a 1 MB input; ``aqe_shuffle_reads`` is counted on the executed final
+plan after materialization as evidence the runtime coalescing path is
+actually exercised.
 """
 
 from __future__ import annotations
@@ -26,6 +39,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -33,12 +47,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# a shuffle Exchange, as printed in a physical-plan tree; deliberately
+# excludes BroadcastExchange (counted separately — broadcasts are the
+# shuffle-AVOIDANCE mechanism, not a shuffle)
+_SHUFFLE_RE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|SinglePartition"
+    r"|RoundRobinPartitioning)"
+)
+
+
+def ledger_counts(static_plan: str, final_plan: str = "") -> dict[str, int]:
+    """Count the plan-shape fingerprint for one query (see module doc)."""
+    return {
+        "exchanges": len(_SHUFFLE_RE.findall(static_plan)),
+        "broadcasts": static_plan.count("BroadcastExchange"),
+        "bnlj": static_plan.count("BroadcastNestedLoopJoin"),
+        "scans": len(re.findall(r"FileScan|BatchScan", static_plan)),
+        "aqe_shuffle_reads": final_plan.count("AQEShuffleRead"),
+    }
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument(
+        "--ledger",
+        default=None,
+        help="write the per-query shuffle ledger JSON to this path "
+        "(materializes every query: costs one full sweep)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,11 +99,26 @@ def main() -> int:
     violations: dict[str, list[str]] = {}
     bnlj_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
+    ledger: dict[str, dict[str, int]] = {}
     for i, name in enumerate(names):
         t0 = time.time()
         try:
             df = qs[name](spark, args.sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            qe = df._jdf.queryExecution()
+            # pre-materialization executedPlan: EnsureRequirements has
+            # inserted the Exchanges but AQE has not yet re-planned them
+            # away for a 1 MB input — the static, scale-honest fingerprint
+            # (sparkPlan() is NO use here: it predates EnsureRequirements,
+            # so it contains zero Exchange nodes by construction)
+            plan = qe.executedPlan().toString()
+            if args.ledger is not None:
+                # collect(), not count(): count() builds a NEW
+                # QueryExecution (agg-on-top), leaving THIS plan's
+                # AdaptiveSparkPlan forever isFinalPlan=false — collect()
+                # executes this exact plan so the AQE final plan exists.
+                # Bounded: ledger runs at sf0.001 only.
+                df.collect()
+                ledger[name] = ledger_counts(plan, qe.executedPlan().toString())
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             errors[name] = repr(e)[:200]
             print(f"[{i+1}/{len(names)}] {name}: ERROR {errors[name]}", flush=True)
@@ -76,11 +130,37 @@ def main() -> int:
         if nb:
             bnlj_counts[name] = nb
         status = f"VIOLATION {bad}" if bad else "ok"
+        led = ledger.get(name)
+        led_s = (
+            " x={exchanges}/b={broadcasts}/s={scans}".format(**led) if led else ""
+        )
         print(
             f"[{i+1}/{len(names)}] {name}: {status}"
-            f"{f' (bnlj={nb})' if nb else ''} ({round(time.time() - t0, 2)}s)",
+            f"{f' (bnlj={nb})' if nb else ''}{led_s}"
+            f" ({round(time.time() - t0, 2)}s)",
             flush=True,
         )
+
+    if args.ledger is not None:
+        with open(args.ledger, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "cores": args.cores,
+                    "totals": {
+                        k: sum(v[k] for v in ledger.values())
+                        for k in ("exchanges", "broadcasts", "bnlj", "scans",
+                                  "aqe_shuffle_reads")
+                    }
+                    if ledger
+                    else {},
+                    "queries": dict(sorted(ledger.items())),
+                },
+                f,
+                indent=1,
+                sort_keys=False,
+            )
+        print(f"# ledger written: {args.ledger} ({len(ledger)} queries)")
 
     print(
         json.dumps(
