@@ -1571,3 +1571,242 @@ def n21_srp_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_multi"
         ),
     )
+
+
+# --- N22: multi-probe budget sweep — the probe-count production lever, measured ------
+# n21 measured ONE extra probe (home + weakest-bit flip); production
+# multi-probe (Lv et al., VLDB'07; FAISS nprobe) picks a probe BUDGET.
+# This is the d20/cur17/cur18 knob-sweep discipline applied to that
+# budget: the SAME index, probe sequences of 1, 2 and 4 buckets — home,
+# then flip the least-confident bit, then the second-least-confident,
+# then both — one aggregate row per budget with candidate cost and
+# recall@5 side by side. Probe sets are NESTED by construction, so
+# recall is monotone in the budget (pinned in pytest). Deterministic:
+# the probe order is an array_sort over (|margin|, plane-index) structs
+# — bit-identical doubles on both engines (n21 precedent), index
+# tie-break — and each corpus vector lives in exactly one bucket so no
+# candidate dedup is needed. Reference anchor: the ANN serving path is
+# the engine's own extension (BASELINE.json north star); measured knob
+# audits are its contract.
+@query(
+    "n22_srp_probe_budget_sweep",
+    oracle=f"""
+    WITH {_V},
+    q0 AS (
+      SELECT vec_id AS query_id, ve AS qve, CAST({_BUCKET_SQL} AS BIGINT) AS qbucket,
+             list_sort([
+               [abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[0])})), 0.0],
+               [abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[1])})), 1.0],
+               [abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[2])})), 2.0],
+               [abs(list_inner_product(ve, {_plane_sql(SRP_PLANES[3])})), 3.0]
+             ]) AS ms
+      FROM v WHERE vec_id < 10
+    ),
+    q AS (
+      SELECT query_id, qve, qbucket,
+             CAST(ms[1][2] AS BIGINT) AS w1, CAST(ms[2][2] AS BIGINT) AS w2
+      FROM q0
+    ),
+    probes AS (
+      SELECT query_id, qve, qbucket AS bucket, 1 AS probe_rank FROM q
+      UNION ALL
+      SELECT query_id, qve, CAST(xor(qbucket, 1 << w1) AS BIGINT), 2 FROM q
+      UNION ALL
+      SELECT query_id, qve, CAST(xor(qbucket, 1 << w2) AS BIGINT), 3 FROM q
+      UNION ALL
+      SELECT query_id, qve,
+             CAST(xor(qbucket, (1 << w1) | (1 << w2)) AS BIGINT), 4 FROM q
+    ),
+    bv AS (SELECT vec_id, ve, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
+    cand AS (
+      SELECT p.query_id, bv.vec_id AS neighbor_id, p.probe_rank,
+             round(list_inner_product(bv.ve, p.qve)
+                   / (sqrt(list_inner_product(bv.ve, bv.ve))
+                      * sqrt(list_inner_product(p.qve, p.qve))), 6) AS cos_sim
+      FROM probes p JOIN bv ON bv.bucket = p.bucket
+      WHERE bv.vec_id <> p.query_id
+    ),
+    bud AS (SELECT unnest([1, 2, 4]) AS probe_budget),
+    expl AS (
+      SELECT c.*, b.probe_budget
+      FROM cand c JOIN bud b ON b.probe_budget >= c.probe_rank
+    ),
+    top5 AS (
+      SELECT probe_budget, query_id, neighbor_id FROM (
+        SELECT probe_budget, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_budget, query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS r
+        FROM expl
+      ) WHERE r <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q0.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY round(list_inner_product(v.ve, q0.qve)
+                     / (sqrt(list_inner_product(v.ve, v.ve))
+                        * sqrt(list_inner_product(q0.qve, q0.qve))), 6) DESC,
+                   v.vec_id ASC) AS rank
+        FROM v CROSS JOIN q0 WHERE v.vec_id <> q0.query_id
+      ) WHERE rank <= 5
+    ),
+    exb AS (SELECT e.query_id, e.neighbor_id, b.probe_budget FROM exact e CROSS JOIN bud b),
+    hits AS (
+      SELECT x.probe_budget,
+             count(DISTINCT x.query_id) AS n_queries,
+             count(*) AS n_exact_total,
+             CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_total
+      FROM exb x LEFT JOIN top5 t
+        ON t.probe_budget = x.probe_budget AND t.query_id = x.query_id
+       AND t.neighbor_id = x.neighbor_id
+      GROUP BY x.probe_budget
+    ),
+    cc AS (
+      SELECT probe_budget, CAST(count(*) AS BIGINT) AS n_cand_total
+      FROM expl GROUP BY probe_budget
+    )
+    SELECT CAST(h.probe_budget AS BIGINT) AS probe_budget,
+           h.n_queries,
+           CAST(coalesce(cc.n_cand_total, 0) AS BIGINT) AS n_cand_total,
+           round(coalesce(cc.n_cand_total, 0) / h.n_queries, 6) AS mean_cand,
+           h.n_exact_total, h.n_hit_total,
+           round(h.n_hit_total / CAST(h.n_exact_total AS DOUBLE), 6) AS recall_at5
+    FROM hits h LEFT JOIN cc ON cc.probe_budget = h.probe_budget
+    """,
+)
+def n22_srp_probe_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, srp_buckets, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        srp_buckets(emb, SRP_PLANES)
+        .join(with_norm(emb).select("vec_id", "nrm"), "vec_id")
+        .localCheckpoint()  # corpus index: probed once per probe_rank row
+    )
+    qsrc = emb.where(F.col("vec_id") < 10)
+    margins = [
+        F.abs(dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in p]))).alias(f"m{i}")
+        for i, p in enumerate(SRP_PLANES)
+    ]
+    # probe order: ascending (|margin|, plane-index) — array_sort on
+    # structs is lexicographic by field order, the exact comparison the
+    # oracle's list_sort([[margin, index], ...]) performs
+    ms = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.col(f"m{i}").alias("m"), F.lit(i).alias("i"))
+                for i in range(4)
+            ]
+        )
+    )
+    q = (
+        srp_buckets(qsrc, SRP_PLANES)
+        .join(with_norm(qsrc).select("vec_id", "nrm"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+            *margins,
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "qbucket",
+            ms[0]["i"].alias("w1"),
+            ms[1]["i"].alias("w2"),
+        )
+    )
+
+    def probe(bucket_expr, rank: int) -> DataFrame:
+        return q.select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            bucket_expr.cast("long").alias("bucket"),
+            F.lit(rank).alias("probe_rank"),
+        )
+
+    flip1 = F.expr("qbucket ^ shiftleft(1, w1)")
+    flip2 = F.expr("qbucket ^ shiftleft(1, w2)")
+    flip12 = F.expr("qbucket ^ (shiftleft(1, w1) | shiftleft(1, w2))")
+    probes = (
+        probe(F.col("qbucket"), 1)
+        .unionByName(probe(flip1, 2))
+        .unionByName(probe(flip2, 3))
+        .unionByName(probe(flip12, 4))
+    )
+    cand = (
+        probes.join(b, "bucket")  # a corpus row lives in exactly ONE bucket
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probe_rank",
+            F.round(
+                dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")), 6
+            ).alias("cos_sim"),
+        )
+        .localCheckpoint()  # consumers: per-budget top-5 + candidate counts
+    )
+    budgets = F.array(F.lit(1), F.lit(2), F.lit(4))
+    # nested budgets: a rank-r candidate belongs to every budget >= r
+    expl = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.explode(F.filter(budgets, lambda x: x >= F.col("probe_rank"))).alias(
+            "probe_budget"
+        ),
+    )
+    w = Window.partitionBy("probe_budget", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    top5 = (
+        expl.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("probe_budget", "query_id", F.col("neighbor_id").alias("t_neighbor"))
+    )
+    exact = brute_force_topk(emb, qsrc, k=5).select("query_id", "neighbor_id")
+    bud = spark.range(1).select(F.explode(budgets).alias("probe_budget"))
+    exb = exact.crossJoin(F.broadcast(bud))  # 3-row budget frame
+    hits = (
+        exb.join(
+            top5,
+            (top5.probe_budget == exb.probe_budget)
+            & (top5.query_id == exb.query_id)
+            & (F.col("t_neighbor") == exb.neighbor_id),
+            "left",
+        )
+        .drop(top5.probe_budget)
+        .drop(top5.query_id)
+        .groupBy("probe_budget")
+        .agg(
+            F.countDistinct(exb.query_id).cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_exact_total"),
+            F.sum(F.when(F.col("t_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit_total"),
+        )
+    )
+    cc = expl.groupBy("probe_budget").agg(
+        F.count("*").cast("long").alias("n_cand_total")
+    )
+    # LEFT join + coalesce: a budget with zero candidates still emits its row
+    nct = F.coalesce(F.col("n_cand_total"), F.lit(0)).cast("long")
+    return hits.join(cc, "probe_budget", "left").select(
+        F.col("probe_budget").cast("long").alias("probe_budget"),
+        "n_queries",
+        nct.alias("n_cand_total"),
+        F.round(nct / F.col("n_queries"), 6).alias("mean_cand"),
+        "n_exact_total",
+        "n_hit_total",
+        F.round(F.col("n_hit_total") / F.col("n_exact_total").cast("double"), 6).alias(
+            "recall_at5"
+        ),
+    )
