@@ -168,3 +168,66 @@ def test_cur17_always_emits_all_three_configs(spark):
     pdf = entry_mod.queries()["cur17_bloom_sizing_sweep"](spark, SF_DIR).toPandas()
     assert sorted(pdf["m_bits"]) == [2048, 8192, 32768]
     assert (pdf["n_bloom_flagged"] >= pdf["n_exact_flagged"]).all()
+
+
+# --- VERDICT r12 #5: full refine() determinism under reconfiguration ----------
+
+
+def test_refine_end_to_end_parity_across_partitionings(spark):
+    """m5/m6/m11 are rows-only 🔶; §5's determinism-under-reconfiguration
+    discipline (same answer at shuffle partitions 3 and 32) applied to
+    the full iterative composite: split → renumber → merge → renumber
+    must produce IDENTICAL assignments regardless of physical layout."""
+    from ml_training_data_pipeline_spark.operators.refine import (
+        RefineConfig,
+        refine,
+    )
+    from ml_training_data_pipeline_spark.operators.tfidf import tfidf_long
+    from ml_training_data_pipeline_spark.operators.vectorize import (
+        fit_tfidf_vectorizer,
+        tokens_frame,
+        vectorize,
+    )
+
+    corpus_rows = [
+        (1, "energy battery power electric charging", 1),
+        (2, "energy storage renewable power battery", 1),
+        (3, "finance investment risk banking money", 2),
+        (4, "stock markets economic growth inflation", 2),
+        (5, "healthcare hospital treatment diagnosis", 2),
+        (6, "medicine health doctor therapy", 2),
+    ]
+    cfg = RefineConfig(
+        coherence_threshold=0.9,  # force splits so the loop actually works
+        k_range=(2,),
+        min_docs=3,
+        top_m=3,
+        lda_search_iter=5,
+        lda_final_iter=10,
+        max_rounds=2,
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in (3, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            corpus = spark.createDataFrame(
+                corpus_rows, schema="doc_id long, text string, cluster_id int"
+            ).repartition(parts)
+            tokens = tokens_frame(corpus, stopwords=None)
+            model = fit_tfidf_vectorizer(tokens, vocab_size=100)
+            vecs = vectorize(tokens, model)
+            tfidf = tfidf_long(corpus)
+            out = refine(
+                vecs.select("doc_id", "tf"),
+                tfidf,
+                corpus.select("doc_id", "cluster_id"),
+                cfg,
+            )
+            results[parts] = {
+                r["doc_id"]: r["cluster_id"] for r in out.collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(results[3]) == [1, 2, 3, 4, 5, 6]
+    assert results[3] == results[32], results
