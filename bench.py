@@ -111,6 +111,12 @@ def proc_tree_cpu_s() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # scale probes time other query sets with the same warm/rep/CPU
+    # harness (e.g. the 5 most expensive registry queries at sf1);
+    # the driver's per-round artifact always uses the default HEADLINE
+    headline = HEADLINE
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        headline = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load1, contended = sample_load(
         max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
@@ -136,7 +142,7 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_NO_WARM"):
         warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
         t0 = time.time()
-        for name in HEADLINE:
+        for name in headline:
             registry.QUERIES[name](spark, warm_dir).count()
         print(f"# warmup pass ({warm_dir}): {round(time.time() - t0, 1)}s", file=sys.stderr)
 
@@ -147,7 +153,7 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     cpu: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.QUERIES[name]
         rep_times: list[tuple[float, float]] = []  # (wall, cpu) per rep
         for _ in range(reps):

@@ -1,0 +1,78 @@
+"""Generate an sf1 dataset (10x sf0.1) for the one-scale-up insurance probe.
+
+Every scale claim in SURVEY §6 is design-argument + sf0.1 measurement;
+this script manufactures the 10x datapoint that validates (or falsifies)
+the extrapolation. Replicates each sf0.1 table 10x with per-replica key
+OFFSETS so join fan-out scales linearly (a key matches only its own
+replica's rows), while dimension tables with fixed cardinality (nation,
+region) are copied untouched — the same shape a real 10x TPC-H scale-up
+has. Document text and embedding vectors are replicated VERBATIM:
+a 10x web corpus genuinely carries massive duplication, and the dedup /
+ANN operators' banding and candidate caps are exactly what is being
+probed.
+
+Usage:
+    python scripts/make_sf1.py [--out /tmp/sf1] [--reps 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OFF = 1_000_000_000  # > any sf0.1 key
+
+# table -> columns to offset per replica
+KEYED = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPIED = ("nation", "region")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    con = duckdb.connect()
+    for t, keys in KEYED.items():
+        cols = [
+            c[0]
+            for c in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + r.r * {OFF} AS {c}" if c in keys else c for c in cols
+        )
+        con.execute(
+            f"""COPY (
+              SELECT {sel}
+              FROM read_parquet('{SRC}/{t}.parquet')
+              CROSS JOIN (SELECT unnest(range({args.reps})) AS r) r
+            ) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{args.out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+    for t in COPIED:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{args.out}/{t}.parquet")
+        print(f"{t}: copied")
+
+
+if __name__ == "__main__":
+    main()
