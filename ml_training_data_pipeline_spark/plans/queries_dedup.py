@@ -2634,3 +2634,127 @@ def d21_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flag_rate"),
         )
     )
+
+
+# --- D22: maximal exact-substring duplicate spans (Lee et al. §4's exact grain) ------
+# d15 flags stride-1 duplicated 8-token WINDOWS; the grain the d-family
+# did not cover is Lee et al. 2022's exact-substring path: the MAXIMAL
+# duplicated token span — how LONG the shared runs actually are and how
+# much of each document they cover. The classic implementation is a
+# corpus suffix array; the Spark-first equivalent rides what d15 already
+# ships: a maximal duplicated span of length L >= 8 appears as exactly
+# L-7 CONSECUTIVE duplicated stride-1 windows, so covered-token islands
+# (gaps-and-islands over the union of each duplicated window's 8 token
+# positions) reconstruct the maximal spans without any suffix sort.
+# Per doc: span count, longest span, total duplicated tokens, fraction.
+# Scale shape: the position stream is O(corpus tokens) with 8-byte md5
+# window keys (the d15 shuffle discipline), cross-doc support is one
+# combinable groupBy(win) off a (doc, win) distinct, the coverage
+# explode is a bounded 8x of DUPLICATED windows only, and every window
+# function partitions by doc_id — per-doc data, never a value-keyed
+# global sort. No all-pairs contact anywhere.
+@query(
+    "d22_exact_substring_spans",
+    oracle=f"""
+    WITH {toks_cte()},
+    p0 AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos
+      FROM toks WHERE len(toks) >= 8
+    ),
+    p AS (
+      SELECT doc_id, pos,
+             {H60.format(x="array_to_string(toks[(pos+1):(pos+8)], ' ')")} AS win
+      FROM p0
+    ),
+    dw AS (
+      SELECT win FROM (SELECT DISTINCT doc_id, win FROM p)
+      GROUP BY win HAVING count(*) > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS tok
+        FROM p JOIN dw USING (win)
+      )
+    ),
+    isl AS (
+      SELECT doc_id,
+             tok - row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS grp
+      FROM cov
+    ),
+    sp AS (SELECT doc_id, count(*) AS len FROM isl GROUP BY doc_id, grp),
+    per AS (
+      SELECT doc_id, count(*) AS n_spans,
+             max(len) AS max_span_tokens,
+             CAST(sum(len) AS BIGINT) AS dup_tokens
+      FROM sp GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, len(toks) AS n_tokens FROM toks WHERE len(toks) >= 8)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(per.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+           CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(per.dup_tokens, 0) / b.n_tokens, 6) AS dup_token_frac
+    FROM base b LEFT JOIN per USING (doc_id)
+    """,
+)
+def d22_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    base = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    # positions KEPT (unlike d15's per-doc distinct): the island algebra
+    # needs every alignment; windows still ship as 60-bit md5 longs
+    p = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 8), i -> struct(i AS pos,"
+                " CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, 8))), 1, 15),"
+                " 16, 10) AS LONG) AS win))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    p = p.localCheckpoint()  # 2 consumers: cross-doc support + the span probe
+    dw = (
+        p.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("win")
+    )
+    cov = (
+        p.join(dw, "win", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok"))
+        .distinct()
+    )
+    grp = F.col("tok") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("tok")
+    )
+    sp = (
+        cov.select("doc_id", "tok", grp.alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    per = sp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.max("len").cast("long").alias("max_span_tokens"),
+        F.sum("len").cast("long").alias("dup_tokens"),
+    )
+    dtok = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("max_span_tokens"), F.lit(0))
+        .cast("long")
+        .alias("max_span_tokens"),
+        dtok.alias("dup_tokens"),
+        F.round(dtok / F.col("n_tokens"), 6).alias("dup_token_frac"),
+    )

@@ -231,3 +231,22 @@ def test_refine_end_to_end_parity_across_partitionings(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert sorted(results[3]) == [1, 2, 3, 4, 5, 6]
     assert results[3] == results[32], results
+
+
+# --- d22: maximal exact-substring spans ----------------------------------------
+
+
+def test_d22_span_algebra_consistent_with_d15(spark):
+    """Every maximal island is a union of 8-token windows, so each span
+    is >= 8 tokens; and a doc has a dup SPAN iff d15 sees a dup WINDOW —
+    the two grains must agree on WHICH docs are touched."""
+    qs = entry_mod.queries()
+    d22 = qs["d22_exact_substring_spans"](spark, SF_DIR).toPandas()
+    assert (d22["dup_tokens"] <= d22["n_tokens"]).all()
+    hit = d22[d22["n_spans"] > 0]
+    assert (hit["max_span_tokens"] >= 8).all()
+    assert (hit["dup_tokens"] >= 8 * hit["n_spans"]).all()
+    assert (hit["dup_tokens"] >= hit["max_span_tokens"]).all()
+    assert len(hit) > 0, "fixture corpus should contain duplicated spans"
+    d15 = qs["d15_duplicate_spans"](spark, SF_DIR).toPandas()
+    assert set(hit["doc_id"]) == set(d15[d15["n_dup_windows"] > 0]["doc_id"])
