@@ -2079,3 +2079,154 @@ def s20_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").cast("long").alias("n_distinct_lang"),
         )
     )
+
+
+# --- EP12: data card diff (the release publishes ONE table) --------------------------
+# ep7 is the datasheet of one corpus version; ep11 is the doc/token
+# ledger of a version diff. A release wants both faces in one artifact:
+# every ep7 card metric computed for version A AND version B with the
+# delta beside it. Version B is ep11/s14's exact derivation (drop
+# doc_id % 7 == 0; even-id docs metadata-edited, text unchanged) so the
+# three release audits can never disagree about what "B" means. Scale
+# shape: the SAME two scans as the single-version card — the lang
+# aggregate and the one tokenize pass each carry v1 and v2 via
+# conditional aggregation — so the diff card costs exactly what ep7
+# costs. Float discipline: every per-version value is one division of
+# exact integer aggregates (or an exact integer cast), so both engines
+# hold bit-identical operands and delta = v2 − v1 is the ep11-audited
+# a−b shape (a +0.0 whenever the versions agree, never a signed-zero
+# roulette).
+@query(
+    "ep12_data_card_diff",
+    oracle=f"""
+    WITH {toks_cte()},
+    d2 AS (SELECT *, doc_id % 7 <> 0 AS in_v2 FROM documents),
+    langs AS (
+      SELECT lang,
+             count(*) AS c1,
+             CAST(sum(CASE WHEN in_v2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(n_chars) AS BIGINT) AS chars1,
+             CAST(sum(CASE WHEN in_v2 THEN n_chars ELSE 0 END) AS BIGINT) AS chars2,
+             CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS short1,
+             CAST(sum(CASE WHEN in_v2 AND n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short2
+      FROM d2 GROUP BY lang
+    ),
+    base AS (
+      SELECT CAST(sum(c1) AS DOUBLE) AS n_docs_v1,
+             CAST(sum(c2) AS DOUBLE) AS n_docs_v2,
+             CAST(count(*) AS DOUBLE) AS n_langs_v1,
+             CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_langs_v2,
+             round(max(c1) / CAST(sum(c1) AS DOUBLE), 6) AS top_lang_share_v1,
+             round(max(c2) / CAST(sum(c2) AS DOUBLE), 6) AS top_lang_share_v2,
+             round(sum(chars1) / CAST(sum(c1) AS DOUBLE), 6) AS mean_doc_chars_v1,
+             round(sum(chars2) / CAST(sum(c2) AS DOUBLE), 6) AS mean_doc_chars_v2,
+             round(sum(short1) / CAST(sum(c1) AS DOUBLE), 6) AS short_doc_rate_v1,
+             round(sum(short2) / CAST(sum(c2) AS DOUBLE), 6) AS short_doc_rate_v2
+      FROM langs
+    ),
+    tokfp AS (
+      SELECT doc_id, len(toks) AS nt,
+             md5(coalesce(array_to_string(toks, ' '), '')) AS f,
+             doc_id % 7 <> 0 AS in_v2
+      FROM toks
+    ),
+    tok AS (
+      SELECT CAST(sum(nt) AS DOUBLE) AS n_tokens_v1,
+             CAST(sum(CASE WHEN in_v2 THEN nt ELSE 0 END) AS DOUBLE) AS n_tokens_v2,
+             round(1.0 - count(DISTINCT f) / CAST(count(*) AS DOUBLE), 6)
+               AS exact_dup_rate_v1,
+             round(1.0 - count(DISTINCT CASE WHEN in_v2 THEN f END)
+                   / CAST(sum(CASE WHEN in_v2 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+               AS exact_dup_rate_v2
+      FROM tokfp
+    ),
+    wide AS (SELECT * FROM base CROSS JOIN tok)
+    SELECT 'n_docs' AS metric, n_docs_v1 AS value_v1, n_docs_v2 AS value_v2,
+           round(n_docs_v2 - n_docs_v1, 6) AS delta FROM wide
+    UNION ALL
+    SELECT 'n_tokens', n_tokens_v1, n_tokens_v2,
+           round(n_tokens_v2 - n_tokens_v1, 6) FROM wide
+    UNION ALL
+    SELECT 'n_langs', n_langs_v1, n_langs_v2,
+           round(n_langs_v2 - n_langs_v1, 6) FROM wide
+    UNION ALL
+    SELECT 'top_lang_share', top_lang_share_v1, top_lang_share_v2,
+           round(top_lang_share_v2 - top_lang_share_v1, 6) FROM wide
+    UNION ALL
+    SELECT 'exact_dup_rate', exact_dup_rate_v1, exact_dup_rate_v2,
+           round(exact_dup_rate_v2 - exact_dup_rate_v1, 6) FROM wide
+    UNION ALL
+    SELECT 'mean_doc_chars', mean_doc_chars_v1, mean_doc_chars_v2,
+           round(mean_doc_chars_v2 - mean_doc_chars_v1, 6) FROM wide
+    UNION ALL
+    SELECT 'short_doc_rate', short_doc_rate_v1, short_doc_rate_v2,
+           round(short_doc_rate_v2 - short_doc_rate_v1, 6) FROM wide
+    """,
+)
+def ep12_data_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint_pair
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_v2 = F.col("doc_id") % 7 != 0
+    # scan 1: ONE lang-grouped aggregate carries both versions' counts
+    langs = docs.groupBy("lang").agg(
+        F.count("*").alias("c1"),
+        F.sum(F.when(in_v2, 1).otherwise(0)).cast("long").alias("c2"),
+        F.sum("n_chars").cast("long").alias("chars1"),
+        F.sum(F.when(in_v2, F.col("n_chars")).otherwise(0)).cast("long").alias("chars2"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).cast("long").alias("short1"),
+        F.sum(F.when(in_v2 & (F.col("n_chars") < 100), 1).otherwise(0))
+        .cast("long")
+        .alias("short2"),
+    )
+    base = langs.agg(
+        F.sum("c1").cast("double").alias("n_docs_v1"),
+        F.sum("c2").cast("double").alias("n_docs_v2"),
+        F.count("*").cast("double").alias("n_langs_v1"),
+        F.sum(F.when(F.col("c2") > 0, 1).otherwise(0)).cast("double").alias("n_langs_v2"),
+        F.round(F.max("c1") / F.sum("c1").cast("double"), 6).alias("top_lang_share_v1"),
+        F.round(F.max("c2") / F.sum("c2").cast("double"), 6).alias("top_lang_share_v2"),
+        F.round(F.sum("chars1") / F.sum("c1").cast("double"), 6).alias("mean_doc_chars_v1"),
+        F.round(F.sum("chars2") / F.sum("c2").cast("double"), 6).alias("mean_doc_chars_v2"),
+        F.round(F.sum("short1") / F.sum("c1").cast("double"), 6).alias("short_doc_rate_v1"),
+        F.round(F.sum("short2") / F.sum("c2").cast("double"), 6).alias("short_doc_rate_v2"),
+    )
+    # scan 2: tokenize ONCE; token mass + dup fingerprints for BOTH versions
+    tokfp = docs.where(F.col("text").isNotNull()).select(
+        F.size(tokenize(F.col("text"))).alias("nt"),
+        fingerprint_pair(F.col("text")).alias("f"),
+        in_v2.alias("in_v2"),
+    )
+    tok = tokfp.agg(
+        F.sum("nt").cast("double").alias("n_tokens_v1"),
+        F.sum(F.when(F.col("in_v2"), F.col("nt")).otherwise(0))
+        .cast("double")
+        .alias("n_tokens_v2"),
+        F.round(
+            1.0 - F.countDistinct("f") / F.count("*").cast("double"), 6
+        ).alias("exact_dup_rate_v1"),
+        F.round(
+            1.0
+            - F.countDistinct(F.when(F.col("in_v2"), F.col("f")))
+            / F.sum(F.when(F.col("in_v2"), 1).otherwise(0)).cast("double"),
+            6,
+        ).alias("exact_dup_rate_v2"),
+    )
+    # 1×1 broadcast crossJoin, materialized (a single row) so the 7-branch
+    # unpivot union cannot re-execute the scans per branch (ep7 discipline)
+    wide = base.crossJoin(F.broadcast(tok)).localCheckpoint()
+    metrics = (
+        "n_docs", "n_tokens", "n_langs", "top_lang_share",
+        "exact_dup_rate", "mean_doc_chars", "short_doc_rate",
+    )
+    out = None
+    for m in metrics:
+        row = wide.select(
+            F.lit(m).alias("metric"),
+            F.col(f"{m}_v1").cast("double").alias("value_v1"),
+            F.col(f"{m}_v2").cast("double").alias("value_v2"),
+            F.round(F.col(f"{m}_v2") - F.col(f"{m}_v1"), 6).alias("delta"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

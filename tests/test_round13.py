@@ -250,3 +250,21 @@ def test_d22_span_algebra_consistent_with_d15(spark):
     assert len(hit) > 0, "fixture corpus should contain duplicated spans"
     d15 = qs["d15_duplicate_spans"](spark, SF_DIR).toPandas()
     assert set(hit["doc_id"]) == set(d15[d15["n_dup_windows"] > 0]["doc_id"])
+
+
+# --- ep12: the release diff card must agree with ep7 and ep11 ------------------
+
+
+def test_ep12_agrees_with_ep7_card_and_ep11_ledger(spark):
+    qs = entry_mod.queries()
+    diff = qs["ep12_data_card_diff"](spark, SF_DIR).toPandas().set_index("metric")
+    card = qs["ep7_dataset_card"](spark, SF_DIR).toPandas().set_index("metric")
+    # version-1 face IS ep7's card, metric for metric
+    for m in card.index:
+        assert diff.loc[m, "value_v1"] == card.loc[m, "value"], m
+    # doc/token deltas close against ep11's removal ledger
+    ep11 = qs["ep11_release_diff_card"](spark, SF_DIR).toPandas()
+    assert diff.loc["n_docs", "delta"] == -float(ep11["n_removed"].sum())
+    assert diff.loc["n_tokens", "delta"] == -float(ep11["tokens_removed"].sum())
+    # delta column is exactly v2 - v1 (rounded), and fully populated
+    assert not diff["delta"].isna().any()
