@@ -2758,3 +2758,130 @@ def d22_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtok.alias("dup_tokens"),
         F.round(dtok / F.col("n_tokens"), 6).alias("dup_token_frac"),
     )
+
+
+# --- D23: exact-first dedup cascade (the production ordering, measured) --------------
+# The sf1 insurance probe (SURVEY §6, round 13) caught d4's cost face:
+# on a duplication-heavy 10x corpus (verbatim-replicated docs — the
+# realistic web-scale shape) d4's CPU grew 50.6x for 10x data, because
+# identical docs share every band signature and LSH pair enumeration is
+# quadratic IN THE CLUSTER SIZE. Production pipelines (CCNet, RefinedWeb,
+# Lee et al.) therefore run the cascade: exact-dedup FIRST (hash groups,
+# one representative each), then MinHash-LSH near-dup over the
+# representatives only — exact-dup clusters collapse to one node before
+# any pair is enumerated, restoring linear scaling while finding the
+# same near-dup structure. Per source: the full drop ledger of both
+# stages. Survivor policy is deterministic everywhere: exact groups keep
+# min(doc_id); a representative is near-dropped iff a verified pair
+# (jaccard >= 0.5) links it to a SMALLER representative.
+@query(
+    "d23_dedup_cascade",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (
+      SELECT t.doc_id, d.source,
+             md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    grp AS (SELECT fp, min(doc_id) AS rep FROM fps GROUP BY fp),
+    cls AS (SELECT f.doc_id, f.source, g.rep FROM fps f JOIN grp g USING (fp)),
+    sh AS (
+      SELECT DISTINCT s.doc_id, {H60.format(x="s.shingle")} AS shingle
+      FROM (
+        SELECT t.doc_id,
+               unnest([t.toks[i]||' '||t.toks[i+1]||' '||t.toks[i+2]
+                       for i in range(1, len(t.toks) - 1)]) AS shingle
+        FROM toks t JOIN grp g ON g.rep = t.doc_id WHERE len(t.toks) >= 3
+      ) s
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min({H60.format(x="seed::VARCHAR || ':' || shingle::VARCHAR")}) AS min_hash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+             {H60.format(x="string_agg(min_hash::VARCHAR, ',' ORDER BY seed)")} AS band_sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+      SELECT DISTINCT i.doc_b AS rep
+      FROM inter i
+      JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+    )
+    SELECT c.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id <> c.rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dropped,
+           CAST(sum(CASE WHEN c.doc_id = c.rep AND n.rep IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+           CAST(sum(CASE WHEN c.doc_id = c.rep AND n.rep IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           round(sum(CASE WHEN c.doc_id <> c.rep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS exact_drop_rate,
+           round(sum(CASE WHEN c.doc_id = c.rep AND n.rep IS NOT NULL
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS near_drop_rate,
+           round(sum(CASE WHEN c.doc_id = c.rep AND n.rep IS NULL
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS survival_rate
+    FROM cls c LEFT JOIN near n ON n.rep = c.doc_id
+    GROUP BY c.source
+    """,
+)
+def d23_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint_pair
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # stage 1: exact groups on the 120-bit long-pair fingerprint (never
+    # surfaced — the ep5 key discipline: 16-byte shuffle keys, collision
+    # budget n²/2^121)
+    fps = docs.select(
+        "doc_id", "source", fingerprint_pair(F.col("text")).alias("fp")
+    ).localCheckpoint()  # 2 consumers: group build + per-doc classification
+    grp = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    cls = fps.join(grp, "fp").select("doc_id", "source", "rep")
+    # stage 2: LSH near-dup over REPRESENTATIVES only — exact clusters
+    # collapse to one node before any candidate pair is enumerated
+    reps = docs.join(
+        grp.select(F.col("rep").alias("doc_id")).distinct(), "doc_id"
+    ).select("doc_id", "text")
+    pairs = minhash_dedup(reps, k=3, num_hashes=8, rows_per_band=2, threshold=0.5)
+    near = pairs.select(F.col("doc_b").alias("near_rep")).distinct()
+    marked = cls.join(near, cls.doc_id == near.near_rep, "left")
+    is_exact_drop = F.col("doc_id") != F.col("rep")
+    is_near_drop = (F.col("doc_id") == F.col("rep")) & F.col("near_rep").isNotNull()
+    is_survivor = (F.col("doc_id") == F.col("rep")) & F.col("near_rep").isNull()
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(is_exact_drop, 1).otherwise(0)).cast("long").alias("n_exact_dropped"),
+        F.sum(F.when(is_near_drop, 1).otherwise(0)).cast("long").alias("n_near_dropped"),
+        F.sum(F.when(is_survivor, 1).otherwise(0)).cast("long").alias("n_survivors"),
+        F.round(
+            F.sum(F.when(is_exact_drop, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("exact_drop_rate"),
+        F.round(
+            F.sum(F.when(is_near_drop, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("near_drop_rate"),
+        F.round(
+            F.sum(F.when(is_survivor, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("survival_rate"),
+    )

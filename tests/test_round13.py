@@ -268,3 +268,24 @@ def test_ep12_agrees_with_ep7_card_and_ep11_ledger(spark):
     assert diff.loc["n_tokens", "delta"] == -float(ep11["tokens_removed"].sum())
     # delta column is exactly v2 - v1 (rounded), and fully populated
     assert not diff["delta"].isna().any()
+
+
+# --- d23: cascade ledger closure ------------------------------------------------
+
+
+def test_d23_cascade_ledger_closes_against_d1(spark):
+    qs = entry_mod.queries()
+    d23 = qs["d23_dedup_cascade"](spark, SF_DIR).toPandas()
+    # the three statuses partition every doc
+    assert (
+        d23["n_exact_dropped"] + d23["n_near_dropped"] + d23["n_survivors"]
+        == d23["n_docs"]
+    ).all()
+    # total exact drops = what d1's group table implies (sum(n-1) per group)
+    d1 = qs["d1_exact_dup_groups"](spark, SF_DIR).toPandas()
+    assert d23["n_exact_dropped"].sum() == (d1["n_docs"] - 1).sum()
+    # stage order matters: near-dup drops are reps only, so every source's
+    # near drops are bounded by its representative count
+    assert (
+        d23["n_near_dropped"] <= d23["n_docs"] - d23["n_exact_dropped"]
+    ).all()
