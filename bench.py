@@ -116,7 +116,14 @@ def main() -> None:
     # the driver's per-round artifact always uses the default HEADLINE
     headline = HEADLINE
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
-        headline = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
+        headline = [
+            n.strip()
+            for n in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
+            if n.strip()
+        ]
+    # a custom set must not masquerade as the official headline record in
+    # round-over-round artifact tooling
+    metric = "headline_suite_total" if headline == HEADLINE else "custom_suite_total"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load1, contended = sample_load(
         max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
@@ -129,6 +136,9 @@ def main() -> None:
     from ml_training_data_pipeline_spark.plans import registry
 
     registry._load_all()
+    unknown = [n for n in headline if n not in registry.QUERIES]
+    if unknown:  # fail fast, not mid-way through an hour-long sf1 probe
+        raise SystemExit(f"unknown query names in SPARK_GRAFT_BENCH_QUERIES: {unknown}")
 
     # Warm the JVM + whole-stage-codegen cache per PLAN SHAPE by running
     # each headline query once at the tiny SF before timing it at the
@@ -191,7 +201,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": times,

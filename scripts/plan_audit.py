@@ -26,12 +26,14 @@ PATH for round-over-round diffing (committed as PLANS_r{N}.json). The
 remaining regression class the correctness suite cannot catch is a quiet
 plan change that adds a shuffle without changing answers; an Exchange-count
 diff settles such drift questions instantly. ``exchanges``/``broadcasts``/
-``bnlj``/``scans`` are counted on the STATIC physical plan
-(``sparkPlan()``, before adaptive re-planning) so the fingerprint reflects
-what Catalyst would ship to a real cluster, not what AQE locally rewrites
-for a 1 MB input; ``aqe_shuffle_reads`` is counted on the executed final
-plan after materialization as evidence the runtime coalescing path is
-actually exercised.
+``bnlj``/``scans`` are counted on the PRE-MATERIALIZATION
+``executedPlan()`` string — EnsureRequirements has inserted the Exchanges
+but AQE has not yet locally re-planned them away for a 1 MB input — so
+the fingerprint reflects what Catalyst would ship to a real cluster.
+(NOT ``sparkPlan()``: that predates EnsureRequirements and contains zero
+Exchange nodes by construction.) ``aqe_shuffle_reads`` is counted on the
+executed final plan after materialization as evidence the runtime
+coalescing path is actually exercised.
 """
 
 from __future__ import annotations
@@ -147,6 +149,11 @@ def main() -> int:
                 {
                     "sf_dir": args.sf_dir,
                     "cores": args.cores,
+                    # a partial run must be visible IN the artifact: totals
+                    # from an errored sweep understate, and a diff would
+                    # read the missing query as "removed" not "errored"
+                    "audited": len(ledger),
+                    "errors": errors,
                     "totals": {
                         k: sum(v[k] for v in ledger.values())
                         for k in ("exchanges", "broadcasts", "bnlj", "scans",
