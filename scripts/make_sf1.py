@@ -11,8 +11,12 @@ a 10x web corpus genuinely carries massive duplication, and the dedup /
 ANN operators' banding and candidate caps are exactly what is being
 probed.
 
+Replica 0 keeps the original keys, so the exact-dedup representatives
+of a replicated corpus ARE the source corpus — the property
+tests/test_round13.py's pair-count identity relies on.
+
 Usage:
-    python scripts/make_sf1.py [--out /tmp/sf1] [--reps 10]
+    python scripts/make_sf1.py [--src /root/testdata/sf0.1] [--out /tmp/sf1] [--reps 10]
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import shutil
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OFF = 1_000_000_000  # > any sf0.1 key
+OFF = 1_000_000_000  # > any source key
 
 # table -> columns to offset per replica
 KEYED = {
@@ -40,19 +44,14 @@ KEYED = {
 COPIED = ("nation", "region")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/sf1")
-    ap.add_argument("--reps", type=int, default=10)
-    args = ap.parse_args()
-    os.makedirs(args.out, exist_ok=True)
-
+def generate(src: str, out: str, reps: int, quiet: bool = False) -> None:
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t, keys in KEYED.items():
         cols = [
             c[0]
             for c in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
         sel = ", ".join(
@@ -61,17 +60,28 @@ def main() -> None:
         con.execute(
             f"""COPY (
               SELECT {sel}
-              FROM read_parquet('{SRC}/{t}.parquet')
-              CROSS JOIN (SELECT unnest(range({args.reps})) AS r) r
-            ) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"""
+              FROM read_parquet('{src}/{t}.parquet')
+              CROSS JOIN (SELECT unnest(range({reps})) AS r) r
+            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)"""
         )
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{args.out}/{t}.parquet')"
-        ).fetchone()[0]
-        print(f"{t}: {n} rows")
+        if not quiet:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+            ).fetchone()[0]
+            print(f"{t}: {n} rows")
     for t in COPIED:
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{args.out}/{t}.parquet")
-        print(f"{t}: copied")
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+        if not quiet:
+            print(f"{t}: copied")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+    generate(args.src, args.out, args.reps)
 
 
 if __name__ == "__main__":

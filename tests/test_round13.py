@@ -289,3 +289,54 @@ def test_d23_cascade_ledger_closes_against_d1(spark):
     assert (
         d23["n_near_dropped"] <= d23["n_docs"] - d23["n_exact_dropped"]
     ).all()
+
+
+# --- the quadratic face as a COUNTED identity, not a timing ---------------------
+
+
+def test_lsh_pair_count_quadratic_vs_cascade_linear(spark, tmp_path_factory):
+    """The scale-probe's 29-91x CPU readings pinned as exact combinatorics:
+    replicate the corpus R=3x verbatim (replica 0 keeps original keys, so
+    the exact-dedup representatives ARE the source corpus). Identical docs
+    share every band signature, so raw LSH candidate pairs obey
+
+        pairs(3x corpus) == 9 * pairs(base) + 3 * n_shingled_docs
+
+    (R^2 cross-replica pairs per original candidate pair + C(3,2)
+    same-doc replica pairs per doc that has any band) — quadratic in the
+    cluster size — while the cascade's rep-scoped candidate set is
+    EXACTLY the base corpus's. No timing, no noise, just counting."""
+    base = SF_DIR
+    out = str(tmp_path_factory.mktemp("rep3"))
+    rep3 = _load_script("make_sf1")
+    rep3.generate(base, out, reps=3, quiet=True)
+
+    qs = entry_mod.queries()
+    pairs_base = qs["d3_lsh_candidate_pairs"](spark, base).count()
+    pairs_full = qs["d3_lsh_candidate_pairs"](spark, out).count()
+    from ml_training_data_pipeline_spark.functions.text import tokenize
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from pyspark.sql import functions as F
+
+    n_shingled = (
+        load_table(spark, base, "documents")
+        .where(F.col("text").isNotNull())
+        .where(F.size(tokenize(F.col("text"))) >= 3)
+        .count()
+    )
+    assert pairs_base > 0 and n_shingled > 0
+    assert pairs_full == 9 * pairs_base + 3 * n_shingled, (
+        pairs_full, pairs_base, n_shingled
+    )
+    # cascade stage 2 sees one representative per exact group == the base
+    # corpus, so its near-dup ledger on the replicated corpus must match
+    # the base corpus's drop structure exactly (3x the docs, same reps)
+    d23_base = (
+        qs["d23_dedup_cascade"](spark, base).toPandas().set_index("source").sort_index()
+    )
+    d23_full = (
+        qs["d23_dedup_cascade"](spark, out).toPandas().set_index("source").sort_index()
+    )
+    assert (d23_full["n_docs"] == 3 * d23_base["n_docs"]).all()
+    assert (d23_full["n_near_dropped"] == d23_base["n_near_dropped"]).all()
+    assert (d23_full["n_survivors"] == d23_base["n_survivors"]).all()
