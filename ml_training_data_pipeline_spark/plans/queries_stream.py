@@ -948,3 +948,144 @@ def _st15_oracle() -> str:
 
 
 ORACLE_SQL["st15_stream_semantic_admission"] = _st15_oracle()
+
+
+# --- ST16: streaming CASCADE admission gate (exact-first, then LSH) -----------------
+# d23's production ordering applied to the live feed: st10's stateless
+# exact-fingerprint anti-join runs FIRST (16-byte key probe against the
+# standing corpus fingerprint set), and only the exact-novel remainder
+# pays the expensive stage — st13's shingle/band build and banded
+# corpus probe with candidate-scoped Jaccard >= 0.5. On real feeds most
+# rejects are verbatim re-posts (the round-13 scale probe measured why
+# that matters: pair enumeration is quadratic in exact-dup cluster
+# size), so the cascade gate does the LSH work on a fraction of the
+# arriving volume while admitting exactly the same set. Same bounded
+# shape as st13: static indexes prebuilt once, every per-batch structure
+# dies with its micro-batch, no state store, <= |sources| driver rows
+# per batch; admission depends only on the static corpus, so micro-batch
+# boundaries cannot change the summed result. The batch oracle restates
+# both stages relationally (exact-rejected docs are EXCLUDED from the
+# near-dup stage on both engines — attribution is part of the contract).
+@query(
+    "st16_stream_cascade_admission",
+    oracle=f"""
+    WITH {queries_dedup._BANDS},
+    fps AS (
+      SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp
+      FROM toks
+    ),
+    known AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    newdocs AS (
+      SELECT f.doc_id, d.source, f.fp
+      FROM fps f JOIN documents d USING (doc_id)
+      WHERE f.doc_id % 2 = 1 AND d.text IS NOT NULL
+    ),
+    exact_rej AS (
+      SELECT n.doc_id FROM newdocs n
+      WHERE EXISTS (SELECT 1 FROM known k WHERE k.fp = n.fp)
+    ),
+    xc AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        AND NOT EXISTS (SELECT 1 FROM exact_rej e WHERE e.doc_id = a.doc_id)
+    ),
+    {queries_dedup._JACCARD},
+    near_rej AS (
+      SELECT DISTINCT CASE WHEN j.doc_a % 2 = 1 THEN j.doc_a ELSE j.doc_b END AS new_doc
+      FROM jac j JOIN xc ON j.doc_a = xc.doc_a AND j.doc_b = xc.doc_b
+      WHERE j.jaccard >= 0.5
+    )
+    SELECT n.source,
+           count(*) AS n_new,
+           count(e.doc_id) AS n_exact_rejected,
+           count(nr.new_doc) AS n_near_rejected,
+           count(*) - count(e.doc_id) - count(nr.new_doc) AS n_admitted,
+           round(count(e.doc_id) / CAST(count(*) AS DOUBLE), 6)
+             AS exact_rejection_rate,
+           round(count(nr.new_doc) / CAST(count(*) AS DOUBLE), 6)
+             AS near_rejection_rate,
+           round((count(*) - count(e.doc_id) - count(nr.new_doc))
+                 / CAST(count(*) AS DOUBLE), 6) AS admission_rate
+    FROM newdocs n
+    LEFT JOIN exact_rej e ON e.doc_id = n.doc_id
+    LEFT JOIN near_rej nr ON nr.new_doc = n.doc_id
+    GROUP BY n.source
+    """,
+)
+def st16_stream_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.analysis import fingerprint_pair
+    from ..io.sources import load_table
+    from ..operators.dedup import doc_shingles, lsh_bands_from_wide, minhash_wide
+    from ..streaming.enrich import run_bounded_foreach
+
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)
+    )
+    # standing indexes, built ONCE before the stream starts: the cheap
+    # stage-A fingerprint set and the stage-B shingle/band tables
+    corpus_fp = (
+        corpus.select(fingerprint_pair(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("known", F.lit(True))
+        .localCheckpoint()
+    )
+    corpus_sh = doc_shingles(corpus, k=3).localCheckpoint()
+    corpus_bands = (
+        lsh_bands_from_wide(minhash_wide(corpus_sh, num_hashes=8), rows_per_band=2)
+        .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
+        .localCheckpoint()
+    )
+
+    results: list[tuple] = []
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.select(
+            "doc_id", "source", "text", fingerprint_pair(F.col("text")).alias("fp")
+        ).join(corpus_fp, "fp", "left")
+        base = flagged.groupBy("source").agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.when(F.col("known"), 1).otherwise(0)).cast("long").alias("n_exact"),
+        )
+        # ONLY the exact-novel remainder pays the shingle/band stage
+        novel = flagged.where(F.col("known").isNull()).select(
+            "doc_id", "source", "text"
+        )
+        near = _admission_counts(novel, corpus_sh, corpus_bands).select(
+            "source", F.col("n_rejected").alias("n_near")
+        )
+        counts = base.join(near, "source", "left").select(
+            "source",
+            "n_new",
+            "n_exact",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        )
+        # bounded driver transfer: <= |sources| rows per micro-batch
+        results.extend(
+            (r.source, r.n_new, r.n_exact, r.n_near) for r in counts.collect()
+        )
+
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select("doc_id", "source", "text")
+    )
+    run_bounded_foreach(arriving, admit)
+
+    part = spark.createDataFrame(
+        results or [("__none__", 0, 0, 0)],
+        "source string, n_new long, n_exact long, n_near long",
+    ).where(F.col("source") != "__none__")
+    n_new, n_ex, n_nr = F.sum("n_new"), F.sum("n_exact"), F.sum("n_near")
+    return part.groupBy("source").agg(
+        n_new.cast("long").alias("n_new"),
+        n_ex.cast("long").alias("n_exact_rejected"),
+        n_nr.cast("long").alias("n_near_rejected"),
+        (n_new - n_ex - n_nr).cast("long").alias("n_admitted"),
+        F.round(n_ex / n_new.cast("double"), 6).alias("exact_rejection_rate"),
+        F.round(n_nr / n_new.cast("double"), 6).alias("near_rejection_rate"),
+        F.round((n_new - n_ex - n_nr) / n_new.cast("double"), 6).alias(
+            "admission_rate"
+        ),
+    )

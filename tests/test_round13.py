@@ -340,3 +340,26 @@ def test_lsh_pair_count_quadratic_vs_cascade_linear(spark, tmp_path_factory):
     assert (d23_full["n_docs"] == 3 * d23_base["n_docs"]).all()
     assert (d23_full["n_near_dropped"] == d23_base["n_near_dropped"]).all()
     assert (d23_full["n_survivors"] == d23_base["n_survivors"]).all()
+
+
+# --- st16: the cascade gate admits exactly st13's set ----------------------------
+
+
+def test_st16_cascade_admits_same_set_as_st13(spark):
+    """An exact corpus twin shares every band signature and verifies at
+    jaccard 1.0, so st13 rejects it too — the cascade only changes WHERE
+    the rejection is attributed (and what the reject costs), never the
+    admitted set. Pin per-source equality plus ledger closure."""
+    qs = entry_mod.queries()
+    c = qs["st16_stream_cascade_admission"](spark, SF_DIR).toPandas().set_index("source").sort_index()
+    s = qs["st13_stream_neardup_admission"](spark, SF_DIR).toPandas().set_index("source").sort_index()
+    assert (
+        c["n_exact_rejected"] + c["n_near_rejected"] + c["n_admitted"] == c["n_new"]
+    ).all()
+    assert list(c.index) == list(s.index)
+    assert (c["n_new"] == s["n_new"]).all()
+    assert (c["n_admitted"] == s["n_admitted"]).all()
+    assert (c["n_exact_rejected"] + c["n_near_rejected"] == s["n_rejected"]).all()
+    # the fixture's dups are near (cross-parity exact twins don't exist at
+    # sf0.001) — so the gate must actually exercise the expensive stage
+    assert s["n_rejected"].sum() > 0, "fixture corpus should have near-dup twins"
