@@ -363,3 +363,67 @@ def test_st16_cascade_admits_same_set_as_st13(spark):
     # the fixture's dups are near (cross-parity exact twins don't exist at
     # sf0.001) — so the gate must actually exercise the expensive stage
     assert s["n_rejected"].sum() > 0, "fixture corpus should have near-dup twins"
+
+
+# --- d22 planted ground truth: a shared span of length L reconstructs exactly ---
+
+
+def _write_documents(tmpdir: str, texts: list[str]) -> str:
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(os.path.join(tmpdir, "documents.parquet"), index=False)
+    return tmpdir
+
+
+@pytest.mark.parametrize("span_len", [8, 15, 40])
+def test_d22_planted_span_reconstructs_exactly(spark, tmp_path_factory, span_len):
+    """Lee et al.'s exact-substring contract, verified against a planted
+    truth: two docs share ONE span of exactly span_len tokens inside
+    otherwise doc-unique filler, so d22 must report exactly one maximal
+    span of span_len duplicated tokens in each doc — the L-7 consecutive
+    duplicated windows reconstruct L, not L±1."""
+    shared = " ".join(f"shared{i:03d}" for i in range(span_len))
+    a = " ".join(f"aupre{i:03d}" for i in range(10)) + " " + shared + " " + " ".join(
+        f"aupost{i:03d}" for i in range(10)
+    )
+    b = " ".join(f"bupre{i:03d}" for i in range(7)) + " " + shared + " " + " ".join(
+        f"bupost{i:03d}" for i in range(12)
+    )
+    d = _write_documents(str(tmp_path_factory.mktemp("planted")), [a, b])
+    pdf = (
+        entry_mod.queries()["d22_exact_substring_spans"](spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(pdf.index) == [1, 2]
+    assert (pdf["n_spans"] == 1).all()
+    assert (pdf["max_span_tokens"] == span_len).all()
+    assert (pdf["dup_tokens"] == span_len).all()
+
+
+def test_d22_two_disjoint_planted_spans(spark, tmp_path_factory):
+    s1 = " ".join(f"one{i:03d}" for i in range(9))
+    s2 = " ".join(f"two{i:03d}" for i in range(12))
+    filler = lambda p, n: " ".join(f"{p}{i:03d}" for i in range(n))  # noqa: E731
+    a = " ".join([filler("ax", 9), s1, filler("ay", 9), s2, filler("az", 9)])
+    b = " ".join([filler("bx", 5), s1, filler("by", 11), s2, filler("bz", 6)])
+    d = _write_documents(str(tmp_path_factory.mktemp("planted2")), [a, b])
+    pdf = (
+        entry_mod.queries()["d22_exact_substring_spans"](spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (pdf["n_spans"] == 2).all()
+    assert (pdf["max_span_tokens"] == 12).all()
+    assert (pdf["dup_tokens"] == 21).all()
