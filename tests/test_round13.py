@@ -427,3 +427,41 @@ def test_d22_two_disjoint_planted_spans(spark, tmp_path_factory):
     assert (pdf["n_spans"] == 2).all()
     assert (pdf["max_span_tokens"] == 12).all()
     assert (pdf["dup_tokens"] == 21).all()
+
+
+# --- d23 / st16 planted ground truth: stage attribution is exact ---------------
+
+
+def test_d23_cascade_planted_attribution(spark, tmp_path_factory):
+    base = " ".join(f"alpha{i:03d}" for i in range(20))
+    near = " ".join(f"alpha{i:03d}" for i in range(19)) + " omega999"
+    other = " ".join(f"beta{i:03d}" for i in range(20))
+    d = _write_documents(
+        str(tmp_path_factory.mktemp("cascade")), [base, base, near, other]
+    )
+    pdf = entry_mod.queries()["d23_dedup_cascade"](spark, d).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    # doc2 is a verbatim copy (exact stage), doc3 shares 16/20 shingles
+    # with the doc1 representative (jaccard 0.8 -> near stage), doc4 and
+    # the representative survive
+    assert (r["n_docs"], r["n_exact_dropped"], r["n_near_dropped"], r["n_survivors"]) \
+        == (4, 1, 1, 2), dict(r)
+
+
+def test_st16_cascade_planted_attribution(spark, tmp_path_factory):
+    x = " ".join(f"gamma{i:03d}" for i in range(20))
+    y = " ".join(f"delta{i:03d}" for i in range(20))
+    y_near = " ".join(f"delta{i:03d}" for i in range(19)) + " omega999"
+    z = " ".join(f"edge{i:03d}" for i in range(20))
+    # doc_id parity is the stream/corpus split: evens {2: x, 4: y} are the
+    # standing corpus; odds arrive — 1 = x verbatim (exact reject),
+    # 3 = y-near (near reject), 5 = novel (admitted)
+    d = _write_documents(
+        str(tmp_path_factory.mktemp("stcascade")), [x, x, y_near, y, z]
+    )
+    pdf = entry_mod.queries()["st16_stream_cascade_admission"](spark, d).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (r["n_new"], r["n_exact_rejected"], r["n_near_rejected"], r["n_admitted"]) \
+        == (3, 1, 1, 1), dict(r)
