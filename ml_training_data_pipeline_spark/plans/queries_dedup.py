@@ -2885,3 +2885,208 @@ def d23_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival_rate"),
     )
+
+
+# --- EP13: cascade-then-budget release roadmap --------------------------------------
+# The realistic release sequence the round-13 additions compose: run the
+# exact-first dedup cascade (d23 — the only viable ordering at 100 TB,
+# per SCALE_PROBE_r13), then split the training budget over the
+# SURVIVING per-source token mass with mix9's integer-exact 4-epoch
+# water-filling. ep10 gated on leakage/contamination; this is the other
+# release face — dedup changes the mixture (a source whose docs were
+# mostly copies loses cap headroom), and the roadmap must be computed
+# AFTER the drop, not before. One shingle/band build (the d23 plan),
+# one tokenize pass over survivors, then |sources|-sized algebra; every
+# float is one division of two BIGINTs (the ep9 contract, with mix9's
+# zero-token epochs guard).
+@query(
+    "ep13_dedup_budget_roadmap",
+    oracle=f"""
+    WITH {toks_cte()},
+    fps AS (
+      SELECT t.doc_id, d.source,
+             md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    grp AS (SELECT fp, min(doc_id) AS rep FROM fps GROUP BY fp),
+    sh AS (
+      SELECT DISTINCT s.doc_id, {H60.format(x="s.shingle")} AS shingle
+      FROM (
+        SELECT t.doc_id,
+               unnest([t.toks[i]||' '||t.toks[i+1]||' '||t.toks[i+2]
+                       for i in range(1, len(t.toks) - 1)]) AS shingle
+        FROM toks t JOIN grp g ON g.rep = t.doc_id WHERE len(t.toks) >= 3
+      ) s
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min({H60.format(x="seed::VARCHAR || ':' || shingle::VARCHAR")}) AS min_hash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+             {H60.format(x="string_agg(min_hash::VARCHAR, ',' ORDER BY seed)")} AS band_sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near AS (
+      SELECT DISTINCT i.doc_b AS rep
+      FROM inter i
+      JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+    ),
+    survivors AS (
+      SELECT f.doc_id, f.source
+      FROM fps f JOIN grp g USING (fp)
+      WHERE f.doc_id = g.rep
+        AND NOT EXISTS (SELECT 1 FROM near n WHERE n.rep = f.doc_id)
+    ),
+    per_src AS (
+      SELECT s.source,
+             count(*) AS n_survivors,
+             CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+             CAST(4 * sum(len(t.toks)) AS BIGINT) AS cap_tokens
+      FROM survivors s JOIN toks t USING (doc_id)
+      GROUP BY s.source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b, count(*) AS n FROM per_src
+    ),
+    ranked AS (
+      SELECT p.*, t.b, t.n,
+             row_number() OVER (ORDER BY p.cap_tokens, p.source) AS i,
+             CAST(sum(p.cap_tokens) OVER (ORDER BY p.cap_tokens, p.source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      FROM per_src p CROSS JOIN tot t
+    ),
+    marked AS (
+      SELECT r.*,
+             (r.cap_tokens * (r.n - r.i + 1) <= r.b - (r.prefix - r.cap_tokens))
+               AS is_capped
+      FROM ranked r
+    ),
+    lvl AS (
+      SELECT CAST(coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT)
+               AS p_k,
+             CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM marked
+    )
+    SELECT m.source, m.n_survivors, m.n_tokens, m.cap_tokens, m.is_capped,
+           CAST(m.b AS BIGINT) AS budget_tokens,
+           round(CASE WHEN m.is_capped THEN m.cap_tokens / 1.0
+                      ELSE (m.b - l.p_k) / (m.n - l.k) END, 6) AS alloc_tokens,
+           round(CASE WHEN m.is_capped THEN m.cap_tokens / m.b
+                      ELSE (m.b - l.p_k) / ((m.n - l.k) * m.b) END, 6) AS alloc_share,
+           round(CASE WHEN m.cap_tokens = 0 THEN 0.0
+                      WHEN m.is_capped THEN 4.0
+                      ELSE (m.b - l.p_k) / ((m.n - l.k) * m.n_tokens) END, 6)
+             AS epochs_equiv
+    FROM marked m CROSS JOIN lvl l
+    """,
+)
+def ep13_dedup_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import fingerprint_pair, token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # d23's cascade, survivor-set form: exact groups on the 120-bit
+    # fingerprint, LSH near-dup over the representatives only
+    fps = docs.select(
+        "doc_id", "source", fingerprint_pair(F.col("text")).alias("fp")
+    ).localCheckpoint()  # 2 consumers: group build + survivor classification
+    grp = fps.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    reps = docs.join(
+        grp.select(F.col("rep").alias("doc_id")).distinct(), "doc_id"
+    ).select("doc_id", "text")
+    pairs = minhash_dedup(reps, k=3, num_hashes=8, rows_per_band=2, threshold=0.5)
+    near = pairs.select(F.col("doc_b").alias("near_rep")).distinct()
+    survivors = (
+        fps.join(grp, "fp")
+        .where(F.col("doc_id") == F.col("rep"))
+        .join(near, F.col("doc_id") == F.col("near_rep"), "left_anti")
+        .select("doc_id", "source")
+    )
+    # mix9's integer-exact water-fill over the SURVIVING token mass
+    per_src = (
+        survivors.join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_survivors"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+            (F.lit(4) * F.sum(token_count(F.col("text"))))
+            .cast("long")
+            .alias("cap_tokens"),
+        )
+        .localCheckpoint()  # |sources| rows; totals + window + level reuse it
+    )
+    tot = per_src.agg(
+        F.expr("sum(n_tokens) div 2").cast("long").alias("b"),
+        F.count("*").alias("n"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("cap_tokens", "source")
+    ranked = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_survivors",
+        "n_tokens",
+        "cap_tokens",
+        "b",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.sum("cap_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+    )
+    marked = ranked.withColumn(
+        "is_capped",
+        F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
+        <= F.col("b") - (F.col("prefix") - F.col("cap_tokens")),
+    ).localCheckpoint()  # 2 consumers: the level aggregate + the report
+    lvl = marked.agg(
+        F.coalesce(F.sum(F.when(F.col("is_capped"), F.col("cap_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("p_k"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).cast("long").alias("k"),
+    )
+    rem_num = F.col("b") - F.col("p_k")
+    rem_den = F.col("n") - F.col("k")
+    return marked.crossJoin(F.broadcast(lvl)).select(  # singleton level row
+        "source",
+        "n_survivors",
+        "n_tokens",
+        "cap_tokens",
+        "is_capped",
+        F.col("b").cast("long").alias("budget_tokens"),
+        F.round(
+            F.when(F.col("is_capped"), F.col("cap_tokens") / F.lit(1.0)).otherwise(
+                rem_num / rem_den
+            ),
+            6,
+        ).alias("alloc_tokens"),
+        F.round(
+            F.when(F.col("is_capped"), F.col("cap_tokens") / F.col("b")).otherwise(
+                rem_num / (rem_den * F.col("b"))
+            ),
+            6,
+        ).alias("alloc_share"),
+        F.round(
+            F.when(F.col("cap_tokens") == 0, F.lit(0.0))
+            .when(F.col("is_capped"), F.lit(4.0))
+            .otherwise(rem_num / (rem_den * F.col("n_tokens"))),
+            6,
+        ).alias("epochs_equiv"),
+    )

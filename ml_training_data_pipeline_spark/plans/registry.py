@@ -54,12 +54,13 @@ PRIORITY: tuple[str, ...] = (
     # names) to fill 50. Round-13 additions are inserted at the FRONT as
     # they land; each insertion pushes the round-7-block tail past the
     # 50-cut into the round-14 rotation — keep the ROUND-14 note below
-    # accurate. Additions so far: n22, d22, ep12, d23, st16 (push
+    # accurate. Additions so far: n22, d22, ep12, d23, st16, ep13 (push
     # mm7_image_channel_stats, mix6_weighted_sample, cur9_split_leakage,
-    # v14_oov_by_source and s16_orc_roundtrip past the cut).
+    # v14_oov_by_source, s16_orc_roundtrip and v14's neighbor
+    # w16_cusum_changepoint past the cut).
     "n22_srp_probe_budget_sweep", "d22_exact_substring_spans",
     "ep12_data_card_diff", "d23_dedup_cascade",
-    "st16_stream_cascade_admission",
+    "st16_stream_cascade_admission", "ep13_dedup_budget_roadmap",
     "mix9_budget_waterfill", "cur17_bloom_sizing_sweep", "n5_ann_ivf_topk",
     "mm2_frame_samples", "x6_subword_counts", "m1_kmeans_assignments",
     "m3_kmeans_predict_new_docs", "s5_model_roundtrip", "v2_term_counts",

@@ -465,3 +465,23 @@ def test_st16_cascade_planted_attribution(spark, tmp_path_factory):
     r = pdf.iloc[0]
     assert (r["n_new"], r["n_exact_rejected"], r["n_near_rejected"], r["n_admitted"]) \
         == (3, 1, 1, 1), dict(r)
+
+
+# --- ep13: the cascade-then-budget composite closes against both parents -------
+
+
+def test_ep13_budget_over_cascade_survivors(spark):
+    qs = entry_mod.queries()
+    ep13 = qs["ep13_dedup_budget_roadmap"](spark, SF_DIR).toPandas().set_index("source").sort_index()
+    d23 = qs["d23_dedup_cascade"](spark, SF_DIR).toPandas().set_index("source").sort_index()
+    # the roadmap runs over EXACTLY the cascade's survivor set
+    assert (ep13["n_survivors"] == d23["n_survivors"]).all()
+    # mix9's water-fill properties over that mass: the budget is spent
+    # exactly (capped rows take their cap, uncapped split the remainder),
+    # no row exceeds 4 epochs, and the cap binds iff marked
+    assert (ep13["epochs_equiv"] <= 4.0).all()
+    assert (ep13["alloc_tokens"] <= ep13["cap_tokens"] + 1e-6).all()
+    spent = ep13["alloc_tokens"].sum()
+    assert abs(spent - ep13["budget_tokens"].iloc[0]) < 1e-3 * len(ep13), (
+        spent, ep13["budget_tokens"].iloc[0]
+    )
