@@ -82,11 +82,13 @@ PRIORITY: tuple[str, ...] = (
     "s16_orc_roundtrip", "v14_oov_by_source", "cur9_split_leakage",
     "mix6_weighted_sample", "mm7_image_channel_stats",
     # ROUND-14 ROTATION (pre-staged): lead with any round-14
-    # additions/changes, then whatever round-13 additions pushed past the
-    # 50-cut (count them off the round-7-block tail above: mm7, mix6,
-    # cur9, v14, s16, ... in reverse order), then the round-7-block
-    # remainder (x1_token_stats ... mix1_source_mixing_sample and
-    # onward in listed order below) to fill 50.
+    # additions/changes, then the 6 names the round-13 additions pushed
+    # past the 50-cut (w16_cusum_changepoint, s16_orc_roundtrip,
+    # v14_oov_by_source, cur9_split_leakage, mix6_weighted_sample,
+    # mm7_image_channel_stats — all carry r7 stamps), then the
+    # round-7-block remainder (x1_token_stats ...
+    # mix1_source_mixing_sample and onward in listed order below) to
+    # fill 50.
     "ep10_release_roadmap", "cur18_ngram_decontamination_sweep",
     "d21_jaccard_threshold_sweep", "st15_stream_semantic_admission",
     "n21_srp_multiprobe_recall", "ep11_release_diff_card",
