@@ -3090,3 +3090,306 @@ def ep13_dedup_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epochs_equiv"),
     )
+
+
+# --- D24: exact-substring span SCRUB (the transform d22's report feeds) --------------
+# d22 REPORTS the maximal duplicated token spans; Lee et al. 2022 §4
+# actually REMOVE them from the corpus. d24 is that removal, under
+# cur6's proven byte-exact reassembly discipline at the span (stride-1
+# 8-token window) grain: a window duplicated across >1 doc keeps its
+# FIRST occurrence (keep_doc = min doc_id over docs containing it) and
+# every token it covers is dropped from every OTHER doc; surviving
+# tokens reassemble in original order and the md5 of the reassembled
+# text is matched against the oracle — the fingerprint proves the scrub
+# byte-exactly, not just the counts (the ledger: per doc, tokens
+# removed/kept + fraction). Scale shape: the same O(corpus tokens)
+# position stream as d22 with 60-bit md5 window keys, cross-doc support
+# is one combinable groupBy(win) carrying (count, min doc), the removal
+# explode is bounded to duplicated NON-KEEPER windows only, and
+# reassembly is one per-doc sorted-positions aggregate joined back to
+# the token table — per-doc data, never a value-keyed global sort. The
+# in-doc filter is O(L·R) per doc (R = removed positions), bounded by
+# document length — web docs are KBs, so this never owns the job.
+@query(
+    "d24_span_scrub",
+    oracle=f"""
+    WITH {toks_cte()},
+    t8 AS (SELECT doc_id, toks, len(toks) AS L FROM toks WHERE len(toks) >= 8),
+    p AS (
+      SELECT doc_id, pos,
+             {H60.format(x="array_to_string(toks[(pos+1):(pos+8)], ' ')")} AS win
+      FROM (SELECT doc_id, toks, unnest(range(0, L - 7)) AS pos FROM t8)
+    ),
+    dw AS (
+      SELECT win, min(doc_id) AS keep_doc
+      FROM (SELECT DISTINCT doc_id, win FROM p)
+      GROUP BY win HAVING count(*) > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS tok
+        FROM p JOIN dw USING (win)
+        WHERE p.doc_id <> dw.keep_doc
+      )
+    ),
+    rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    tokpos AS (
+      SELECT doc_id, pos AS tpos, toks[pos + 1] AS tok_str
+      FROM (SELECT doc_id, toks, unnest(range(0, L)) AS pos FROM t8)
+    ),
+    re AS (
+      SELECT t.doc_id, string_agg(t.tok_str, ' ' ORDER BY t.tpos) AS kept_text
+      FROM tokpos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id AND r.tok = t.tpos
+      )
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.L AS BIGINT) AS n_tokens,
+           CAST(coalesce(rc.n_removed, 0) AS BIGINT) AS tokens_removed,
+           CAST(t.L - coalesce(rc.n_removed, 0) AS BIGINT) AS tokens_kept,
+           round(coalesce(rc.n_removed, 0) / t.L, 6) AS removed_frac,
+           md5(coalesce(re.kept_text, '')) AS scrubbed_fp
+    FROM t8 t LEFT JOIN re USING (doc_id) LEFT JOIN rc USING (doc_id)
+    """,
+)
+def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t8 = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 8)
+        .localCheckpoint()  # 2 consumers: the window stream + reassembly
+    )
+    # d22's position stream: every stride-1 8-token window as a 60-bit
+    # md5 long (string window keys never shuffle)
+    p = t8.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 8), i -> struct(i AS pos,"
+                " CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, 8))), 1, 15),"
+                " 16, 10) AS LONG) AS win))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    p = p.localCheckpoint()  # 2 consumers: cross-doc support + removal probe
+    dw = (
+        p.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("nd") > 1)
+        .select("win", "keep_doc")
+    )
+    rem = (
+        p.join(dw, "win")
+        .where(F.col("doc_id") != F.col("keep_doc"))
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok")
+        )
+        .distinct()
+    )
+    rm = rem.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("rm"),
+        F.count("*").cast("long").alias("n_removed"),
+    )
+    nrem = F.coalesce("n_removed", F.lit(0)).cast("long")
+    # ordered byte-exact reassembly: drop removed positions, keep the rest
+    # in original order (rm is per-doc and bounded by doc length)
+    kept_arr = F.expr("filter(toks, (x, i) -> rm IS NULL OR NOT array_contains(rm, i))")
+    return (
+        t8.join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            nrem.alias("tokens_removed"),
+            (F.size("toks") - nrem).cast("long").alias("tokens_kept"),
+            F.round(nrem / F.size("toks"), 6).alias("removed_frac"),
+            F.md5(F.concat_ws(" ", kept_arr)).alias("scrubbed_fp"),
+        )
+    )
+
+
+# --- D25: cascade with the QUALITY survivor policy (d23 ∘ cur2) ----------------------
+# d23 keeps min(doc_id) everywhere — canonical, but not what production
+# does: CCNet-style pipelines keep the BEST COPY. d25 wires d23's
+# exact-first cascade through cur2's survivor policy. Stage 1 is
+# unchanged (exact groups keep min doc_id — quality is a function of
+# the text alone, so every member of an exact group scores identically
+# and argmax degenerates to the id tie-break); stage 2 is where the
+# policy bites: verified near-dup pairs among the representatives are
+# closed into connected components (cur2's grouping — pair (a,b) +
+# (b,c) must collapse to ONE survivor even when (a,c) was never
+# emitted) and each component keeps its quality-argmax member
+# (tie-break min doc_id). Per source: the full two-stage drop ledger
+# plus the best surviving quality. Scale shape: d23's (one shingle/band
+# build over representatives only, candidate-scoped verification) plus
+# cur2's O(log diameter) label propagation over the verified-pair graph
+# — components are near-dup clusters, tiny by construction after the
+# exact stage collapsed the verbatim mass.
+@query(
+    "d25_cascade_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE {toks_cte()},
+    {quality_cte()},
+    fps AS (
+      SELECT t.doc_id, d.source,
+             md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    grp AS (SELECT fp, min(doc_id) AS rep FROM fps GROUP BY fp),
+    cls AS (
+      SELECT f.doc_id, f.source, g.rep, q.quality_score AS q
+      FROM fps f JOIN grp g USING (fp) JOIN qual q ON q.doc_id = f.doc_id
+    ),
+    sh AS (
+      SELECT DISTINCT s.doc_id, {H60.format(x="s.shingle")} AS shingle
+      FROM (
+        SELECT t.doc_id,
+               unnest([t.toks[i]||' '||t.toks[i+1]||' '||t.toks[i+2]
+                       for i in range(1, len(t.toks) - 1)]) AS shingle
+        FROM toks t JOIN grp g ON g.rep = t.doc_id WHERE len(t.toks) >= 3
+      ) s
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min({H60.format(x="seed::VARCHAR || ':' || shingle::VARCHAR")}) AS min_hash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / 2.0) AS INT) AS band,
+             {H60.format(x="string_agg(min_hash::VARCHAR, ',' ORDER BY seed)")} AS band_sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+      UNION
+      SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node),
+    membered AS (
+      SELECT c.doc_id, coalesce(cp.component_id, c.doc_id) AS component_id, c.q
+      FROM cls c LEFT JOIN comp cp ON cp.doc_id = c.doc_id
+      WHERE c.doc_id = c.rep
+    ),
+    surv AS (
+      SELECT component_id,
+             (array_agg(doc_id ORDER BY q DESC, doc_id ASC))[1] AS survivor
+      FROM membered GROUP BY component_id
+    ),
+    nd AS (
+      SELECT m.doc_id FROM membered m JOIN surv s USING (component_id)
+      WHERE m.doc_id <> s.survivor
+    )
+    SELECT c.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id <> c.rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dropped,
+           CAST(sum(CASE WHEN c.doc_id = c.rep AND n.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+           CAST(sum(CASE WHEN c.doc_id = c.rep AND n.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           round(sum(CASE WHEN c.doc_id <> c.rep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS exact_drop_rate,
+           round(sum(CASE WHEN c.doc_id = c.rep AND n.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS near_drop_rate,
+           round(sum(CASE WHEN c.doc_id = c.rep AND n.doc_id IS NULL
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+             AS survival_rate,
+           round(max(CASE WHEN c.doc_id = c.rep AND n.doc_id IS NULL
+                          THEN c.q END), 6) AS best_survivor_quality
+    FROM cls c LEFT JOIN nd n ON n.doc_id = c.doc_id
+    GROUP BY c.source
+    """,
+)
+def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.analysis import fingerprint_pair, quality_score
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # stage 1: d23's exact groups (quality is text-determined, so argmax
+    # within an exact group IS the id tie-break — min doc_id unchanged)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("q"),
+        fingerprint_pair(F.col("text")).alias("fp"),
+    ).localCheckpoint()  # 2 consumers: group build + per-doc classification
+    grp = scored.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    cls = scored.join(grp, "fp").select("doc_id", "source", "q", "rep")
+    # stage 2: verified near-dup pairs among representatives, closed into
+    # components; each component keeps its quality-argmax member
+    reps = docs.join(
+        grp.select(F.col("rep").alias("doc_id")).distinct(), "doc_id"
+    ).select("doc_id", "text")
+    pairs = minhash_dedup(reps, k=3, num_hashes=8, rows_per_band=2, threshold=0.5)
+    comp = connected_components(pairs)
+    membered = (
+        cls.where(F.col("doc_id") == F.col("rep"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            "q",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    near_dropped = (
+        membered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(F.col("doc_id").alias("nd"))
+    )
+    marked = cls.join(near_dropped, cls.doc_id == near_dropped.nd, "left")
+    is_exact_drop = F.col("doc_id") != F.col("rep")
+    is_near_drop = (F.col("doc_id") == F.col("rep")) & F.col("nd").isNotNull()
+    is_survivor = (F.col("doc_id") == F.col("rep")) & F.col("nd").isNull()
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(is_exact_drop, 1).otherwise(0)).cast("long").alias("n_exact_dropped"),
+        F.sum(F.when(is_near_drop, 1).otherwise(0)).cast("long").alias("n_near_dropped"),
+        F.sum(F.when(is_survivor, 1).otherwise(0)).cast("long").alias("n_survivors"),
+        F.round(
+            F.sum(F.when(is_exact_drop, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("exact_drop_rate"),
+        F.round(
+            F.sum(F.when(is_near_drop, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("near_drop_rate"),
+        F.round(
+            F.sum(F.when(is_survivor, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("survival_rate"),
+        F.round(F.max(F.when(is_survivor, F.col("q"))), 6).alias(
+            "best_survivor_quality"
+        ),
+    )
