@@ -47,6 +47,20 @@ COPIED = ("nation", "region")
 def generate(src: str, out: str, reps: int, quiet: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # OFF must exceed every source key or replicas silently ALIAS keys
+    # across each other, corrupting the linear-fan-out property the scale
+    # probe and the pair-count identity test depend on (ADVICE r13) —
+    # validate instead of trusting the comment
+    for t, keys in KEYED.items():
+        for k in keys:
+            mx = con.execute(
+                f"SELECT max({k}) FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchone()[0]
+            if mx is not None and mx >= OFF:
+                raise SystemExit(
+                    f"{t}.{k} max {mx} >= replica offset {OFF}: "
+                    "replicas would alias keys; raise OFF"
+                )
     for t, keys in KEYED.items():
         cols = [
             c[0]

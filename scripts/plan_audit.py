@@ -21,8 +21,14 @@ like the driver would:
     cd /tmp && python /root/repo/scripts/plan_audit.py --names d4_minhash_dedup
 
 ``--ledger PATH`` additionally writes a per-query shuffle ledger
-``{name: {exchanges, broadcasts, bnlj, scans, aqe_shuffle_reads}}`` to
-PATH for round-over-round diffing (committed as PLANS_r{N}.json). The
+``{name: {exchanges, broadcasts, bnlj, scans, aqe_shuffle_reads,
+checkpointed, segments, pre_exchanges, pre_broadcasts, pre_bnlj,
+pre_scans}}`` to PATH for round-over-round diffing (committed as
+PLANS_r{N}.json). The ``pre_*`` columns sum the counters over every
+pre-checkpoint plan segment (see ``CkptRecorder``) — without them an
+eager ``localCheckpoint`` truncates the visible plan and a regression
+upstream of the checkpoint is invisible (ep12 read ``{exchanges: 0,
+scans: 0}`` in PLANS_r13.json despite two upstream aggregation scans). The
 remaining regression class the correctness suite cannot catch is a quiet
 plan change that adds a shuffle without changing answers; an Exchange-count
 diff settles such drift questions instantly. ``exchanges``/``broadcasts``/
@@ -69,6 +75,68 @@ def ledger_counts(static_plan: str, final_plan: str = "") -> dict[str, int]:
     }
 
 
+PRE_KEYS = ("exchanges", "broadcasts", "bnlj", "scans")
+
+
+class CkptRecorder:
+    """Close the ledger's checkpoint blind spot (VERDICT r13): an eager
+    ``localCheckpoint()`` truncates the visible plan at an ExistingRDD
+    scan, so a query like ep12 read ``{exchanges: 0, scans: 0}`` in
+    PLANS_r13.json despite its two upstream aggregation scans — a plan
+    regression upstream of a checkpoint was invisible to plan_diff (and
+    a CartesianProduct there escaped the violation scan entirely).
+
+    While active, every ``DataFrame.localCheckpoint`` call first records
+    THAT DataFrame's pre-materialization ``executedPlan()`` string, then
+    delegates. Segments never double count each other or the final
+    plan: a segment built on an earlier checkpoint starts at the earlier
+    ExistingRDD boundary (not counted by any counter), exactly as the
+    final plan starts at the last ones. Iterative operators (connected
+    components) and per-micro-batch checkpoints record one segment per
+    call — the honest total cost of what actually ran."""
+
+    @staticmethod
+    def _target():
+        # PySpark 4 dispatches to the CONCRETE class — patching the
+        # pyspark.sql.DataFrame facade is invisible because
+        # classic.dataframe.DataFrame overrides localCheckpoint
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # older PySpark: one class only
+            from pyspark.sql import DataFrame
+        return DataFrame
+
+    def __init__(self) -> None:
+        self.plans: list[str] = []
+
+    def __enter__(self) -> "CkptRecorder":
+        cls = self._target()
+        self._orig = cls.localCheckpoint
+        rec = self
+
+        def wrapper(df, *a, **kw):
+            try:
+                rec.plans.append(df._jdf.queryExecution().executedPlan().toString())
+            except Exception:  # noqa: BLE001 — recording must never break the query
+                pass
+            return rec._orig(df, *a, **kw)
+
+        cls.localCheckpoint = wrapper
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._target().localCheckpoint = self._orig
+
+    def pre_counts(self) -> dict[str, int]:
+        """{checkpointed, segments, pre_exchanges, ..., pre_scans} summed
+        across the recorded pre-checkpoint segments."""
+        per = [ledger_counts(p) for p in self.plans]
+        out = {"checkpointed": 1 if per else 0, "segments": len(per)}
+        for k in PRE_KEYS:
+            out[f"pre_{k}"] = sum(p[k] for p in per)
+        return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--names", nargs="*", default=None)
@@ -105,27 +173,33 @@ def main() -> int:
     for i, name in enumerate(names):
         t0 = time.time()
         try:
-            df = qs[name](spark, args.sf_dir)
-            qe = df._jdf.queryExecution()
-            # pre-materialization executedPlan: EnsureRequirements has
-            # inserted the Exchanges but AQE has not yet re-planned them
-            # away for a 1 MB input — the static, scale-honest fingerprint
-            # (sparkPlan() is NO use here: it predates EnsureRequirements,
-            # so it contains zero Exchange nodes by construction)
-            plan = qe.executedPlan().toString()
-            if args.ledger is not None:
-                # collect(), not count(): count() builds a NEW
-                # QueryExecution (agg-on-top), leaving THIS plan's
-                # AdaptiveSparkPlan forever isFinalPlan=false — collect()
-                # executes this exact plan so the AQE final plan exists.
-                # Bounded: ledger runs at sf0.001 only.
-                df.collect()
-                ledger[name] = ledger_counts(plan, qe.executedPlan().toString())
+            with CkptRecorder() as rec:
+                df = qs[name](spark, args.sf_dir)
+                qe = df._jdf.queryExecution()
+                # pre-materialization executedPlan: EnsureRequirements has
+                # inserted the Exchanges but AQE has not yet re-planned them
+                # away for a 1 MB input — the static, scale-honest fingerprint
+                # (sparkPlan() is NO use here: it predates EnsureRequirements,
+                # so it contains zero Exchange nodes by construction)
+                plan = qe.executedPlan().toString()
+                if args.ledger is not None:
+                    # collect(), not count(): count() builds a NEW
+                    # QueryExecution (agg-on-top), leaving THIS plan's
+                    # AdaptiveSparkPlan forever isFinalPlan=false — collect()
+                    # executes this exact plan so the AQE final plan exists.
+                    # Bounded: ledger runs at sf0.001 only.
+                    df.collect()
+                    ledger[name] = ledger_counts(plan, qe.executedPlan().toString())
+                    ledger[name].update(rec.pre_counts())
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             errors[name] = repr(e)[:200]
             print(f"[{i+1}/{len(names)}] {name}: ERROR {errors[name]}", flush=True)
             continue
-        bad = [p for p in FORBIDDEN if p in plan]
+        # the violation scan covers the pre-checkpoint segments too — a
+        # CartesianProduct upstream of a localCheckpoint is just as fatal
+        # at 100 TB as a visible one
+        full = "\n".join([plan, *rec.plans])
+        bad = [p for p in FORBIDDEN if p in full]
         nb = plan.count("BroadcastNestedLoopJoin")
         if bad:
             violations[name] = bad
@@ -157,7 +231,9 @@ def main() -> int:
                     "totals": {
                         k: sum(v[k] for v in ledger.values())
                         for k in ("exchanges", "broadcasts", "bnlj", "scans",
-                                  "aqe_shuffle_reads")
+                                  "aqe_shuffle_reads", "checkpointed",
+                                  "segments", "pre_exchanges",
+                                  "pre_broadcasts", "pre_bnlj", "pre_scans")
                     }
                     if ledger
                     else {},

@@ -24,10 +24,27 @@ def diff(old: dict, new: dict) -> dict:
     oq, nq = old["queries"], new["queries"]
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
+    # .get(k, 0) on BOTH sides: a ledger written by an older/newer
+    # plan_audit with a different counter set must diff readably (a
+    # missing counter reads as 0), not raise KeyError (ADVICE r13) —
+    # and every key either side carries is compared, so the r14
+    # pre-checkpoint columns diff against an r13 ledger that lacks them
+    counters = tuple(
+        dict.fromkeys(
+            COUNTERS
+            + tuple(k for q in list(oq.values()) + list(nq.values()) for k in q)
+        )
+    )
+
+    def delta(name: str) -> dict:
+        return {
+            k: (oq[name].get(k, 0), nq[name].get(k, 0))
+            for k in counters
+            if oq[name].get(k, 0) != nq[name].get(k, 0)
+        }
+
     changed = {
-        name: {k: (oq[name][k], nq[name][k]) for k in COUNTERS if oq[name][k] != nq[name][k]}
-        for name in sorted(set(oq) & set(nq))
-        if any(oq[name][k] != nq[name][k] for k in COUNTERS)
+        name: d for name in sorted(set(oq) & set(nq)) if (d := delta(name))
     }
     return {
         "added": added,
@@ -65,9 +82,12 @@ def main() -> int:
                                   "changed": len(d["changed"]),
                                   "totals_delta": d["totals_delta"]}}))
     # a changed fingerprint is a signal, not automatically a failure: exit
-    # nonzero only for errors, so CI can gate on broken sweeps while plan
-    # drift stays a human review item (the commit must explain it)
-    return 1 if (d["old_errors"] or d["new_errors"]) else 0
+    # nonzero only for NEW errors, so CI can gate on broken sweeps while
+    # plan drift stays a human review item (the commit must explain it).
+    # OLD errors are known history — a clean run diffed against a ledger
+    # that captured a broken sweep must not fail forever (ADVICE r13);
+    # they still print above for context.
+    return 1 if d["new_errors"] else 0
 
 
 if __name__ == "__main__":

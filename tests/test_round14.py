@@ -13,12 +13,25 @@ ledger (and the expected scrubbed BYTES, via md5) is computable by hand
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 import os
 
 import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR
+
+
+def _load_script(name: str):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        f"{name}.py",
+    )
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _write_documents(tmpdir: str, texts: list[str]) -> str:
@@ -196,3 +209,148 @@ def test_d25_ledger_closes_against_d23(spark):
         d25["n_exact_dropped"] + d25["n_near_dropped"] + d25["n_survivors"]
         == d25["n_docs"]
     ).all()
+
+
+# --- the ledger's checkpoint blind spot is closed (VERDICT r13 #4) ---------------
+
+
+def test_ckpt_recorder_surfaces_ep12_upstream_scans(spark):
+    """PLANS_r13.json read ep12 as {exchanges: 0, scans: 0} because
+    localCheckpoint truncates the visible plan — the recorder must
+    surface the two upstream aggregation scans VERDICT r13 flagged, and
+    segments must not double count (d24's second checkpoint reads the
+    first's RDD, so pre_scans stays 1)."""
+    pa = _load_script("plan_audit")
+    qs = entry_mod.queries()
+
+    def audit(name: str) -> dict:
+        with pa.CkptRecorder() as rec:
+            df = qs[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        out = pa.ledger_counts(plan)
+        out.update(rec.pre_counts())
+        return out
+
+    ep12 = audit("ep12_data_card_diff")
+    assert ep12["checkpointed"] == 1 and ep12["segments"] == 1
+    assert ep12["pre_scans"] == 2, ep12  # the two upstream aggregation scans
+    assert ep12["pre_exchanges"] > 0, ep12
+    d24 = audit("d24_span_scrub")
+    assert d24["checkpointed"] == 1 and d24["segments"] == 2
+    # t8's segment scans the file; p's segment starts at t8's ExistingRDD
+    assert d24["pre_scans"] == 1, d24
+    # an uncheckpointed query reads clean zeros and the flag stays down
+    h1 = audit("h1_lineitem_pricing_summary")
+    assert h1["checkpointed"] == 0 and h1["segments"] == 0
+    assert h1["pre_scans"] == 0 and h1["scans"] == 1
+
+
+def test_ckpt_recorder_restores_method_even_on_error():
+    pa = _load_script("plan_audit")
+    cls = pa.CkptRecorder._target()
+    orig = cls.localCheckpoint
+    with pytest.raises(RuntimeError):
+        with pa.CkptRecorder():
+            assert cls.localCheckpoint is not orig
+            raise RuntimeError("boom")
+    assert cls.localCheckpoint is orig
+
+
+# --- round-13 ADVICE closures ----------------------------------------------------
+
+
+def _run_plan_diff(tmpdir, old: dict, new: dict) -> tuple[int, str]:
+    import json
+    import subprocess
+    import sys
+
+    po, pn = os.path.join(tmpdir, "old.json"), os.path.join(tmpdir, "new.json")
+    with open(po, "w") as f:
+        json.dump(old, f)
+    with open(pn, "w") as f:
+        json.dump(new, f)
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "plan_diff.py",
+    )
+    r = subprocess.run(
+        [sys.executable, script, po, pn], capture_output=True, text=True
+    )
+    return r.returncode, r.stdout + r.stderr
+
+
+def test_plan_diff_old_errors_do_not_fail_forever(tmp_path):
+    """A clean new run diffed against a HISTORICAL ledger that captured a
+    broken sweep must exit 0 (old errors are known history) — and a new
+    error must still gate (ADVICE r13)."""
+    q = {"exchanges": 1, "broadcasts": 0, "bnlj": 0, "scans": 1,
+         "aqe_shuffle_reads": 0}
+    t = {k: v for k, v in q.items()}
+    old = {"queries": {"a": q}, "totals": t, "errors": {"b": "boom"}}
+    new = {"queries": {"a": q}, "totals": t, "errors": {}}
+    rc, out = _run_plan_diff(str(tmp_path), old, new)
+    assert rc == 0, out
+    assert "old: ['b']" in out  # still printed for context
+    rc, _ = _run_plan_diff(
+        str(tmp_path), new, {**new, "errors": {"c": "fresh"}}
+    )
+    assert rc == 1
+
+
+def test_plan_diff_tolerates_counter_set_drift(tmp_path):
+    """An r13 ledger lacks the r14 pre-checkpoint columns; the diff must
+    read the missing counters as 0, not raise KeyError — and surface the
+    new columns as changes."""
+    old_q = {"exchanges": 2, "broadcasts": 1, "bnlj": 0, "scans": 0,
+             "aqe_shuffle_reads": 1}
+    new_q = {**old_q, "checkpointed": 1, "segments": 1, "pre_exchanges": 4,
+             "pre_broadcasts": 1, "pre_bnlj": 1, "pre_scans": 2}
+    old = {"queries": {"ep12": old_q}, "totals": dict(old_q), "errors": {}}
+    new = {"queries": {"ep12": new_q}, "totals": dict(new_q), "errors": {}}
+    rc, out = _run_plan_diff(str(tmp_path), old, new)
+    assert rc == 0, out
+    assert "pre_scans 0→2" in out, out
+
+
+def test_bench_emits_median_cpu_column():
+    """Round-over-round CPU comparisons read cpu_median_s (the min-wall
+    rep's CPU swings ~2x on identical code — VERDICT r13 #6); the
+    sentinel discipline applies to the median column too."""
+    import ast
+
+    src = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py")
+    ).read()
+    ast.parse(src)
+    assert '"cpu_median_s": cpu_med' in src
+    assert '"total_cpu_median_s": total_cpu_med' in src
+    assert "any(c < 0 for c in cpu_med.values())" in src
+    # ADVICE r13: a mixed wall/CPU pair (fastest rep's CPU sample failed)
+    # must be flagged in the stderr line
+    assert "cpu from" in src
+
+
+def test_make_sf1_rejects_aliasing_offset(tmp_path):
+    """ADVICE r13: a source key >= OFF would silently alias keys across
+    replicas; generate() must refuse instead."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ms = _load_script("make_sf1")
+    # build a minimal source dir: every KEYED table with tiny rows, one
+    # key pushed past OFF
+    for t, keys in ms.KEYED.items():
+        df = pd.DataFrame({k: [1, 2] for k in keys})
+        df["payload"] = ["a", "b"]
+        if t == "documents":
+            df.loc[1, keys[0]] = ms.OFF + 5
+        df.to_parquet(os.path.join(src, f"{t}.parquet"), index=False)
+    for t in ms.COPIED:
+        pd.DataFrame({"x": [1]}).to_parquet(
+            os.path.join(src, f"{t}.parquet"), index=False
+        )
+    with pytest.raises(SystemExit, match="alias"):
+        ms.generate(src, str(tmp_path / "out"), reps=2, quiet=True)
