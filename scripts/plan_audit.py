@@ -173,6 +173,15 @@ def main() -> int:
     for i, name in enumerate(names):
         t0 = time.time()
         try:
+            # canonical, ORDER-INDEPENDENT fingerprints: an earlier query's
+            # .cache() (the m-family caches tf-idf subtrees) makes Spark's
+            # CacheManager substitute InMemoryRelations into any later plan
+            # containing the same subtree, and the plan STRING prints the
+            # cached subtree under every InMemoryTableScan — counts would
+            # then depend on where the rotation placed the query (v3 read
+            # x=3/s=2 in isolation but x=6/s=4 after the m-family in the
+            # first r14 sweep). Audit every query against a cold cache.
+            spark.catalog.clearCache()
             with CkptRecorder() as rec:
                 df = qs[name](spark, args.sf_dir)
                 qe = df._jdf.queryExecution()

@@ -245,6 +245,28 @@ def test_ckpt_recorder_surfaces_ep12_upstream_scans(spark):
     assert h1["pre_scans"] == 0 and h1["scans"] == 1
 
 
+def test_ledger_counts_are_cache_independent(spark):
+    """An earlier query's .cache() makes the CacheManager substitute
+    InMemoryRelations into later matching plans, and the plan string
+    prints the cached subtree under every InMemoryTableScan — v3 read
+    x=3/s=2 in isolation but x=6/s=4 after the m-family in the first
+    r14 sweep. The audit clears the cache per query, so the fingerprint
+    must be identical with and without a hot cache."""
+    pa = _load_script("plan_audit")
+    qs = entry_mod.queries()
+
+    def counts() -> dict:
+        spark.catalog.clearCache()  # what plan_audit.main does per query
+        df = qs["v3_tfidf_unigram"](spark, SF_DIR)
+        return pa.ledger_counts(df._jdf.queryExecution().executedPlan().toString())
+
+    cold = counts()
+    qs["m2_kmeans_cluster_sizes"](spark, SF_DIR).count()  # caches tf-idf
+    hot = counts()
+    spark.catalog.clearCache()
+    assert cold == hot, (cold, hot)
+
+
 def test_ckpt_recorder_restores_method_even_on_error():
     pa = _load_script("plan_audit")
     cls = pa.CkptRecorder._target()
