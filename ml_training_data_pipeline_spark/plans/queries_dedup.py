@@ -3216,20 +3216,28 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D25: cascade with the QUALITY survivor policy (d23 ∘ cur2) ----------------------
 # d23 keeps min(doc_id) everywhere — canonical, but not what production
 # does: CCNet-style pipelines keep the BEST COPY. d25 wires d23's
-# exact-first cascade through cur2's survivor policy. Stage 1 is
-# unchanged (exact groups keep min doc_id — quality is a function of
-# the text alone, so every member of an exact group scores identically
-# and argmax degenerates to the id tie-break); stage 2 is where the
-# policy bites: verified near-dup pairs among the representatives are
-# closed into connected components (cur2's grouping — pair (a,b) +
-# (b,c) must collapse to ONE survivor even when (a,c) was never
-# emitted) and each component keeps its quality-argmax member
-# (tie-break min doc_id). Per source: the full two-stage drop ledger
-# plus the best surviving quality. Scale shape: d23's (one shingle/band
-# build over representatives only, candidate-scoped verification) plus
-# cur2's O(log diameter) label propagation over the verified-pair graph
-# — components are near-dup clusters, tiny by construction after the
-# exact stage collapsed the verbatim mass.
+# exact-first cascade through cur2's survivor policy AT BOTH STAGES.
+# Stage 1 matters more than it looks: the exact fingerprint is the
+# canonical TOKEN stream (punctuation/case/whitespace-insensitive), but
+# quality_score's punct_ratio reads the RAW text — so an exact group
+# routinely contains a punctuation-noisy copy and a clean copy of the
+# same token stream (verbatim-after-normalization re-posts, the most
+# common duplicate class), and min(doc_id) would keep whichever arrived
+# first. Each exact group therefore keeps its quality-argmax member
+# (tie-break min doc_id). Stage 2: verified near-dup pairs among the
+# representatives are closed into connected components (cur2's grouping
+# — pair (a,b) + (b,c) must collapse to ONE survivor even when (a,c)
+# was never emitted) and each component keeps its quality-argmax member
+# (same tie-break). Per source: the full two-stage drop ledger plus the
+# best surviving quality. Group sizes are policy-independent, so the
+# GLOBAL exact-drop count still closes against d23 (pinned); per-source
+# attribution may shift when a group spans sources and the best copy
+# lives elsewhere. Scale shape: d23's (one shingle/band build over
+# representatives only, candidate-scoped verification) plus cur2's
+# O(log diameter) label propagation over the verified-pair graph —
+# components are near-dup clusters, tiny by construction after the
+# exact stage collapsed the verbatim mass; the stage-1 argmax is one
+# combinable groupBy carrying a (q, -doc_id)-max struct.
 @query(
     "d25_cascade_quality_survivors",
     oracle=f"""
@@ -3240,10 +3248,17 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(coalesce(array_to_string(t.toks, ' '), '')) AS fp
       FROM toks t JOIN documents d USING (doc_id)
     ),
-    grp AS (SELECT fp, min(doc_id) AS rep FROM fps GROUP BY fp),
+    fq AS (
+      SELECT f.doc_id, f.source, f.fp, q.quality_score AS q
+      FROM fps f JOIN qual q ON q.doc_id = f.doc_id
+    ),
+    grp AS (
+      SELECT fp, (array_agg(doc_id ORDER BY q DESC, doc_id ASC))[1] AS rep
+      FROM fq GROUP BY fp
+    ),
     cls AS (
-      SELECT f.doc_id, f.source, g.rep, q.quality_score AS q
-      FROM fps f JOIN grp g USING (fp) JOIN qual q ON q.doc_id = f.doc_id
+      SELECT f.doc_id, f.source, g.rep, f.q
+      FROM fq f JOIN grp g USING (fp)
     ),
     sh AS (
       SELECT DISTINCT s.doc_id, {H60.format(x="s.shingle")} AS shingle
@@ -3336,15 +3351,28 @@ def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..functions.analysis import fingerprint_pair, quality_score
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    # stage 1: d23's exact groups (quality is text-determined, so argmax
-    # within an exact group IS the id tie-break — min doc_id unchanged)
+    # stage 1: d23's exact groups, but each keeps its QUALITY-argmax
+    # member (the fingerprint is token-normalized while punct_ratio reads
+    # raw text, so a group can hold a noisy and a clean copy of the same
+    # token stream — min doc_id would keep whichever arrived first)
     scored = docs.select(
         "doc_id",
         "source",
         quality_score(F.col("text")).alias("q"),
         fingerprint_pair(F.col("text")).alias("fp"),
     ).localCheckpoint()  # 2 consumers: group build + per-doc classification
-    grp = scored.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # combinable argmax: lexicographic max of (q, -doc_id) ≡ the oracle's
+    # ORDER BY q DESC, doc_id ASC — one map-side-combinable groupBy, no
+    # fp-partitioned window
+    grp = (
+        scored.groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(F.col("q").alias("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("best")
+        )
+        .select("fp", (-F.col("best.nid")).cast("long").alias("rep"))
+    )
     cls = scored.join(grp, "fp").select("doc_id", "source", "q", "rep")
     # stage 2: verified near-dup pairs among representatives, closed into
     # components; each component keeps its quality-argmax member

@@ -204,12 +204,13 @@ def main() -> int:
             errors[name] = repr(e)[:200]
             print(f"[{i+1}/{len(names)}] {name}: ERROR {errors[name]}", flush=True)
             continue
-        # the violation scan covers the pre-checkpoint segments too — a
-        # CartesianProduct upstream of a localCheckpoint is just as fatal
-        # at 100 TB as a visible one
+        # the violation AND warning scans cover the pre-checkpoint
+        # segments too — a CartesianProduct (or a new non-singleton BNLJ)
+        # upstream of a localCheckpoint is just as fatal at 100 TB as a
+        # visible one
         full = "\n".join([plan, *rec.plans])
         bad = [p for p in FORBIDDEN if p in full]
-        nb = plan.count("BroadcastNestedLoopJoin")
+        nb = full.count("BroadcastNestedLoopJoin")
         if bad:
             violations[name] = bad
         if nb:

@@ -52,8 +52,14 @@ def diff(old: dict, new: dict) -> dict:
         "changed": changed,
         "old_errors": old.get("errors", {}),
         "new_errors": new.get("errors", {}),
+        # same union-of-keys rule as the per-query deltas: the pre_*
+        # totals must appear in the summary line, not just in per-query
+        # rows that happen to be listed for other reasons
         "totals_delta": {
-            k: new["totals"].get(k, 0) - old["totals"].get(k, 0) for k in COUNTERS
+            k: new["totals"].get(k, 0) - old["totals"].get(k, 0)
+            for k in dict.fromkeys(
+                COUNTERS + tuple(old["totals"]) + tuple(new["totals"])
+            )
         },
     }
 
