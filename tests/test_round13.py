@@ -102,6 +102,13 @@ def test_headline_plan_shapes_pinned(spark):
     qs = entry_mod.queries()
     got = {}
     for name in HEADLINE_PLAN_SHAPE:
+        # cold cache per query, exactly as plan_audit.main measures: an
+        # earlier test's .cache() (the round-3 flagship caches its token
+        # frame) substitutes InMemoryRelations into matching subtrees and
+        # the plan string prints the cached subtree under every
+        # InMemoryTableScan — c1 read (7,3,0,5) instead of (5,2,0,3)
+        # whenever test ordering put round3 first (round 14 catch)
+        spark.catalog.clearCache()
         df = qs[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         c = pa.ledger_counts(plan)
