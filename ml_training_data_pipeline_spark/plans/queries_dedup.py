@@ -3213,6 +3213,219 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- EP14: scrub-then-budget release roadmap (d24 ∘ mix9) ----------------------------
+# ep13 re-budgets after the cascade DROPS whole documents; d24's span
+# scrub is the other way dedup changes the mixture — it SHRINKS
+# documents in place (Lee et al. remove the duplicated spans, they
+# don't drop the doc), so a source whose docs are stitched from shared
+# boilerplate loses token mass without losing a single doc, and the
+# 4-epoch caps must be computed on the POST-SCRUB mass or the roadmap
+# over-allocates exactly the duplicated bytes the scrub removed. Per
+# source: the before/removed/after token ledger, then mix9's
+# integer-exact water-fill over the surviving mass. Docs under 8 tokens
+# carry no window and pass through unscrubbed — the budget runs over
+# the WHOLE corpus, not d24's >= 8-token report universe. Scale shape:
+# d24's O(corpus tokens) position stream (counts only — no reassembly
+# join here), one combinable per-source aggregate, then |sources|-sized
+# water-fill algebra; every float is one division of two BIGINTs.
+@query(
+    "ep14_scrub_budget_roadmap",
+    oracle=f"""
+    WITH {toks_cte()},
+    t8 AS (SELECT doc_id, toks, len(toks) AS L FROM toks WHERE len(toks) >= 8),
+    p AS (
+      SELECT doc_id, pos,
+             {H60.format(x="array_to_string(toks[(pos+1):(pos+8)], ' ')")} AS win
+      FROM (SELECT doc_id, toks, unnest(range(0, L - 7)) AS pos FROM t8)
+    ),
+    dw AS (
+      SELECT win, min(doc_id) AS keep_doc
+      FROM (SELECT DISTINCT doc_id, win FROM p)
+      GROUP BY win HAVING count(*) > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS tok
+        FROM p JOIN dw USING (win)
+        WHERE p.doc_id <> dw.keep_doc
+      )
+    ),
+    rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    base AS (
+      SELECT t.doc_id, d.source, len(t.toks) AS L
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    per_src AS (
+      SELECT b.source,
+             count(*) AS n_docs,
+             CAST(sum(b.L) AS BIGINT) AS tokens_before,
+             CAST(sum(coalesce(rc.n_removed, 0)) AS BIGINT) AS tokens_removed,
+             CAST(sum(b.L - coalesce(rc.n_removed, 0)) AS BIGINT) AS n_tokens,
+             CAST(4 * sum(b.L - coalesce(rc.n_removed, 0)) AS BIGINT) AS cap_tokens
+      FROM base b LEFT JOIN rc ON rc.doc_id = b.doc_id
+      GROUP BY b.source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b, count(*) AS n FROM per_src
+    ),
+    ranked AS (
+      SELECT p.*, t.b, t.n,
+             row_number() OVER (ORDER BY p.cap_tokens, p.source) AS i,
+             CAST(sum(p.cap_tokens) OVER (ORDER BY p.cap_tokens, p.source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      FROM per_src p CROSS JOIN tot t
+    ),
+    marked AS (
+      SELECT r.*,
+             (r.cap_tokens * (r.n - r.i + 1) <= r.b - (r.prefix - r.cap_tokens))
+               AS is_capped
+      FROM ranked r
+    ),
+    lvl AS (
+      SELECT CAST(coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT)
+               AS p_k,
+             CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM marked
+    )
+    SELECT m.source, m.n_docs, m.tokens_before, m.tokens_removed,
+           round(CASE WHEN m.tokens_before = 0 THEN 0.0
+                      ELSE m.tokens_removed / m.tokens_before END, 6)
+             AS removed_frac,
+           m.n_tokens, m.cap_tokens, m.is_capped,
+           CAST(m.b AS BIGINT) AS budget_tokens,
+           round(CASE WHEN m.is_capped THEN m.cap_tokens / 1.0
+                      ELSE (m.b - l.p_k) / (m.n - l.k) END, 6) AS alloc_tokens,
+           round(CASE WHEN m.is_capped THEN m.cap_tokens / m.b
+                      ELSE (m.b - l.p_k) / ((m.n - l.k) * m.b) END, 6) AS alloc_share,
+           round(CASE WHEN m.cap_tokens = 0 THEN 0.0
+                      WHEN m.is_capped THEN 4.0
+                      ELSE (m.b - l.p_k) / ((m.n - l.k) * m.n_tokens) END, 6)
+             AS epochs_equiv
+    FROM marked m CROSS JOIN lvl l
+    """,
+)
+def ep14_scrub_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    ).localCheckpoint()  # 2 consumers: the window stream + the corpus mass
+    t8 = toks.where(F.size("toks") >= 8)
+    # d24's removal pipeline, counts only (no reassembly join)
+    p = t8.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 8), i -> struct(i AS pos,"
+                " CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, 8))), 1, 15),"
+                " 16, 10) AS LONG) AS win))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    p = p.localCheckpoint()  # 2 consumers: cross-doc support + removal probe
+    dw = (
+        p.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("nd") > 1)
+        .select("win", "keep_doc")
+    )
+    rc = (
+        p.join(dw, "win")
+        .where(F.col("doc_id") != F.col("keep_doc"))
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    nrem = F.coalesce("n_removed", F.lit(0))
+    per_src = (
+        toks.join(rc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("tokens_before"),
+            F.sum(nrem).cast("long").alias("tokens_removed"),
+            F.sum(F.size("toks") - nrem).cast("long").alias("n_tokens"),
+            (F.lit(4) * F.sum(F.size("toks") - nrem)).cast("long").alias("cap_tokens"),
+        )
+        .localCheckpoint()  # |sources| rows; totals + window + level reuse it
+    )
+    tot = per_src.agg(
+        F.expr("sum(n_tokens) div 2").cast("long").alias("b"),
+        F.count("*").alias("n"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("cap_tokens", "source")
+    ranked = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_before",
+        "tokens_removed",
+        "n_tokens",
+        "cap_tokens",
+        "b",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.sum("cap_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+    )
+    marked = ranked.withColumn(
+        "is_capped",
+        F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
+        <= F.col("b") - (F.col("prefix") - F.col("cap_tokens")),
+    ).localCheckpoint()  # 2 consumers: the level aggregate + the report
+    lvl = marked.agg(
+        F.coalesce(F.sum(F.when(F.col("is_capped"), F.col("cap_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("p_k"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).cast("long").alias("k"),
+    )
+    rem_num = F.col("b") - F.col("p_k")
+    rem_den = F.col("n") - F.col("k")
+    return marked.crossJoin(F.broadcast(lvl)).select(  # singleton level row
+        "source",
+        "n_docs",
+        "tokens_before",
+        "tokens_removed",
+        F.round(
+            F.when(F.col("tokens_before") == 0, F.lit(0.0)).otherwise(
+                F.col("tokens_removed") / F.col("tokens_before")
+            ),
+            6,
+        ).alias("removed_frac"),
+        "n_tokens",
+        "cap_tokens",
+        "is_capped",
+        F.col("b").cast("long").alias("budget_tokens"),
+        F.round(
+            F.when(F.col("is_capped"), F.col("cap_tokens") / F.lit(1.0)).otherwise(
+                rem_num / rem_den
+            ),
+            6,
+        ).alias("alloc_tokens"),
+        F.round(
+            F.when(F.col("is_capped"), F.col("cap_tokens") / F.col("b")).otherwise(
+                rem_num / (rem_den * F.col("b"))
+            ),
+            6,
+        ).alias("alloc_share"),
+        F.round(
+            F.when(F.col("cap_tokens") == 0, F.lit(0.0))
+            .when(F.col("is_capped"), F.lit(4.0))
+            .otherwise(rem_num / (rem_den * F.col("n_tokens"))),
+            6,
+        ).alias("epochs_equiv"),
+    )
+
+
 # --- D25: cascade with the QUALITY survivor policy (d23 ∘ cur2) ----------------------
 # d23 keeps min(doc_id) everywhere — canonical, but not what production
 # does: CCNet-style pipelines keep the BEST COPY. d25 wires d23's

@@ -47,16 +47,17 @@ def query(name: str, oracle: str | None = None):
 # prefix were hash-green at their newest driver check and remain covered
 # by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-14 PREFIX (50): (a) the 2 round-14 additions (d24 span scrub,
-    # d25 quality-survivor cascade — both oracle-verified driver-style
-    # from /tmp at sf0.01 AND sf0.1 before commit), (b) the 6 names the
-    # round-13 additions pushed past the 50-cut (w16 ... mm7, r9 stamps),
-    # (c) 42 of the 50 r7-stamp names (cur5_passage_dedup ...
-    # h6_order_priority_check) — the oldest stamps in the registry.
-    # Round-14 additions are inserted at the FRONT as they land; each
-    # insertion pushes the r7-block tail past the 50-cut into the
-    # round-15 rotation — keep the ROUND-15 note below accurate.
-    "d24_span_scrub", "d25_cascade_quality_survivors", "w16_cusum_changepoint",
+    # ROUND-14 PREFIX (50): (a) the 3 round-14 additions (d24 span scrub,
+    # d25 quality-survivor cascade, ep14 scrub-then-budget roadmap — all
+    # oracle-verified driver-style from /tmp at sf0.01 AND sf0.1 before
+    # commit), (b) the 6 names the round-13 additions pushed past the
+    # 50-cut (w16 ... mm7, r9 stamps), (c) 41 of the 50 r7-stamp names
+    # (cur5_passage_dedup ... v7_feature_hashing) — the oldest stamps in
+    # the registry. Round-14 additions are inserted at the FRONT as they
+    # land; each insertion pushes the r7-block tail past the 50-cut into
+    # the round-15 rotation — keep the ROUND-15 note below accurate.
+    "d24_span_scrub", "d25_cascade_quality_survivors",
+    "ep14_scrub_budget_roadmap", "w16_cusum_changepoint",
     "s16_orc_roundtrip", "v14_oov_by_source", "cur9_split_leakage", "mix6_weighted_sample",
     "mm7_image_channel_stats", "cur5_passage_dedup", "mix2_stratified_quota",
     "x12_char_entropy", "t7_training_shards", "w6_decayed_engagement", "s9_bucketed_join_roundtrip",
@@ -71,8 +72,9 @@ PRIORITY: tuple[str, ...] = (
     "h4_forecast_revenue", "h5_local_supplier_volume", "n10_int8_quantization",
     "g4_salted_distinct_users", "v7_feature_hashing", "h6_order_priority_check",
     # ROUND-15 ROTATION (pre-staged): lead with any round-15
-    # additions/changes, then the 8 r7-stamp names round 14 pushed past
-    # the 50-cut (h7_promo_revenue_share, h8_returned_revenue_ranking,
+    # additions/changes, then the 9 r7-stamp names round 14 pushed past
+    # the 50-cut (h6_order_priority_check — pushed by the ep14 insertion
+    # — plus h7_promo_revenue_share, h8_returned_revenue_ranking,
     # d15_duplicate_spans, t9_zorder_layout, mm5_image_phash_groups,
     # x19_readability, v8_count_min_heavy_hitters,
     # st9_stream_sliding_counts), then the r8-stamp block

@@ -244,6 +244,70 @@ def test_d25_ledger_closes_against_d23(spark):
     ).all()
 
 
+# --- ep14: the scrub-then-budget composite closes against both parents ----------
+
+
+def test_ep14_budget_over_scrubbed_mass(spark):
+    qs = entry_mod.queries()
+    ep14 = qs["ep14_scrub_budget_roadmap"](spark, SF_DIR).toPandas()
+    d24 = qs["d24_span_scrub"](spark, SF_DIR).toPandas()
+    # the removed mass IS d24's (only >= 8-token docs can lose tokens),
+    # while the budget universe is the whole corpus (short docs pass
+    # through unscrubbed, so before-mass dominates d24's report universe)
+    assert ep14["tokens_removed"].sum() == d24["tokens_removed"].sum()
+    assert ep14["tokens_before"].sum() >= d24["n_tokens"].sum()
+    assert (
+        ep14["tokens_before"] - ep14["tokens_removed"] == ep14["n_tokens"]
+    ).all()
+    # mix9's water-fill properties over the post-scrub mass: budget spent
+    # exactly, nobody exceeds 4 epochs, caps respected
+    assert (ep14["epochs_equiv"] <= 4.0).all()
+    assert (ep14["alloc_tokens"] <= ep14["cap_tokens"] + 1e-6).all()
+    b = ep14["budget_tokens"].iloc[0]
+    assert abs(ep14["alloc_tokens"].sum() - b) < 1e-3 * max(b, 1), (
+        ep14["alloc_tokens"].sum(),
+        b,
+    )
+
+
+def test_ep14_planted_scrub_shifts_the_mixture(spark, tmp_path_factory):
+    """Two sources, equal raw mass; source A's second doc is a verbatim
+    span-copy of its first, so the scrub removes that mass from A only
+    — post-scrub, A's cap must shrink below B's while raw masses tie.
+    (Sources are constant within the planted table, so plant via two
+    writes... simpler: one source column crafted per doc.)"""
+    import pandas as pd
+
+    span = " ".join(f"dup{i:03d}" for i in range(16))
+    a1 = span
+    a2 = span  # verbatim: every window duplicated, non-keeper loses all 16
+    b1 = " ".join(f"bone{i:03d}" for i in range(16))
+    b2 = " ".join(f"btwo{i:03d}" for i in range(16))
+    tmpdir = str(tmp_path_factory.mktemp("ep14"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [a1, a2, b1, b2],
+            "lang": ["en"] * 4,
+            "source": ["srcA", "srcA", "srcB", "srcB"],
+            "n_chars": [len(t) for t in [a1, a2, b1, b2]],
+        }
+    )
+    pdf.to_parquet(os.path.join(tmpdir, "documents.parquet"), index=False)
+    out = (
+        entry_mod.queries()["ep14_scrub_budget_roadmap"](spark, tmpdir)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out.loc["srcA", "tokens_before"] == out.loc["srcB", "tokens_before"] == 32
+    assert out.loc["srcA", "tokens_removed"] == 16
+    assert out.loc["srcB", "tokens_removed"] == 0
+    assert out.loc["srcA", "n_tokens"] == 16 and out.loc["srcB", "n_tokens"] == 32
+    # the mixture shifted: A's cap (and thus max allocation) is half B's
+    assert out.loc["srcA", "cap_tokens"] == 64 and out.loc["srcB", "cap_tokens"] == 128
+
+
 # --- the ledger's checkpoint blind spot is closed (VERDICT r13 #4) ---------------
 
 
