@@ -149,11 +149,25 @@ def main() -> None:
     # cold vs 3.8s warm, identical plan). Set SPARK_GRAFT_NO_WARM=1 for
     # cold-start numbers.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def run(df) -> None:
+        """The timed action: a noop-sink write, NOT count(). count() lets
+        Catalyst prune every unused column and eliminate left joins whose
+        right side is unique on the join key — a per-doc report query
+        like x2 (select quality per doc) compiled to a parquet
+        count-star (0.4 CPU-s at sf1 where the real computation is
+        28.9), and d24's entire scrub pipeline behind its checkpoints
+        was join-eliminated (2.0 vs 70.4 CPU-s). The noop sink computes
+        EVERY output column with zero driver transfer and no disk —
+        what a real deployment pays. (Round-14 find; bench numbers
+        before this are comparable only for aggregate-shaped queries.)"""
+        df.write.format("noop").mode("overwrite").save()
+
     if not os.environ.get("SPARK_GRAFT_NO_WARM"):
         warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
         t0 = time.time()
         for name in headline:
-            registry.QUERIES[name](spark, warm_dir).count()
+            run(registry.QUERIES[name](spark, warm_dir))
         print(f"# warmup pass ({warm_dir}): {round(time.time() - t0, 1)}s", file=sys.stderr)
 
     # min-of-N (default 3): with the shape-warmup removing codegen cost,
@@ -167,11 +181,12 @@ def main() -> None:
     for name in headline:
         fn = registry.QUERIES[name]
         rep_times: list[tuple[float, float]] = []  # (wall, cpu) per rep
+        n = fn(spark, sf_dir).count()  # row count for the log line, UNTIMED
         for _ in range(reps):
             c0 = proc_tree_cpu_s()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()  # full materialization, no driver transfer cost
+            run(df)  # noop sink: every column computed, nothing shipped
             c1 = proc_tree_cpu_s()
             # keep the -1.0 'unavailable' sentinel intact: a failed sample
             # must not masquerade as 0.0 CPU seconds. A negative DELTA is

@@ -449,6 +449,12 @@ def test_bench_emits_median_cpu_column():
     # ADVICE r13: a mixed wall/CPU pair (fastest rep's CPU sample failed)
     # must be flagged in the stderr line
     assert "cpu from" in src
+    # the timed action must be the noop sink, NOT count(): count() lets
+    # Catalyst prune unused columns and eliminate unique-key left joins,
+    # so per-doc report queries (x2, d24) measured as parquet count-stars
+    # (round-14 find: x2 read 0.4 CPU-s at sf1 where the real cost is 29)
+    assert 'df.write.format("noop")' in src
+    assert "run(df)" in src
 
 
 def test_make_sf1_rejects_aliasing_offset(tmp_path):
