@@ -183,6 +183,13 @@ def main() -> None:
         rep_times: list[tuple[float, float]] = []  # (wall, cpu) per rep
         n = fn(spark, sf_dir).count()  # row count for the log line, UNTIMED
         for _ in range(reps):
+            # cache-cold reps: a query's .cache() is intra-query design
+            # (two consumers, one materialization); CROSS-rep/cross-query
+            # reuse made readings depend on rep order and storage-memory
+            # pressure (m2 read 3.7 CPU-s alone but 26.9 median inside
+            # the full suite when earlier queries' state evicted its
+            # entry mid-reps). Every rep pays its own full cost.
+            spark.catalog.clearCache()
             c0 = proc_tree_cpu_s()
             t0 = time.time()
             df = fn(spark, sf_dir)
