@@ -111,14 +111,18 @@ def tfidf_long(
     decimals so Spark and the DuckDB oracle hash identically."""
     tokens = doc_tokens(docs, text_col, id_col, ngram_max=ngram_max, stopwords=stopwords)
     # counts has TWO consumers (the weight projection and the df
-    # aggregate), so this plan re-executes scan→tokenize→explode for
-    # each — the corpus is read twice. Measured fix-candidate
-    # (localCheckpoint counts, the d4 pattern): a WASH locally at sf0.1
-    # (min 2.98s vs 2.57s — serializing ~1M n-gram term strings costs
-    # what the re-scan costs), so the lazy form stays. At 100 TB the
-    # economics flip (corpus scan ≫ doc-term shuffle materialization):
-    # persist counts to disk there and halve the corpus scans.
-    counts = term_counts(tokens)
+    # aggregate); lazy, the plan re-executes scan→tokenize→explode for
+    # each. Round 7 measured the localCheckpoint fix-candidate as "a
+    # wash" — but that measurement used the count() bench action, which
+    # Catalyst prunes (round-14 find), so it never timed the second
+    # tokenize pass at all. Re-measured under the honest noop action at
+    # sf0.1 (warm, cache-cold): lazy 20.8 CPU-s vs checkpointed 10.4 —
+    # the materialization HALVES the real cost, exactly the economics
+    # the old comment predicted for 100 TB (corpus scan ≫ doc-term
+    # shuffle materialization). At cluster scale this becomes a
+    # persist-to-disk of the doc-term table; localCheckpoint is the
+    # single-JVM form.
+    counts = term_counts(tokens).localCheckpoint()
     n_docs = corpus_size(docs, text_col, stopwords=stopwords)
     # df(t) via groupBy + join, not a window over term: the groupBy gets
     # map-side partial aggregation (the shuffle carries one row per

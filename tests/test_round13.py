@@ -86,9 +86,14 @@ def test_ledger_counts_single_partition_and_bnlj():
 HEADLINE_PLAN_SHAPE = {
     "h1_lineitem_pricing_summary": (1, 0, 0, 1),
     "h2_revenue_per_nation": (1, 3, 0, 4),
-    "v1_tfidf_ngram": (3, 1, 0, 2),
+    # v1/c1 changed in round 14: tfidf_long checkpoints its doc-term
+    # counts (the round-7 "wash" verdict was an artifact of the pruned
+    # count() bench action; honest measurement reads 2x — see
+    # operators/tfidf.py), so the tokenize scan moved into the
+    # pre-checkpoint segment (v1 was (3,1,0,2), c1 (5,2,0,3))
+    "v1_tfidf_ngram": (1, 1, 0, 0),
     "v4_vocab_top2000": (2, 0, 0, 1),
-    "c1_cluster_term_scores": (5, 2, 0, 3),
+    "c1_cluster_term_scores": (3, 2, 0, 1),
     "d4_minhash_dedup": (28, 12, 0, 0),  # checkpointed index: scans upstream
     "n1_ann_brute_topk": (1, 1, 1, 2),  # the bnlj is the broadcast probe batch
     "w2_sessionization": (1, 0, 0, 1),
