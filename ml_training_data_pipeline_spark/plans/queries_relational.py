@@ -264,11 +264,17 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "h1_lineitem_pricing_summary",
     oracle="""
+    -- decimal->double goes THROUGH VARCHAR: DuckDB's direct cast divides
+    -- the int128 payload by 10^scale in floating point (two roundings,
+    -- up to 1 ulp off), while Spark converts via Java BigDecimal
+    -- (correctly rounded); at sf1 the A/O sum_charge landed on adjacent
+    -- doubles (round-14 sf1 probe). String parsing is correctly rounded
+    -- in both engines.
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(5,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(5,4)) * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(5,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -278,16 +284,24 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def h1_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,4)")
-    tax = F.col("l_tax").cast("decimal(18,4)")
+    # the FACTORS are cast to decimal(5,4) so the triple product stays
+    # within precision 38 EXACTLY: (18,2)x(5,4)x(5,4) -> (30,10), no
+    # precision-loss rounding. With the factors at (19,4) Spark's product
+    # hit the 38 cap and rounded to scale 6 while DuckDB kept scale 10 —
+    # at sf1 (6M rows) the accumulated product-rounding difference
+    # crossed one double ulp of the 2.8e10 total and h1's sum_charge
+    # hash-mismatched (round-14 sf1 correctness probe). Discount/tax are
+    # in [0, 0.1] so 1±x fits (5,4) with headroom.
+    disc1 = (1 - F.col("l_discount").cast("decimal(18,4)")).cast("decimal(5,4)")
+    tax1 = (1 + F.col("l_tax").cast("decimal(18,4)")).cast("decimal(5,4)")
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
