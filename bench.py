@@ -189,7 +189,18 @@ def main() -> None:
             # pressure (m2 read 3.7 CPU-s alone but 26.9 median inside
             # the full suite when earlier queries' state evicted its
             # entry mid-reps). Every rep pays its own full cost.
+            # clearCache only drops SQL-catalog entries; localCheckpoint'd
+            # RDD blocks (tfidf_long, minhash_dedup, d24) from the untimed
+            # pre-pass and earlier reps stay persisted until ContextCleaner
+            # GC, so ALSO unpersist every lingering RDD — otherwise later
+            # reps of checkpoint-heavy queries see storage-memory pressure
+            # and eviction noise (r14 ADVICE).
             spark.catalog.clearCache()
+            try:
+                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    jrdd.unpersist()
+            except Exception:
+                pass  # best-effort: a failed unpersist must never kill a rep
             c0 = proc_tree_cpu_s()
             t0 = time.time()
             df = fn(spark, sf_dir)

@@ -111,6 +111,14 @@ class CkptRecorder:
 
     def __enter__(self) -> "CkptRecorder":
         cls = self._target()
+        # Recorders patch the class process-globally; interleaved (non-nested)
+        # or concurrent recorders would restore a stale wrapper and
+        # cross-attribute segments — fail loudly instead (r14 ADVICE).
+        if getattr(cls.localCheckpoint, "_ckpt_recorder_wrapper", False):
+            raise RuntimeError(
+                "CkptRecorder is not reentrant: another recorder is already "
+                "active on DataFrame.localCheckpoint"
+            )
         self._orig = cls.localCheckpoint
         rec = self
 
@@ -121,6 +129,7 @@ class CkptRecorder:
                 pass
             return rec._orig(df, *a, **kw)
 
+        wrapper._ckpt_recorder_wrapper = True
         cls.localCheckpoint = wrapper
         return self
 

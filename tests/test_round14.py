@@ -321,6 +321,11 @@ def test_ckpt_recorder_surfaces_ep12_upstream_scans(spark):
     qs = entry_mod.queries()
 
     def audit(name: str) -> dict:
+        # Per-query cache clear, mirroring plan_audit.main: a hot cache from
+        # earlier tests (m-family caches tf-idf/token subtrees that ep12/d24
+        # plans contain) substitutes InMemoryRelations and shifts the pinned
+        # counters, making this test order-dependent (r14 ADVICE).
+        spark.catalog.clearCache()
         with pa.CkptRecorder() as rec:
             df = qs[name](spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
