@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.analysis import fingerprint
+from .materialize import materialize
 from .tfidf import doc_tokens, term_counts
 
 
@@ -368,10 +369,10 @@ def minhash_dedup(
     # downstream self-join 18× slower (132s vs 7s at sf0.1), whereas a
     # checkpointed RDD reports its true materialized size, so AQE keeps
     # planning correctly (measured: ~30% faster than recomputing the
-    # tokenize→shingle lineage per consumer). On a real cluster prefer
-    # reliable checkpointing (or persist-to-disk) over executor-local
-    # storage for fault tolerance at 100 TB.
-    sh = doc_shingles(docs, k=k).localCheckpoint()
+    # tokenize→shingle lineage per consumer). The cluster deployment picks
+    # persist-to-disk / eager-parquet via SPARK_GRAFT_MATERIALIZE
+    # (operators/materialize.py) instead of editing this operator.
+    sh = materialize(doc_shingles(docs, k=k))
     cands = lsh_candidate_pairs(lsh_bands_from_wide(minhash_wide(sh, num_hashes), rows_per_band))
     # candidate-scoped verification: LSH prunes the quadratic shingle
     # self-join, not just the final result (see jaccard_pairs docstring).
@@ -501,14 +502,15 @@ def connected_components(
     (multiple survivors per true dup group, with no error signal).
     ``localCheckpoint`` per round truncates the iterative lineage (the
     driver-loop analogue of the reference's in-memory igraph step)."""
-    sym = edges.select(
-        F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = (
+    sym = materialize(
+        edges.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr"))
+        )
+        .distinct()
+    )
+    labels = materialize(
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -524,13 +526,12 @@ def connected_components(
         # pointer doubling: label := label(label). Every label value is a
         # member node id, and min_labels keys every node, so the inner
         # self-join is total.
-        new_labels = (
+        new_labels = materialize(
             min_labels.join(
                 min_labels.select(F.col("node").alias("label"), F.col("label").alias("_ll")),
                 "label",
             )
             .select("node", F.col("_ll").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
@@ -548,3 +549,66 @@ def connected_components(
             f"(2^{max_iter}); raise max_iter"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+# --- span scrub (the d22-grain transform: d24/ep14/st17 share this) ----------
+
+def span_windows(t8: DataFrame, width: int = 8) -> DataFrame:
+    """(doc_id, pos, win) — every stride-1 ``width``-token window of each
+    doc as a 60-bit md5 long (string window keys never shuffle). Expects
+    (doc_id, toks) pre-filtered to ``size(toks) >= width``. Materialized
+    once: the batch scrub reads it twice (cross-doc support + removal
+    probe). One O(corpus tokens) position stream — the d22 layout."""
+    return materialize(
+        t8.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {width}),"
+                    " i -> struct(i AS pos,"
+                    f" CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, {width}))),"
+                    " 1, 15), 16, 10) AS LONG) AS win))"
+                )
+            ).alias("w"),
+        ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+
+
+def duplicated_windows(p: DataFrame) -> DataFrame:
+    """(win, keep_doc) — windows appearing in more than one doc, with the
+    keep-first owner (min doc_id). One combinable groupBy over the
+    distinct (doc, win) stream; map-side partials keep the shuffle at one
+    row per (partition, win)."""
+    return (
+        p.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("nd") > 1)
+        .select("win", "keep_doc")
+    )
+
+
+def span_removed_positions(p: DataFrame, dw: DataFrame, width: int = 8) -> DataFrame:
+    """(doc_id, tok) — DISTINCT token positions covered by some duplicated
+    window whose keeper is another doc (Lee-et-al span removal,
+    keep-first). The explode is bounded to duplicated NON-KEEPER windows
+    only, so the cost is proportional to duplicated-token coverage,
+    bounded at ``width`` × corpus tokens by construction."""
+    return (
+        p.join(dw, "win")
+        .where(F.col("doc_id") != F.col("keep_doc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + width - 1)).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def span_scrub_removals(t8: DataFrame, width: int = 8) -> DataFrame:
+    """windows → duplicated-window inventory → removed positions, composed
+    (the shared d24/ep14 pipeline — factored per r14 ADVICE so a scrub
+    semantics fix lands once). Returns (doc_id, tok) distinct."""
+    p = span_windows(t8, width)
+    return span_removed_positions(p, duplicated_windows(p), width)

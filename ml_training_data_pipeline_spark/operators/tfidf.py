@@ -120,9 +120,12 @@ def tfidf_long(
     # the materialization HALVES the real cost, exactly the economics
     # the old comment predicted for 100 TB (corpus scan ≫ doc-term
     # shuffle materialization). At cluster scale this becomes a
-    # persist-to-disk of the doc-term table; localCheckpoint is the
-    # single-JVM form.
-    counts = term_counts(tokens).localCheckpoint()
+    # persist-to-disk of the doc-term table — selected via
+    # SPARK_GRAFT_MATERIALIZE (operators/materialize.py); the default is
+    # the single-JVM localCheckpoint form.
+    from .materialize import materialize
+
+    counts = materialize(term_counts(tokens))
     n_docs = corpus_size(docs, text_col, stopwords=stopwords)
     # df(t) via groupBy + join, not a window over term: the groupBy gets
     # map-side partial aggregation (the shuffle carries one row per

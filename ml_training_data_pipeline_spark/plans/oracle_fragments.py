@@ -71,6 +71,42 @@ def tfidf_cte() -> str:
     )"""
 
 
+# portable 60-bit md5 hash (see operators/dedup.md5_long — Spark side is
+# conv(substr(md5(x),1,15),16,10), verified bit-identical cross-engine)
+H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+
+def span_scrub_ctes(width: int = 8) -> str:
+    """CTEs ``t8, p, dw, rem, rc`` — the span-scrub window→removal
+    pipeline shared by d24/ep14/st17 (requires the ``toks`` CTE
+    upstream). Mirrors operators/dedup.span_scrub_removals exactly:
+    stride-1 ``width``-token windows as 60-bit md5 longs, duplicated
+    windows keep their min-doc owner, non-keeper occurrences mark every
+    covered token position for removal. Factored once (r14 ADVICE) so a
+    scrub-semantics fix cannot diverge between the queries."""
+    w = width
+    win = H60.format(x=f"array_to_string(toks[(pos+1):(pos+{w})], ' ')")
+    return f"""
+    t8 AS (SELECT doc_id, toks, len(toks) AS L FROM toks WHERE len(toks) >= {w}),
+    p AS (
+      SELECT doc_id, pos, {win} AS win
+      FROM (SELECT doc_id, toks, unnest(range(0, L - {w - 1})) AS pos FROM t8)
+    ),
+    dw AS (
+      SELECT win, min(doc_id) AS keep_doc
+      FROM (SELECT DISTINCT doc_id, win FROM p)
+      GROUP BY win HAVING count(*) > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT p.doc_id, unnest(range(p.pos, p.pos + {w})) AS tok
+        FROM p JOIN dw USING (win)
+        WHERE p.doc_id <> dw.keep_doc
+      )
+    ),
+    rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id)"""
+
+
 def stopword_list_sql() -> str:
     """The engine's stopword list as a SQL array literal."""
     inner = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)

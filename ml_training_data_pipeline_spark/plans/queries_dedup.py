@@ -25,11 +25,16 @@ from ..operators.dedup import (
     simhash,
     simhash_banded_near_dups,
     simhash_near_dups,
+    span_scrub_removals,
 )
-from .oracle_fragments import quality_cte, stopword_list_sql, toks_cte
+from .oracle_fragments import (
+    H60,
+    quality_cte,
+    span_scrub_ctes,
+    stopword_list_sql,
+    toks_cte,
+)
 from .registry import query
-
-H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
 # shared shingle CTE: distinct word-3-shingles per doc, keyed by the
 # 60-bit md5 long (mirrors doc_shingles — string keys never shuffle;
@@ -3114,25 +3119,7 @@ def ep13_dedup_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d24_span_scrub",
     oracle=f"""
     WITH {toks_cte()},
-    t8 AS (SELECT doc_id, toks, len(toks) AS L FROM toks WHERE len(toks) >= 8),
-    p AS (
-      SELECT doc_id, pos,
-             {H60.format(x="array_to_string(toks[(pos+1):(pos+8)], ' ')")} AS win
-      FROM (SELECT doc_id, toks, unnest(range(0, L - 7)) AS pos FROM t8)
-    ),
-    dw AS (
-      SELECT win, min(doc_id) AS keep_doc
-      FROM (SELECT DISTINCT doc_id, win FROM p)
-      GROUP BY win HAVING count(*) > 1
-    ),
-    rem AS (
-      SELECT DISTINCT doc_id, tok FROM (
-        SELECT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS tok
-        FROM p JOIN dw USING (win)
-        WHERE p.doc_id <> dw.keep_doc
-      )
-    ),
-    rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    {span_scrub_ctes()},
     tokpos AS (
       SELECT doc_id, pos AS tpos, toks[pos + 1] AS tok_str
       FROM (SELECT doc_id, toks, unnest(range(0, L)) AS pos FROM t8)
@@ -3163,35 +3150,11 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 8)
         .localCheckpoint()  # 2 consumers: the window stream + reassembly
     )
-    # d22's position stream: every stride-1 8-token window as a 60-bit
-    # md5 long (string window keys never shuffle)
-    p = t8.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 8), i -> struct(i AS pos,"
-                " CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, 8))), 1, 15),"
-                " 16, 10) AS LONG) AS win))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
-    p = p.localCheckpoint()  # 2 consumers: cross-doc support + removal probe
-    dw = (
-        p.select("doc_id", "win")
-        .distinct()
-        .groupBy("win")
-        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keep_doc"))
-        .where(F.col("nd") > 1)
-        .select("win", "keep_doc")
-    )
-    rem = (
-        p.join(dw, "win")
-        .where(F.col("doc_id") != F.col("keep_doc"))
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok")
-        )
-        .distinct()
-    )
+    # d22's position stream → duplicated-window inventory → removed
+    # positions: the shared pipeline (operators/dedup.span_scrub_removals),
+    # factored once so the scrub semantics cannot diverge across
+    # d24/ep14/st17 (r14 ADVICE)
+    rem = span_scrub_removals(t8)
     rm = rem.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tok")).alias("rm"),
         F.count("*").cast("long").alias("n_removed"),
@@ -3232,25 +3195,7 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ep14_scrub_budget_roadmap",
     oracle=f"""
     WITH {toks_cte()},
-    t8 AS (SELECT doc_id, toks, len(toks) AS L FROM toks WHERE len(toks) >= 8),
-    p AS (
-      SELECT doc_id, pos,
-             {H60.format(x="array_to_string(toks[(pos+1):(pos+8)], ' ')")} AS win
-      FROM (SELECT doc_id, toks, unnest(range(0, L - 7)) AS pos FROM t8)
-    ),
-    dw AS (
-      SELECT win, min(doc_id) AS keep_doc
-      FROM (SELECT DISTINCT doc_id, win FROM p)
-      GROUP BY win HAVING count(*) > 1
-    ),
-    rem AS (
-      SELECT DISTINCT doc_id, tok FROM (
-        SELECT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS tok
-        FROM p JOIN dw USING (win)
-        WHERE p.doc_id <> dw.keep_doc
-      )
-    ),
-    rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    {span_scrub_ctes()},
     base AS (
       SELECT t.doc_id, d.source, len(t.toks) AS L
       FROM toks t JOIN documents d USING (doc_id)
@@ -3314,35 +3259,10 @@ def ep14_scrub_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", tokenize(F.col("text")).alias("toks")
     ).localCheckpoint()  # 2 consumers: the window stream + the corpus mass
     t8 = toks.where(F.size("toks") >= 8)
-    # d24's removal pipeline, counts only (no reassembly join)
-    p = t8.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 8), i -> struct(i AS pos,"
-                " CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, 8))), 1, 15),"
-                " 16, 10) AS LONG) AS win))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
-    p = p.localCheckpoint()  # 2 consumers: cross-doc support + removal probe
-    dw = (
-        p.select("doc_id", "win")
-        .distinct()
-        .groupBy("win")
-        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keep_doc"))
-        .where(F.col("nd") > 1)
-        .select("win", "keep_doc")
-    )
-    rc = (
-        p.join(dw, "win")
-        .where(F.col("doc_id") != F.col("keep_doc"))
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok")
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_removed"))
+    # d24's removal pipeline (shared operator), counts only — no
+    # reassembly join here
+    rc = span_scrub_removals(t8).groupBy("doc_id").agg(
+        F.count("*").alias("n_removed")
     )
     nrem = F.coalesce("n_removed", F.lit(0))
     per_src = (
@@ -3449,8 +3369,10 @@ def ep14_scrub_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representatives only, candidate-scoped verification) plus cur2's
 # O(log diameter) label propagation over the verified-pair graph —
 # components are near-dup clusters, tiny by construction after the
-# exact stage collapsed the verbatim mass; the stage-1 argmax is one
-# combinable groupBy carrying a (q, -doc_id)-max struct.
+# exact stage collapsed the verbatim mass; the argmax at BOTH stages is
+# one combinable groupBy carrying a (q, -doc_id)-max struct (r15: stage
+# 2 dropped its component-partitioned window so no pathological giant
+# component rides a hot-key window funnel).
 @query(
     "d25_cascade_quality_survivors",
     oracle=f"""
@@ -3559,8 +3481,6 @@ def ep14_scrub_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..functions.analysis import fingerprint_pair, quality_score
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -3603,10 +3523,24 @@ def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
             "q",
         )
     )
-    w = Window.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    # the same combinable (q, -doc_id)-max struct as stage 1 — NOT a
+    # component-partitioned window: components are tiny after the exact
+    # stage, but a pathological giant near-dup component (templated spam
+    # surviving exact dedup) must not ride a hot-key window funnel
+    # (VERDICT r14). The survivor table is component-sized, so the
+    # back-join broadcasts.
+    surv = (
+        membered.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("q").alias("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("best")
+        )
+        .select("component_id", (-F.col("best.nid")).cast("long").alias("survivor"))
+    )
     near_dropped = (
-        membered.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") > 1)
+        membered.join(surv, "component_id")
+        .where(F.col("doc_id") != F.col("survivor"))
         .select(F.col("doc_id").alias("nd"))
     )
     marked = cls.join(near_dropped, cls.doc_id == near_dropped.nd, "left")
