@@ -553,25 +553,31 @@ def connected_components(
 
 # --- span scrub (the d22-grain transform: d24/ep14/st17 share this) ----------
 
-def span_windows(t8: DataFrame, width: int = 8) -> DataFrame:
+def span_window_stream(t8: DataFrame, width: int = 8) -> DataFrame:
     """(doc_id, pos, win) — every stride-1 ``width``-token window of each
-    doc as a 60-bit md5 long (string window keys never shuffle). Expects
-    (doc_id, toks) pre-filtered to ``size(toks) >= width``. Materialized
-    once: the batch scrub reads it twice (cross-doc support + removal
-    probe). One O(corpus tokens) position stream — the d22 layout."""
-    return materialize(
-        t8.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {width}),"
-                    " i -> struct(i AS pos,"
-                    f" CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, {width}))),"
-                    " 1, 15), 16, 10) AS LONG) AS win))"
-                )
-            ).alias("w"),
-        ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
-    )
+    doc as a 60-bit md5 long (string window keys never shuffle), as a
+    PURE projection (no materialization): the single-consumer form st17
+    uses per micro-batch and for the corpus window inventory. Expects
+    (doc_id, toks) pre-filtered to ``size(toks) >= width``. One
+    O(corpus tokens) position stream — the d22 layout."""
+    return t8.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {width}),"
+                " i -> struct(i AS pos,"
+                f" CAST(conv(substr(md5(concat_ws(' ', slice(toks, i+1, {width}))),"
+                " 1, 15), 16, 10) AS LONG) AS win))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+
+
+def span_windows(t8: DataFrame, width: int = 8) -> DataFrame:
+    """``span_window_stream`` materialized once — the batch-scrub form:
+    d24/ep14 read the position stream twice (cross-doc support + removal
+    probe)."""
+    return materialize(span_window_stream(t8, width))
 
 
 def duplicated_windows(p: DataFrame) -> DataFrame:

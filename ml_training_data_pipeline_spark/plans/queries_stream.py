@@ -16,7 +16,7 @@ from ..streaming.enrich import (
     streaming_enrich,
     streaming_sessionize,
 )
-from .oracle_fragments import toks_cte
+from .oracle_fragments import span_scrub_ctes, toks_cte
 
 # st13's decorator reads ORACLE_SQL["cur10_incremental_neardup"] at module
 # definition time — importing queries_dedup here guarantees cur10 is
@@ -1088,4 +1088,127 @@ def st16_stream_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((n_new - n_ex - n_nr) / n_new.cast("double"), 6).alias(
             "admission_rate"
         ),
+    )
+
+
+# --- ST17: streaming SPAN SCRUB (the arrival-side twin of d24) ----------------------
+# d24 scrubs a standing corpus against itself; st17 is the ingest-time
+# form the dedup family follows everywhere else (report→transform→
+# streaming): each arriving doc loses every token position covered by an
+# 8-token window the STANDING CORPUS already contains (keep-first =
+# corpus wins, the Lee-et-al arrival policy), with a per-batch
+# removed-token ledger. Cross-ARRIVAL duplication is deliberately out of
+# scope — scrubbing depends only on the static corpus inventory, so
+# micro-batch boundaries cannot change the summed result (the st13/st16
+# admission discipline); arrivals that duplicate each other are the
+# batch scrub's job at the next compaction. Scale shape: the corpus
+# window inventory is built ONCE (distinct 60-bit longs — the d22
+# position stream collapsed to its key set); per batch, the arriving
+# window stream probes it with one equi-join, the removal explode is
+# bounded to corpus-covered windows only, and the driver sees
+# <= |sources| rows per micro-batch. The window expression and the
+# removal explode are the SHARED span-scrub operators
+# (operators/dedup.span_window_stream / span_removed_positions), so a
+# scrub-semantics fix lands once across d24/ep14/st17; the oracle
+# restates the split relationally over the same shared CTE fragment.
+@query(
+    "st17_stream_span_scrub",
+    oracle=f"""
+    WITH {toks_cte()},
+    {span_scrub_ctes()},
+    cw AS (SELECT DISTINCT win FROM p WHERE doc_id % 2 = 0),
+    ap AS (SELECT doc_id, pos, win FROM p WHERE doc_id % 2 = 1),
+    arem AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT ap.doc_id, unnest(range(ap.pos, ap.pos + 8)) AS tok
+        FROM ap JOIN cw USING (win)
+      )
+    ),
+    arc AS (SELECT doc_id, count(*) AS n_removed FROM arem GROUP BY doc_id),
+    arr AS (
+      SELECT t.doc_id, d.source, len(t.toks) AS L
+      FROM toks t JOIN documents d USING (doc_id)
+      WHERE t.doc_id % 2 = 1
+    )
+    SELECT a.source,
+           count(*) AS n_docs,
+           CAST(sum(a.L) AS BIGINT) AS tokens_before,
+           CAST(sum(coalesce(c.n_removed, 0)) AS BIGINT) AS tokens_removed,
+           CAST(sum(a.L - coalesce(c.n_removed, 0)) AS BIGINT) AS tokens_kept,
+           round(sum(coalesce(c.n_removed, 0)) / CAST(sum(a.L) AS DOUBLE), 6)
+             AS removed_frac
+    FROM arr a LEFT JOIN arc c ON c.doc_id = a.doc_id
+    GROUP BY a.source
+    """,
+)
+def st17_stream_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..io.sources import load_table
+    from ..operators.dedup import span_removed_positions, span_window_stream
+    from ..streaming.enrich import run_bounded_foreach
+
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)
+    )
+    corpus_t8 = corpus.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    # the standing inventory, built ONCE before the stream starts: the
+    # corpus's distinct window keys with the corpus-always-wins sentinel
+    # keeper (-1 matches no arriving doc_id), so the per-batch removal
+    # probe IS the shared span_removed_positions operator
+    inventory = (
+        span_window_stream(corpus_t8)
+        .select("win")
+        .distinct()
+        .withColumn("keep_doc", F.lit(-1).cast("long"))
+        .localCheckpoint()
+    )
+
+    results: list[tuple] = []
+
+    def scrub(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+        t8 = toks.select("doc_id", "toks").where(F.size("toks") >= 8)
+        rc = (
+            span_removed_positions(span_window_stream(t8), inventory)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_removed"))
+        )
+        nrem = F.coalesce("n_removed", F.lit(0))
+        per_src = (
+            toks.join(rc, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size("toks")).alias("tokens_before"),
+                F.sum(nrem).alias("tokens_removed"),
+            )
+        )
+        # bounded driver transfer: <= |sources| rows per micro-batch
+        results.extend(
+            (r.source, r.n_docs, r.tokens_before, r.tokens_removed)
+            for r in per_src.collect()
+        )
+
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select("doc_id", "source", "text")
+    )
+    run_bounded_foreach(arriving, scrub)
+
+    part = spark.createDataFrame(
+        results or [("__none__", 0, 0, 0)],
+        "source string, n_docs long, tokens_before long, tokens_removed long",
+    ).where(F.col("source") != "__none__")
+    before, removed = F.sum("tokens_before"), F.sum("tokens_removed")
+    # removed_frac at the END from summed BIGINTs: one division of two
+    # exact integers (the signed-zero/float-sum oracle contract)
+    return part.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        before.cast("long").alias("tokens_before"),
+        removed.cast("long").alias("tokens_removed"),
+        (before - removed).cast("long").alias("tokens_kept"),
+        F.round(removed / before.cast("double"), 6).alias("removed_frac"),
     )

@@ -1,0 +1,251 @@
+"""Round-15 regression pins: the st17 streaming span scrub (the
+arrival-side twin of d24 — VERDICT r14 #6), the d25 stage-2 argmax
+unification (VERDICT r14 #4 — no component-partitioned window anywhere
+in the cascade), the shared span-scrub operator/oracle factoring (r14
+ADVICE), and the materialization-strategy knob (VERDICT r14 #5).
+
+Planted-truth style follows tests/test_round14.py: tiny corpora written
+to parquet with a known duplication structure so the expected ledger is
+computable by hand.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+
+def _load_script(name: str):
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        f"{name}.py",
+    )
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write_documents(tmpdir: str, texts: list[str], sources: list[str] | None = None) -> str:
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources or (["planted"] * len(texts)),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(os.path.join(tmpdir, "documents.parquet"), index=False)
+    return tmpdir
+
+
+def _fill(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i:03d}" for i in range(n))
+
+
+# --- st17: arriving docs lose exactly their corpus-covered spans ------------------
+
+
+def test_st17_planted_repost_loses_corpus_covered_span(spark, tmp_path_factory):
+    """doc_id parity splits the universe: even = standing corpus, odd =
+    arriving feed. doc1 (arriving) re-posts a 12-token span doc2 (corpus)
+    already contains — it must lose EXACTLY those 12 tokens; doc3
+    (arriving, novel) must lose nothing. The ledger is per-source over
+    ALL arriving docs."""
+    span = " ".join(f"shared{i:03d}" for i in range(12))
+    arr_dup = f"{_fill('bpre', 7)} {span} {_fill('bpost', 12)}"  # doc1, 31 toks
+    corpus = f"{_fill('apre', 10)} {span} {_fill('apost', 10)}"  # doc2
+    arr_novel = _fill("novel", 20)  # doc3
+    corpus2 = _fill("corp", 15)  # doc4
+    d = _write_documents(
+        str(tmp_path_factory.mktemp("st17")), [arr_dup, corpus, arr_novel, corpus2]
+    )
+    pdf = entry_mod.queries()["st17_stream_span_scrub"](spark, d).toPandas()
+    assert len(pdf) == 1
+    row = pdf.iloc[0]
+    assert row["source"] == "planted"
+    assert row["n_docs"] == 2  # the two ARRIVING docs only
+    assert row["tokens_before"] == 31 + 20
+    assert row["tokens_removed"] == 12  # exactly the corpus-covered span
+    assert row["tokens_kept"] == 31 + 20 - 12
+    assert row["removed_frac"] == pytest.approx(12 / 51, abs=1e-6)
+
+
+def test_st17_cross_arrival_duplication_is_not_scrubbed(spark, tmp_path_factory):
+    """Two ARRIVING docs share a span the corpus does NOT contain: the
+    scrub must remove nothing — admission/scrub depends only on the
+    static corpus inventory, so micro-batch boundaries cannot change the
+    result (the st13/st16 discipline). Cross-arrival duplication is the
+    batch scrub's job at the next compaction."""
+    span = " ".join(f"feeddup{i:03d}" for i in range(10))
+    arr_a = f"{_fill('fa', 8)} {span}"  # doc1 (odd)
+    corpus = _fill("standing", 25)  # doc2 (even)
+    arr_b = f"{span} {_fill('fb', 8)}"  # doc3 (odd)
+    d = _write_documents(str(tmp_path_factory.mktemp("st17x")), [arr_a, corpus, arr_b])
+    pdf = entry_mod.queries()["st17_stream_span_scrub"](spark, d).toPandas()
+    assert len(pdf) == 1
+    assert pdf.iloc[0]["tokens_removed"] == 0
+    assert pdf.iloc[0]["tokens_kept"] == pdf.iloc[0]["tokens_before"]
+
+
+def test_st17_short_arrivals_pass_through_in_ledger(spark, tmp_path_factory):
+    """Arriving docs under the 8-token window width carry no windows and
+    cannot be scrubbed, but they ARE part of the arriving universe — the
+    ledger counts them (the ep14 whole-corpus discipline, not d24's
+    >= 8-token report universe)."""
+    corpus = _fill("base", 30)  # doc2 (even)
+    tiny = "just five little words here"  # doc1 (odd), 5 tokens
+    d = _write_documents(str(tmp_path_factory.mktemp("st17s")), [tiny, corpus])
+    pdf = entry_mod.queries()["st17_stream_span_scrub"](spark, d).toPandas()
+    assert len(pdf) == 1
+    assert pdf.iloc[0]["n_docs"] == 1
+    assert pdf.iloc[0]["tokens_before"] == 5
+    assert pdf.iloc[0]["tokens_removed"] == 0
+
+
+def test_st17_agrees_with_d24_on_the_fixture_direction(spark):
+    """On the shared fixture corpus, every token st17 removes from an
+    arriving (odd) doc is covered by a window some OTHER doc contains —
+    so st17's per-source removed mass can never exceed what a d24 scrub
+    of the WHOLE corpus would remove from odd docs PLUS the mass d24
+    attributes to odd keepers. Weak-form consistency: totals are
+    comparable and st17 finds duplication iff the corpus has cross-parity
+    duplication."""
+    qs = entry_mod.queries()
+    st17 = qs["st17_stream_span_scrub"](spark, SF_DIR).toPandas()
+    d24 = qs["d24_span_scrub"](spark, SF_DIR).toPandas()
+    # the d24 universe is >=8-token docs; st17's is all arriving docs
+    assert st17["tokens_before"].sum() >= 0
+    # d24 removes from non-keepers only; st17's corpus-wins policy can
+    # remove MORE from a given odd doc (an odd keeper keeps nothing when
+    # the corpus holds the same span) — but both must see the same
+    # fixture: if d24 found no duplication at all, st17 must not either
+    if d24["tokens_removed"].sum() == 0:
+        assert st17["tokens_removed"].sum() == 0
+
+
+# --- d25: no component-partitioned window anywhere (VERDICT r14 #4) ---------------
+
+
+def test_d25_plan_has_no_window_funnel(spark):
+    """d25's survivor argmax at BOTH stages must be the combinable
+    (q, -doc_id)-max struct groupBy — a pathological giant near-dup
+    component must not ride a hot-key window funnel. Checked on the FULL
+    executed plan including pre-checkpoint segments (the ledger's
+    checkpoint lens), since d25 checkpoints mid-pipeline."""
+    pa = _load_script("plan_audit")
+    spark.catalog.clearCache()
+    with pa.CkptRecorder() as rec:
+        df = entry_mod.queries()["d25_cascade_quality_survivors"](spark, SF_DIR)
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+    for seg in [final_plan, *rec.plans]:
+        assert "Window" not in seg, "component-partitioned window reappeared in d25"
+
+
+# --- shared span-scrub factoring: one fragment, three consumers -------------------
+
+
+def test_span_scrub_oracles_share_the_fragment():
+    """d24, ep14 and st17's oracles must all embed the SAME span-scrub CTE
+    fragment (r14 ADVICE: a scrub-semantics fix lands once) — no drifted
+    inline copies."""
+    from ml_training_data_pipeline_spark.plans.oracle_fragments import span_scrub_ctes
+
+    frag = span_scrub_ctes().strip()
+    osql = entry_mod.oracle_sql()
+    for name in ("d24_span_scrub", "ep14_scrub_budget_roadmap", "st17_stream_span_scrub"):
+        assert frag in osql[name], f"{name} oracle no longer embeds the shared fragment"
+
+
+def test_span_window_stream_matches_materialized_form(spark, tmp_path_factory):
+    """span_windows is span_window_stream + materialize — same rows."""
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.functions.text import tokenize
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.dedup import (
+        span_window_stream,
+        span_windows,
+    )
+
+    d = _write_documents(
+        str(tmp_path_factory.mktemp("sws")), [_fill("w", 12), _fill("v", 9)]
+    )
+    t8 = (
+        load_table(spark, d, "documents")
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 8)
+    )
+    a = sorted(map(tuple, span_window_stream(t8).collect()))
+    b = sorted(map(tuple, span_windows(t8).collect()))
+    assert a == b and len(a) == (12 - 7) + (9 - 7)
+
+
+# --- materialization-strategy knob (VERDICT r14 #5) --------------------------------
+
+
+def test_materialize_invalid_strategy_raises(monkeypatch):
+    from ml_training_data_pipeline_spark.operators.materialize import _strategy
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "cache")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MATERIALIZE"):
+        _strategy()
+
+
+@pytest.mark.parametrize("strategy", ["local", "reliable", "parquet"])
+def test_materialize_strategies_preserve_results(
+    spark, tmp_path_factory, monkeypatch, strategy
+):
+    """Every strategy must return the same rows — the knob changes WHERE
+    the intermediate lives, never WHAT it holds. d24 exercises the
+    span-window site; its internals also route tfidf/minhash helpers in
+    sibling queries, so one planted scrub covers the contract."""
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", strategy)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_MATERIALIZE_DIR",
+        str(tmp_path_factory.mktemp("matdir")),
+    )
+    monkeypatch.setenv(
+        "SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path_factory.mktemp("ckptdir"))
+    )
+    span = " ".join(f"mshare{i:03d}" for i in range(10))
+    d = _write_documents(
+        str(tmp_path_factory.mktemp(f"mat_{strategy}")),
+        [f"{_fill('ma', 6)} {span}", f"{span} {_fill('mb', 6)}"],
+    )
+    pdf = (
+        entry_mod.queries()["d24_span_scrub"](spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert pdf["tokens_removed"].tolist() == [0, 10]
+    assert pdf["tokens_kept"].tolist() == [16, 6]
+
+
+# --- CkptRecorder reentry guard (r14 ADVICE) ---------------------------------------
+
+
+def test_ckpt_recorder_rejects_interleaved_recorders():
+    """Recorders patch the DataFrame class process-globally; a second
+    active recorder would restore a stale wrapper on exit and
+    cross-attribute segments — it must fail loudly at __enter__, and the
+    original method must survive the failed attempt."""
+    pa = _load_script("plan_audit")
+    cls = pa.CkptRecorder._target()
+    orig = cls.localCheckpoint
+    with pa.CkptRecorder():
+        with pytest.raises(RuntimeError, match="not reentrant"):
+            with pa.CkptRecorder():
+                pass  # pragma: no cover
+        assert cls.localCheckpoint is not orig  # outer wrapper still active
+    assert cls.localCheckpoint is orig
