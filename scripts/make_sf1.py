@@ -44,7 +44,22 @@ KEYED = {
 COPIED = ("nation", "region")
 
 
-def generate(src: str, out: str, reps: int, quiet: bool = False) -> None:
+def generate(
+    src: str,
+    out: str,
+    reps: int,
+    quiet: bool = False,
+    perturb_docs: bool = False,
+    tables: tuple[str, ...] | None = None,
+) -> None:
+    """``perturb_docs=True`` builds the LOW-DUP 10× corpus: replica 0
+    keeps the original text, every other replica suffixes EVERY token
+    with a replica-unique marker (``r{r}x``), so replicas share no
+    8-token window / shingle / fingerprint with each other — the corpus
+    is 10× the bytes at the ORIGINAL duplication rate (VERDICT r14 #7:
+    the verbatim-replica corpus pushes span coverage ~2%→~90%, the
+    opposite endpoint from a real low-dup web crawl). ``tables`` limits
+    generation (e.g. just ``("documents",)`` for the d24/ep14 probe)."""
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # OFF must exceed every source key or replicas silently ALIAS keys
@@ -62,15 +77,30 @@ def generate(src: str, out: str, reps: int, quiet: bool = False) -> None:
                     "replicas would alias keys; raise OFF"
                 )
     for t, keys in KEYED.items():
+        if tables is not None and t not in tables:
+            continue
         cols = [
             c[0]
             for c in con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
-        sel = ", ".join(
-            f"{c} + r.r * {OFF} AS {c}" if c in keys else c for c in cols
-        )
+
+        def col_sel(c: str) -> str:
+            if c in keys:
+                return f"{c} + r.r * {OFF} AS {c}"
+            if perturb_docs and t == "documents" and c == "text":
+                # token-suffix every replica except 0: replicas share NO
+                # window/shingle/fingerprint, so duplication stays at the
+                # source corpus's natural rate while bytes scale 10×
+                return (
+                    r"CASE WHEN r.r = 0 THEN text ELSE "
+                    r"regexp_replace(text, '(\S+)', "
+                    r"'\1r' || r.r::VARCHAR || 'x', 'g') END AS text"
+                )
+            return c
+
+        sel = ", ".join(col_sel(c) for c in cols)
         con.execute(
             f"""COPY (
               SELECT {sel}
@@ -84,6 +114,8 @@ def generate(src: str, out: str, reps: int, quiet: bool = False) -> None:
             ).fetchone()[0]
             print(f"{t}: {n} rows")
     for t in COPIED:
+        if tables is not None and t not in tables:
+            continue
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
         if not quiet:
             print(f"{t}: copied")
@@ -94,8 +126,20 @@ def main() -> None:
     ap.add_argument("--src", default=SRC)
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument(
+        "--perturb-docs",
+        action="store_true",
+        help="low-dup corpus: suffix every token in replicas 1..n-1",
+    )
+    ap.add_argument("--tables", nargs="*", default=None, help="limit to these tables")
     args = ap.parse_args()
-    generate(args.src, args.out, args.reps)
+    generate(
+        args.src,
+        args.out,
+        args.reps,
+        perturb_docs=args.perturb_docs,
+        tables=tuple(args.tables) if args.tables else None,
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,170 @@
+"""Rotating sf1 CORRECTNESS probe (VERDICT r14 #3).
+
+The driver's oracle gate runs at sf0.01; round 14's first sf1 spot-check
+proved why that is not enough: h1's sum_charge landed one double ULP
+apart at 6M rows (Spark's decimal-product precision cap + DuckDB's
+non-correctly-rounded decimal→double cast) — a hazard class INVISIBLE at
+every smaller scale. This probe re-runs the driver comparison on
+/tmp/sf1 for ~12 names per round, rotating by sf1-probe staleness
+(never-probed first, then oldest probe stamp), with the known hazard
+classes promoted to the front of the never-probed pool:
+
+- decimal-aggregate TPC-H shapes (sums/ratios of decimal products);
+- round(x, 6) float families (tf-idf weights, cosines, decay sums)
+  whose accumulation order differs cross-engine.
+
+Usage:
+    python scripts/make_sf1.py                     # build /tmp/sf1 once
+    python scripts/sf1_probe.py --round 15         # auto-rotate 12 names
+    python scripts/sf1_probe.py --round 15 --names h13_market_share ...
+
+Writes SF1_PROBE_r{N}.json next to the other round artifacts; the
+rotation folds every SF1_PROBE_r*.json (and the hardcoded round-14
+ad-hoc sample) for the newest stamp per name — artifacts, not comments,
+drive the rotation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Round 14's probe predates this script (documented in SURVEY §6, no
+# artifact file) — seed the fold so those names rotate like any others.
+R14_ADHOC = (
+    "h1_lineitem_pricing_summary", "h2_revenue_per_nation", "c3_group_withinss",
+    "w2_sessionization", "g1_rollup_totals", "mix9_budget_waterfill",
+    "ep13_dedup_budget_roadmap", "d23_dedup_cascade", "d24_span_scrub",
+    "d25_cascade_quality_survivors", "ep14_scrub_budget_roadmap",
+    "st16_stream_cascade_admission",
+)
+
+# Hazard-ordered priority for names that have never had an sf1 probe row:
+# decimal-aggregate shapes first (the h1 ulp class), then cross-engine
+# float-accumulation families. Names not listed rotate after these, in
+# registry order.
+HAZARD_FIRST = (
+    # decimal products / conditional decimal aggregates (h1's class)
+    "h13_market_share", "h15_small_qty_revenue", "h18_nation_profit",
+    "h9_customer_distribution", "h16_disjunctive_revenue",
+    "h14_top_supplier_revenue", "h12_two_nation_volume",
+    "h17_sole_final_supplier", "h10_large_volume_customers",
+    "h20_late_shipping_priority", "h11_dormant_high_balance",
+    "h19_ship_latency_quantiles",
+    # float accumulation across engines (round(x,6) families)
+    "v3_tfidf_unigram", "c4_centroid_cosine_pairs", "x15_zipf_alpha",
+    "w6_decayed_engagement", "n8_prototype_silhouette",
+    "mix3_temperature_weights", "x13_zipf_profile", "w15_daily_autocorr",
+    "x28_length_drift_ks", "x29_token_psi", "g6_source_lang_chi2",
+    "x21_heaps_law",
+)
+
+
+def fold_probe_stamps() -> dict[str, int]:
+    newest = {n: 14 for n in R14_ADHOC}
+    for f in glob.glob(os.path.join(REPO, "SF1_PROBE_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            data = json.load(open(f))
+        except Exception:
+            continue
+        for name in data.get("results", {}):
+            newest[name] = max(newest.get(name, 0), r)
+    return newest
+
+
+def pick_names(n: int) -> list[str]:
+    import __spark_entry__ as entry_mod
+
+    osql = entry_mod.oracle_sql()
+    stamps = fold_probe_stamps()
+    # oracle-backed only: the probe IS an oracle comparison
+    pool = [q for q in entry_mod.queries() if q in osql]
+    never = [q for q in pool if q not in stamps]
+    # hazard-priority names first within the never-probed pool
+    never.sort(key=lambda q: (HAZARD_FIRST.index(q) if q in HAZARD_FIRST else len(HAZARD_FIRST),))
+    probed = sorted((q for q in pool if q in stamps), key=lambda q: stamps[q])
+    return (never + probed)[:n]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument("--n", type=int, default=12)
+    ap.add_argument("--sf-dir", default="/tmp/sf1")
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    from driver_sweep import TABLES, compare
+
+    names = args.names or pick_names(args.n)
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .config("spark.sql.shuffle.partitions", str(args.cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    results, fails = {}, []
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            sp = qs[name](spark, args.sf_dir).toPandas()
+            od = con.execute(osql[name]).fetchdf()
+            r = compare(sp, od)
+            r["spark_rows"], r["oracle_rows"] = len(sp), len(od)
+            ok = bool(r["hash_match"])
+        except Exception as e:  # noqa: BLE001 — probe must report, not die
+            r, ok = {"err": f"{type(e).__name__}: {e}"[:300]}, False
+        r["sec"] = round(time.time() - t0, 2)
+        results[name] = r
+        if not ok:
+            fails.append(name)
+        print(f"[{i + 1}/{len(names)}] {name}: {'OK' if ok else 'FAIL'} ({r['sec']}s)", flush=True)
+
+    artifact = {
+        "note": (
+            "rotating sf1 correctness probe: driver-style DuckDB comparison "
+            f"on {args.sf_dir} (make_sf1.py replica corpus). Names rotate by "
+            "sf1-probe staleness with decimal/float hazard classes promoted; "
+            "the fold reads SF1_PROBE_r*.json artifacts (r14's ad-hoc sample "
+            "is seeded in scripts/sf1_probe.py)."
+        ),
+        "round": args.round,
+        "sf_dir": args.sf_dir,
+        "results": results,
+        "fails": fails,
+    }
+    out = os.path.join(REPO, f"SF1_PROBE_r{args.round:02d}.json")
+    with open(out, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"checked": len(names), "fails": fails, "artifact": out}))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
