@@ -553,15 +553,22 @@ def connected_components(
 
 # --- span scrub (the d22-grain transform: d24/ep14/st17 share this) ----------
 
-def span_window_stream(t8: DataFrame, width: int = 8) -> DataFrame:
-    """(doc_id, pos, win) — every stride-1 ``width``-token window of each
-    doc as a 60-bit md5 long (string window keys never shuffle), as a
-    PURE projection (no materialization): the single-consumer form st17
-    uses per micro-batch and for the corpus window inventory. Expects
-    (doc_id, toks) pre-filtered to ``size(toks) >= width``. One
-    O(corpus tokens) position stream — the d22 layout."""
+def span_window_stream(
+    t8: DataFrame, width: int = 8, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *keep, pos, win) — every stride-1 ``width``-token window
+    of each doc as a 60-bit md5 long (string window keys never shuffle),
+    as a PURE projection (no materialization): the single-consumer form
+    st17 uses per micro-batch and for the corpus window inventory.
+    Expects (doc_id, toks) pre-filtered to ``size(toks) >= width``.
+    ``keep`` names extra t8 columns to carry through the explode — a
+    per-doc attribute (e.g. ``source``) rides the projection for free,
+    where joining it back onto the stream afterwards would shuffle the
+    whole O(corpus tokens) stream on doc_id. One position stream — the
+    d22 layout."""
     return t8.select(
         "doc_id",
+        *keep,
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(toks) - {width}),"
@@ -570,7 +577,9 @@ def span_window_stream(t8: DataFrame, width: int = 8) -> DataFrame:
                 " 1, 15), 16, 10) AS LONG) AS win))"
             )
         ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    ).select(
+        "doc_id", *keep, F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
+    )
 
 
 def span_windows(t8: DataFrame, width: int = 8) -> DataFrame:

@@ -3568,3 +3568,98 @@ def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
             "best_survivor_quality"
         ),
     )
+
+
+# --- D26: cross-source boilerplate CONTAGION matrix ----------------------------------
+# d22/d24 report and remove duplicated spans; neither says WHERE the
+# boilerplate comes from. For a mixture owner the actionable question is
+# which source PAIRS share duplicated windows (a template farm syndicating
+# into two crawls, a wiki mirrored into a subcorpus) — that decides
+# whether to drop a source, not just scrub its docs. Per unordered source
+# pair (src_a < src_b): the count of DISTINCT 8-token windows present in
+# at least one doc of each side, each side's distinct-window vocabulary
+# size, and the shared fraction of each. Scale shape: ONE O(corpus
+# tokens) position stream with `source` carried through the projection
+# (span_window_stream(keep=...) — joining source back onto the stream
+# would shuffle the whole stream on doc_id), one combinable
+# groupBy(win).collect_set(source) whose map-side partials dedupe
+# per-source repeats (the set is bounded by |sources|, a taxonomy of
+# tens–hundreds, NOT corpus-sized), pair expansion bounded by
+# pairs(|srcs(win)|) ≤ S²/2 only for universal boilerplate, and a
+# broadcast of the |sources|-row totals. A million-source taxonomy
+# (per-domain) would make the universal-window face quadratic in S —
+# at that grain this report should run on a coarsened taxonomy, which
+# is what a mixture owner allocates over anyway.
+@query(
+    "d26_boilerplate_contagion",
+    oracle=f"""
+    WITH {toks_cte()},
+    {span_scrub_ctes()},
+    sw AS (
+      SELECT DISTINCT d.source, p.win
+      FROM p JOIN documents d USING (doc_id)
+    ),
+    tot AS (SELECT source, count(*) AS n_windows FROM sw GROUP BY source),
+    pr AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS shared_windows
+      FROM sw a JOIN sw b ON a.win = b.win AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT pr.src_a, pr.src_b,
+           CAST(pr.shared_windows AS BIGINT) AS shared_windows,
+           CAST(ta.n_windows AS BIGINT) AS windows_a,
+           CAST(tb.n_windows AS BIGINT) AS windows_b,
+           round(pr.shared_windows / ta.n_windows, 6) AS share_a,
+           round(pr.shared_windows / tb.n_windows, 6) AS share_b
+    FROM pr
+    JOIN tot ta ON ta.source = pr.src_a
+    JOIN tot tb ON tb.source = pr.src_b
+    """,
+)
+def d26_boilerplate_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..operators.dedup import span_window_stream
+    from ..operators.materialize import materialize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t8 = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 8)
+    # (win, sorted sources) — collect_set's map-side partials absorb all
+    # per-source repeats before the shuffle; sort_array fixes the pair
+    # orientation (src_a < src_b) to match the oracle's a.source < b.source
+    per_win = materialize(  # 2 consumers: per-source totals + pair expansion
+        span_window_stream(t8, keep=("source",))
+        .groupBy("win")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    )
+    tot = per_win.select(F.explode("srcs").alias("source")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    pair = F.expr(
+        "flatten(transform(srcs, (a, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs)),"
+        " b -> struct(a AS src_a, b AS src_b))))"
+    )
+    pairs = (
+        per_win.where(F.size("srcs") > 1)
+        .select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared_windows"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_windows").alias("windows_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_windows").alias("windows_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_windows",
+            "windows_a",
+            "windows_b",
+            F.round(F.col("shared_windows") / F.col("windows_a"), 6).alias("share_a"),
+            F.round(F.col("shared_windows") / F.col("windows_b"), 6).alias("share_b"),
+        )
+    )

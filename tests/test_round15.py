@@ -249,3 +249,51 @@ def test_ckpt_recorder_rejects_interleaved_recorders():
                 pass  # pragma: no cover
         assert cls.localCheckpoint is not orig  # outer wrapper still active
     assert cls.localCheckpoint is orig
+
+
+# --- d26: cross-source boilerplate contagion matrix -------------------------------
+
+
+def test_d26_planted_contagion_matrix_exact(spark, tmp_path_factory):
+    """Three sources with a hand-computable window structure: an 8-token
+    template shared A↔B (exactly 1 window), a 10-token template shared
+    A↔C (exactly 3 windows), and an 8-token span duplicated INSIDE C
+    only (no pair row — intra-source duplication is not contagion).
+    Fillers are doc-unique, so every cross-filler window is unique and
+    the per-source window vocabularies are exact arithmetic."""
+    span_ab = " ".join(f"sharedab{i:03d}" for i in range(8))
+    span_ac = " ".join(f"sharedac{i:03d}" for i in range(10))
+    span_c = " ".join(f"cdup{i:03d}" for i in range(8))
+    texts = [
+        f"{_fill('fa1x', 10)} {span_ab}",  # A: 18 toks -> 11 windows
+        f"{_fill('fa2x', 9)} {span_ac}",  # A: 19 toks -> 12 windows
+        f"{_fill('fb1x', 12)} {span_ab}",  # B: 20 toks -> 13 windows
+        f"{_fill('fc1x', 11)} {span_ac}",  # C: 21 toks -> 14 windows
+        f"{_fill('fc2x', 7)} {span_c}",  # C: 15 toks -> 8 windows
+        f"{_fill('fc3x', 8)} {span_c}",  # C: 16 toks -> 9 windows (1 shared w/ fc2)
+    ]
+    srcs = ["srcA", "srcA", "srcB", "srcC", "srcC", "srcC"]
+    d = _write_documents(str(tmp_path_factory.mktemp("d26")), texts, sources=srcs)
+    pdf = (
+        entry_mod.queries()["d26_boilerplate_contagion"](spark, d)
+        .toPandas()
+        .sort_values(["src_a", "src_b"], ignore_index=True)
+    )
+    # windows_A = 11 + 12 = 23; windows_B = 13; windows_C = 14 + 8 + 9 - 1 = 30
+    assert len(pdf) == 2, pdf
+    ab = pdf.iloc[0]
+    assert (ab["src_a"], ab["src_b"]) == ("srcA", "srcB")
+    assert ab["shared_windows"] == 1
+    assert (ab["windows_a"], ab["windows_b"]) == (23, 13)
+    assert ab["share_a"] == pytest.approx(round(1 / 23, 6), abs=1e-9)
+    assert ab["share_b"] == pytest.approx(round(1 / 13, 6), abs=1e-9)
+    ac = pdf.iloc[1]
+    assert (ac["src_a"], ac["src_b"]) == ("srcA", "srcC")
+    assert ac["shared_windows"] == 3  # the 10-token span carries 3 stride-1 windows
+    assert (ac["windows_a"], ac["windows_b"]) == (23, 30)
+    assert ac["share_a"] == pytest.approx(round(3 / 23, 6), abs=1e-9)
+    assert ac["share_b"] == pytest.approx(round(3 / 30, 6), abs=1e-9)
+    # intra-source duplication (span_c inside C) produced no (srcB, srcC)
+    # pair row — contagion is strictly cross-source (len==2 above plus
+    # the explicit pair identities already pin this; restate it directly)
+    assert set(zip(pdf["src_a"], pdf["src_b"])) == {("srcA", "srcB"), ("srcA", "srcC")}
