@@ -124,7 +124,13 @@ def main() -> None:
     # a custom set must not masquerade as the official headline record in
     # round-over-round artifact tooling
     metric = "headline_suite_total" if headline == HEADLINE else "custom_suite_total"
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # a probe dir like /tmp/sf1_lowdup has a non-numeric suffix — carry it
+    # as a string rather than dying after every query already ran
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf: float | str = float(sf_raw)
+    except ValueError:
+        sf = sf_raw
     load1, contended = sample_load(
         max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
     )
@@ -264,7 +270,7 @@ def main() -> None:
                 "cpu_median_s": cpu_med,
                 "total_cpu_s": total_cpu,
                 "total_cpu_median_s": total_cpu_med,
-                "sf": float(sf),
+                "sf": sf,
                 "host_load": round(load1, 3),
                 "contended": contended,
             }
