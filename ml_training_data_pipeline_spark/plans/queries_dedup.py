@@ -3663,3 +3663,110 @@ def d26_boilerplate_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shared_windows") / F.col("windows_b"), 6).alias("share_b"),
         )
     )
+
+
+# --- D27: per-source CROSS-SOURCE exposure (token grain) -----------------------------
+# d26 gives the source-PAIR structure at window grain; the per-source
+# decision number is token-grain EXPOSURE: how much of a source's token
+# mass is covered by at least one 8-token window that also appears in a
+# DIFFERENT source. High exposure means the source's content is largely
+# syndicated boilerplate — scrubbing or dropping it loses little unique
+# mass; low exposure means its duplication (if any) is internal. Runs
+# over the WHOLE corpus (short docs carry no window and pass through
+# with zero exposure — same universe rule as ep14). Scale shape: the
+# d24 position stream with `source` carried through the projection,
+# materialized once for its two consumers (the multi-source-window
+# inventory + the coverage probe), one combinable
+# groupBy(win).count_distinct(source), a win-keyed equi-join bounded to
+# multi-source windows only, and the same bounded covered-position
+# explode as d24 (≤ 8 × corpus tokens, proportional to CROSS-source
+# duplicated coverage — strictly ≤ d24's all-duplication explode).
+@query(
+    "d27_cross_source_exposure",
+    oracle=f"""
+    WITH {toks_cte()},
+    {span_scrub_ctes()},
+    ps AS (
+      SELECT p.doc_id, d.source, p.pos, p.win
+      FROM p JOIN documents d USING (doc_id)
+    ),
+    xw AS (
+      SELECT win FROM (
+        SELECT win, count(DISTINCT source) AS cs FROM ps GROUP BY win
+      ) WHERE cs >= 2
+    ),
+    exp AS (
+      SELECT DISTINCT doc_id, source, tok FROM (
+        SELECT ps.doc_id, ps.source, unnest(range(ps.pos, ps.pos + 8)) AS tok
+        FROM ps JOIN xw USING (win)
+      )
+    ),
+    es AS (
+      SELECT source, count(*) AS exposed_tokens,
+             count(DISTINCT doc_id) AS n_exposed_docs
+      FROM exp GROUP BY source
+    ),
+    base AS (
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    )
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           b.n_tokens,
+           CAST(coalesce(es.exposed_tokens, 0) AS BIGINT) AS exposed_tokens,
+           CAST(coalesce(es.n_exposed_docs, 0) AS BIGINT) AS n_exposed_docs,
+           round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                      ELSE coalesce(es.exposed_tokens, 0) / b.n_tokens END, 6)
+             AS exposure_frac
+    FROM base b LEFT JOIN es USING (source)
+    """,
+)
+def d27_cross_source_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..operators.dedup import span_window_stream
+    from ..operators.materialize import materialize
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+    t8 = toks.where(F.size("toks") >= 8)
+    # 2 consumers: the multi-source-window inventory + the coverage probe
+    p = materialize(span_window_stream(t8, keep=("source",)))
+    xw = (
+        p.groupBy("win")
+        .agg(F.count_distinct("source").alias("cs"))
+        .where(F.col("cs") >= 2)
+        .select("win")
+    )
+    exposed = (
+        p.join(xw, "win")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok"),
+        )
+        .distinct()
+    )
+    es = exposed.groupBy("source").agg(
+        F.count("*").cast("long").alias("exposed_tokens"),
+        F.count_distinct("doc_id").cast("long").alias("n_exposed_docs"),
+    )
+    base = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+    )
+    etok = F.coalesce("exposed_tokens", F.lit(0)).cast("long")
+    return base.join(es, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        etok.alias("exposed_tokens"),
+        F.coalesce("n_exposed_docs", F.lit(0)).cast("long").alias("n_exposed_docs"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                etok / F.col("n_tokens")
+            ),
+            6,
+        ).alias("exposure_frac"),
+    )

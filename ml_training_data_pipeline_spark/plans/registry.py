@@ -47,19 +47,21 @@ def query(name: str, oracle: str | None = None):
 # prefix were hash-green at their newest driver check and remain covered
 # by tests/test_oracle_parity.py locally.
 PRIORITY: tuple[str, ...] = (
-    # ROUND-15 PREFIX (50): (a) d26_boilerplate_contagion and
-    # st17_stream_span_scrub (NEW this round) and the three queries whose
-    # implementation changed this round (d24/ep14 now compose the
-    # factored span-scrub operator + shared oracle CTE fragment; d25's
-    # stage-2 survivor argmax moved from a component-partitioned window
-    # to the stage-1 combinable struct groupBy) — all five
-    # oracle-verified driver-style from /tmp at sf0.01 AND sf0.1 before
-    # commit; (b) the 9 r7-stamp names (h6_order_priority_check ...
-    # st9_stream_sliding_counts); (c) the first 36 of the 46-name
-    # r8-stamp block (j10_salted_skew_join ... n14_ann_margin) — exactly
-    # the stamp-fold order. Round-15 additions insert at the FRONT as
-    # they land; each insertion pushes the r8-block tail past the 50-cut
-    # into the round-16 rotation — keep the ROUND-16 note below accurate.
+    # ROUND-15 PREFIX (50): (a) d27_cross_source_exposure,
+    # d26_boilerplate_contagion and st17_stream_span_scrub (NEW this
+    # round) and the three queries whose implementation changed this
+    # round (d24/ep14 now compose the factored span-scrub operator +
+    # shared oracle CTE fragment; d25's stage-2 survivor argmax moved
+    # from a component-partitioned window to the stage-1 combinable
+    # struct groupBy) — all six oracle-verified driver-style from /tmp
+    # at sf0.01 AND sf0.1 before commit; (b) the 9 r7-stamp names
+    # (h6_order_priority_check ... st9_stream_sliding_counts); (c) the
+    # first 35 of the 46-name r8-stamp block (j10_salted_skew_join ...
+    # x22_lexical_diversity/w14_activity_gini) — exactly the stamp-fold
+    # order. Round-15 additions insert at the FRONT as they land; each
+    # insertion pushes the r8-block tail past the 50-cut into the
+    # round-16 rotation — keep the ROUND-16 note below accurate.
+    "d27_cross_source_exposure",
     "d26_boilerplate_contagion",
     "st17_stream_span_scrub", "d24_span_scrub", "d25_cascade_quality_survivors",
     "ep14_scrub_budget_roadmap", "h6_order_priority_check", "h7_promo_revenue_share",
@@ -79,13 +81,13 @@ PRIORITY: tuple[str, ...] = (
     "h17_sole_final_supplier", "x22_lexical_diversity", "w14_activity_gini",
     "n14_ann_margin", "g5_grouping_sets_profile",
     # ROUND-16 ROTATION (pre-staged): lead with any round-16
-    # additions/changes, then the 10 r8-stamp names left after this
-    # round's 36 (g5_grouping_sets_profile — pushed past the 50-cut by
-    # the d26 insertion — plus cur7_length_survivorship,
-    # t10_balanced_shards, s15_schema_evolution_scan,
-    # x23_langid_confusion, v12_vocab_coverage, h18_nation_profit,
-    # mm6_audio_frame_profile, x24_template_families,
-    # mix5_mixture_entropy), then the 20-name
+    # additions/changes, then the 11 r8-stamp names left after this
+    # round's 35 (n14_ann_margin and g5_grouping_sets_profile — pushed
+    # past the 50-cut by the d26/d27 insertions — plus
+    # cur7_length_survivorship, t10_balanced_shards,
+    # s15_schema_evolution_scan, x23_langid_confusion,
+    # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,
+    # x24_template_families, mix5_mixture_entropy), then the 20-name
     # r9-stamp block (n6_embedding_dedup_groups ... f11_json_decode,
     # listed next below) and r11-stamp names to fill 50. Rotation is
     # stamp-fold-driven: fold CORRECTNESS_r*.json for the newest stamp

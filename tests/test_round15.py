@@ -297,3 +297,40 @@ def test_d26_planted_contagion_matrix_exact(spark, tmp_path_factory):
     # pair row — contagion is strictly cross-source (len==2 above plus
     # the explicit pair identities already pin this; restate it directly)
     assert set(zip(pdf["src_a"], pdf["src_b"])) == {("srcA", "srcB"), ("srcA", "srcC")}
+
+
+def test_d27_planted_cross_source_exposure_exact(spark, tmp_path_factory):
+    """Same planted corpus as the d26 test: exposure counts token
+    positions covered by a window shared with ANOTHER source. span_ab
+    exposes 8 tokens in each of docA1/docB1; span_ac exposes 10 in each
+    of docA2/docC1; span_c is intra-C only and exposes NOTHING — the
+    cross-source filter is the whole point (d24 would remove the
+    non-keeper copy of span_c; d27 must not count it)."""
+    span_ab = " ".join(f"sharedab{i:03d}" for i in range(8))
+    span_ac = " ".join(f"sharedac{i:03d}" for i in range(10))
+    span_c = " ".join(f"cdup{i:03d}" for i in range(8))
+    texts = [
+        f"{_fill('fa1x', 10)} {span_ab}",  # A: 18 toks, 8 exposed
+        f"{_fill('fa2x', 9)} {span_ac}",  # A: 19 toks, 10 exposed
+        f"{_fill('fb1x', 12)} {span_ab}",  # B: 20 toks, 8 exposed
+        f"{_fill('fc1x', 11)} {span_ac}",  # C: 21 toks, 10 exposed
+        f"{_fill('fc2x', 7)} {span_c}",  # C: 15 toks, 0 exposed (intra-C)
+        f"{_fill('fc3x', 8)} {span_c}",  # C: 16 toks, 0 exposed
+    ]
+    srcs = ["srcA", "srcA", "srcB", "srcC", "srcC", "srcC"]
+    d = _write_documents(str(tmp_path_factory.mktemp("d27")), texts, sources=srcs)
+    pdf = (
+        entry_mod.queries()["d27_cross_source_exposure"](spark, d)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert list(pdf.index) == ["srcA", "srcB", "srcC"]
+    a, b, c = pdf.loc["srcA"], pdf.loc["srcB"], pdf.loc["srcC"]
+    assert (a["n_docs"], a["n_tokens"], a["exposed_tokens"], a["n_exposed_docs"]) == (2, 37, 18, 2)
+    assert a["exposure_frac"] == pytest.approx(round(18 / 37, 6), abs=1e-9)
+    assert (b["n_docs"], b["n_tokens"], b["exposed_tokens"], b["n_exposed_docs"]) == (1, 20, 8, 1)
+    assert b["exposure_frac"] == pytest.approx(0.4, abs=1e-9)
+    # intra-source duplication contributes ZERO exposure
+    assert (c["n_docs"], c["n_tokens"], c["exposed_tokens"], c["n_exposed_docs"]) == (3, 52, 10, 1)
+    assert c["exposure_frac"] == pytest.approx(round(10 / 52, 6), abs=1e-9)
