@@ -71,6 +71,19 @@ def sample_load(
         sleep(poll_s)
 
 
+def parse_sf(sf_dir: str) -> float | str:
+    """sf label from a data dir: numeric when the dir is a plain sf
+    scale (/root/testdata/sf0.1 -> 0.1), the raw suffix string otherwise
+    (/tmp/sf1_lowdup -> "1_lowdup"). A probe dir with a non-numeric
+    suffix must not kill the run AFTER every query already executed
+    (r15: the low-dup floor probe lost its artifact to exactly that)."""
+    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
 def proc_tree_cpu_s() -> float:
     """CPU seconds consumed so far by this process and every live
     descendant — in local mode that is the py4j-spawned JVM plus its
@@ -124,13 +137,7 @@ def main() -> None:
     # a custom set must not masquerade as the official headline record in
     # round-over-round artifact tooling
     metric = "headline_suite_total" if headline == HEADLINE else "custom_suite_total"
-    # a probe dir like /tmp/sf1_lowdup has a non-numeric suffix — carry it
-    # as a string rather than dying after every query already ran
-    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf: float | str = float(sf_raw)
-    except ValueError:
-        sf = sf_raw
+    sf = parse_sf(sf_dir)
     load1, contended = sample_load(
         max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
     )

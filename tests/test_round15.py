@@ -334,3 +334,16 @@ def test_d27_planted_cross_source_exposure_exact(spark, tmp_path_factory):
     # intra-source duplication contributes ZERO exposure
     assert (c["n_docs"], c["n_tokens"], c["exposed_tokens"], c["n_exposed_docs"]) == (3, 52, 10, 1)
     assert c["exposure_frac"] == pytest.approx(round(10 / 52, 6), abs=1e-9)
+
+
+# --- bench.py: non-numeric sf-dir suffix must not kill a finished run --------------
+
+
+def test_bench_parse_sf_tolerates_probe_dirs():
+    import bench
+
+    assert bench.parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bench.parse_sf("/tmp/sf1/") == 1.0
+    # the r15 low-dup floor probe lost its artifact to float('1_lowdup')
+    # AFTER all nine reps had run — carry the suffix as a string instead
+    assert bench.parse_sf("/tmp/sf1_lowdup") == "1_lowdup"
