@@ -207,11 +207,14 @@ def main() -> None:
             # pre-pass and earlier reps stay persisted until ContextCleaner
             # GC, so ALSO unpersist every lingering RDD — otherwise later
             # reps of checkpoint-heavy queries see storage-memory pressure
-            # and eviction noise (r14 ADVICE).
+            # and eviction noise (r14 ADVICE). unpersist must be BLOCKING:
+            # the default async removal runs INSIDE the next timed window
+            # (measured r15: +2s wall / +3 CPU-s on the headline suite —
+            # the cleanup meant to remove noise was injecting it).
             spark.catalog.clearCache()
             try:
                 for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                    jrdd.unpersist()
+                    jrdd.unpersist(True)
             except Exception:
                 pass  # best-effort: a failed unpersist must never kill a rep
             c0 = proc_tree_cpu_s()

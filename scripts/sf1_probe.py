@@ -160,6 +160,20 @@ def main() -> int:
         "fails": fails,
     }
     out = os.path.join(REPO, f"SF1_PROBE_r{args.round:02d}.json")
+    # a round may probe several batches (e.g. decimal family early, float
+    # family after later additions land): MERGE into the round's artifact
+    # instead of clobbering the earlier batch, and recompute fails from
+    # the merged result set
+    if os.path.exists(out):
+        try:
+            prior = json.load(open(out))
+            merged = {**prior.get("results", {}), **results}
+            artifact["results"] = merged
+            artifact["fails"] = [
+                n for n, r in merged.items() if not r.get("hash_match")
+            ]
+        except Exception:
+            pass  # unreadable prior artifact: write this batch alone
     with open(out, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps({"checked": len(names), "fails": fails, "artifact": out}))
