@@ -78,6 +78,11 @@ def parse_sf(sf_dir: str) -> float | str:
     suffix must not kill the run AFTER every query already executed
     (r15: the low-dup floor probe lost its artifact to exactly that)."""
     raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # PEP-515 lets float() accept digit underscores, so float('1_2') ==
+    # 12.0 — an underscore-style probe suffix (sf1_lowdup, sf1_2) must
+    # stay a string, never mislabel as a wrong NUMERIC scale
+    if "_" in raw:
+        return raw
     try:
         return float(raw)
     except ValueError:

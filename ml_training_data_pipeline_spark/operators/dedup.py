@@ -553,8 +553,15 @@ def connected_components(
 
 # --- span scrub (the d22-grain transform: d24/ep14/st17 share this) ----------
 
+# the ONE span-grain window width: every Spark-side filter/explode and
+# (via oracle_fragments.SPAN_WIDTH) every oracle CTE derive from it, so
+# changing the grain cannot silently diverge across d22/d24/ep14/d26/
+# d27/st17 (round-15 review finding: d27/st17 had re-inlined `8`)
+SPAN_WIDTH = 8
+
+
 def span_window_stream(
-    t8: DataFrame, width: int = 8, keep: tuple[str, ...] = ()
+    t8: DataFrame, width: int = SPAN_WIDTH, keep: tuple[str, ...] = ()
 ) -> DataFrame:
     """(doc_id, *keep, pos, win) — every stride-1 ``width``-token window
     of each doc as a 60-bit md5 long (string window keys never shuffle),
@@ -582,7 +589,7 @@ def span_window_stream(
     )
 
 
-def span_windows(t8: DataFrame, width: int = 8) -> DataFrame:
+def span_windows(t8: DataFrame, width: int = SPAN_WIDTH) -> DataFrame:
     """``span_window_stream`` materialized once — the batch-scrub form:
     d24/ep14 read the position stream twice (cross-doc support + removal
     probe)."""
@@ -604,7 +611,7 @@ def duplicated_windows(p: DataFrame) -> DataFrame:
     )
 
 
-def span_removed_positions(p: DataFrame, dw: DataFrame, width: int = 8) -> DataFrame:
+def span_removed_positions(p: DataFrame, dw: DataFrame, width: int = SPAN_WIDTH) -> DataFrame:
     """(doc_id, tok) — DISTINCT token positions covered by some duplicated
     window whose keeper is another doc (Lee-et-al span removal,
     keep-first). The explode is bounded to duplicated NON-KEEPER windows
@@ -621,7 +628,7 @@ def span_removed_positions(p: DataFrame, dw: DataFrame, width: int = 8) -> DataF
     )
 
 
-def span_scrub_removals(t8: DataFrame, width: int = 8) -> DataFrame:
+def span_scrub_removals(t8: DataFrame, width: int = SPAN_WIDTH) -> DataFrame:
     """windows → duplicated-window inventory → removed positions, composed
     (the shared d24/ep14 pipeline — factored per r14 ADVICE so a scrub
     semantics fix lands once). Returns (doc_id, tok) distinct."""

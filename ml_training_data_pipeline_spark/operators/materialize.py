@@ -49,12 +49,36 @@ preserves.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame
 
 _VALID = ("local", "reliable", "parquet")
+
+# parquet-strategy dirs created by THIS process, removed best-effort at
+# interpreter exit: without this a sweep or long deployment accumulates
+# one uuid dir per materialize() call (connected components: one per
+# pointer-doubling round) until the disk fills (round-15 review finding).
+# The read-back DataFrame is only valid while this process's session
+# lives, so exit-time removal is safe. A long-lived cluster deployment
+# should point SPARK_GRAFT_MATERIALIZE_DIR at storage with a lifecycle/
+# TTL policy — exit cleanup is the local-mode story. The same
+# accumulation exists for 'reliable' checkpoints: Spark only removes
+# them when spark.cleaner.referenceTracking.cleanCheckpoints=true is set
+# at context creation (session.get_spark sets it) — point
+# SPARK_GRAFT_CHECKPOINT_DIR at dfs and let the cleaner reap.
+_PARQUET_DIRS: list[str] = []
+
+
+def _cleanup_parquet_dirs() -> None:
+    for p in _PARQUET_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_parquet_dirs)
 
 
 def _strategy() -> str:
@@ -77,14 +101,21 @@ def materialize(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
     if s == "reliable":
         sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/spark_graft_ckpt")
-            )
+        want = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        cur = sc._jsc.sc().getCheckpointDir()
+        if want:
+            # an EXPLICIT dir always wins — silently keeping a stale
+            # pre-set dir would drop the dfs durability the knob promises
+            # (round-15 review finding)
+            if cur.isEmpty() or cur.get() != want:
+                sc.setCheckpointDir(want)
+        elif cur.isEmpty():
+            sc.setCheckpointDir("/tmp/spark_graft_ckpt")
         return df.checkpoint(eager=True)
     base = os.environ.get(
         "SPARK_GRAFT_MATERIALIZE_DIR", "/tmp/spark_graft_materialize"
     )
     path = os.path.join(base, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(path)
+    _PARQUET_DIRS.append(path)
     return df.sparkSession.read.parquet(path)

@@ -75,8 +75,13 @@ def tfidf_cte() -> str:
 # conv(substr(md5(x),1,15),16,10), verified bit-identical cross-engine)
 H60 = "('0x'||substr(md5({x}),1,15))::BIGINT"
 
+# the one span-grain window width (operators/dedup.SPAN_WIDTH re-exported
+# for oracle f-strings): every shared-fragment consumer's inline clause
+# must interpolate THIS, never a literal 8, so the grain cannot diverge
+from ..operators.dedup import SPAN_WIDTH  # noqa: E402
 
-def span_scrub_ctes(width: int = 8) -> str:
+
+def span_scrub_ctes(width: int = SPAN_WIDTH) -> str:
     """CTEs ``t8, p, dw, rem, rc`` — the span-scrub window→removal
     pipeline shared by d24/ep14/st17 (requires the ``toks`` CTE
     upstream). Mirrors operators/dedup.span_scrub_removals exactly:

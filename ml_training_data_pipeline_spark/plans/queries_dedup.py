@@ -29,6 +29,7 @@ from ..operators.dedup import (
 )
 from .oracle_fragments import (
     H60,
+    SPAN_WIDTH,
     quality_cte,
     span_scrub_ctes,
     stopword_list_sql,
@@ -3147,7 +3148,7 @@ def d24_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t8 = (
         docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= 8)
+        .where(F.size("toks") >= SPAN_WIDTH)
         .localCheckpoint()  # 2 consumers: the window stream + reassembly
     )
     # d22's position stream → duplicated-window inventory → removed
@@ -3258,7 +3259,7 @@ def ep14_scrub_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", tokenize(F.col("text")).alias("toks")
     ).localCheckpoint()  # 2 consumers: the window stream + the corpus mass
-    t8 = toks.where(F.size("toks") >= 8)
+    t8 = toks.where(F.size("toks") >= SPAN_WIDTH)
     # d24's removal pipeline (shared operator), counts only — no
     # reassembly join here
     rc = span_scrub_removals(t8).groupBy("doc_id").agg(
@@ -3625,7 +3626,7 @@ def d26_boilerplate_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     t8 = docs.select(
         "doc_id", "source", tokenize(F.col("text")).alias("toks")
-    ).where(F.size("toks") >= 8)
+    ).where(F.size("toks") >= SPAN_WIDTH)
     # (win, sorted sources) — collect_set's map-side partials absorb all
     # per-source repeats before the shuffle; sort_array fixes the pair
     # orientation (src_a < src_b) to match the oracle's a.source < b.source
@@ -3697,7 +3698,7 @@ def d26_boilerplate_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exp AS (
       SELECT DISTINCT doc_id, source, tok FROM (
-        SELECT ps.doc_id, ps.source, unnest(range(ps.pos, ps.pos + 8)) AS tok
+        SELECT ps.doc_id, ps.source, unnest(range(ps.pos, ps.pos + {SPAN_WIDTH})) AS tok
         FROM ps JOIN xw USING (win)
       )
     ),
@@ -3730,7 +3731,7 @@ def d27_cross_source_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
-    t8 = toks.where(F.size("toks") >= 8)
+    t8 = toks.where(F.size("toks") >= SPAN_WIDTH)
     # 2 consumers: the multi-source-window inventory + the coverage probe
     p = materialize(span_window_stream(t8, keep=("source",)))
     xw = (
@@ -3744,7 +3745,9 @@ def d27_cross_source_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_WIDTH - 1))
+            ).alias("tok"),
         )
         .distinct()
     )

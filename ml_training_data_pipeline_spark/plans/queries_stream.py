@@ -16,7 +16,7 @@ from ..streaming.enrich import (
     streaming_enrich,
     streaming_sessionize,
 )
-from .oracle_fragments import span_scrub_ctes, toks_cte
+from .oracle_fragments import SPAN_WIDTH, span_scrub_ctes, toks_cte
 
 # st13's decorator reads ORACLE_SQL["cur10_incremental_neardup"] at module
 # definition time — importing queries_dedup here guarantees cur10 is
@@ -1120,7 +1120,7 @@ def st16_stream_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     ap AS (SELECT doc_id, pos, win FROM p WHERE doc_id % 2 = 1),
     arem AS (
       SELECT DISTINCT doc_id, tok FROM (
-        SELECT ap.doc_id, unnest(range(ap.pos, ap.pos + 8)) AS tok
+        SELECT ap.doc_id, unnest(range(ap.pos, ap.pos + {SPAN_WIDTH})) AS tok
         FROM ap JOIN cw USING (win)
       )
     ),
@@ -1151,7 +1151,7 @@ def st17_stream_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)
     )
     corpus_t8 = corpus.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
-        F.size("toks") >= 8
+        F.size("toks") >= SPAN_WIDTH
     )
     # the standing inventory, built ONCE before the stream starts: the
     # corpus's distinct window keys with the corpus-always-wins sentinel
@@ -1169,7 +1169,7 @@ def st17_stream_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def scrub(batch_df: DataFrame, batch_id: int) -> None:
         toks = batch_df.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
-        t8 = toks.select("doc_id", "toks").where(F.size("toks") >= 8)
+        t8 = toks.select("doc_id", "toks").where(F.size("toks") >= SPAN_WIDTH)
         rc = (
             span_removed_positions(span_window_stream(t8), inventory)
             .groupBy("doc_id")

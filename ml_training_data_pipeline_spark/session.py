@@ -55,6 +55,12 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long and convert at the source (io/sources.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable-checkpoint deployments (SPARK_GRAFT_MATERIALIZE=
+        # reliable): let the ContextCleaner reap out-of-scope checkpoint
+        # dirs — without this they accumulate forever (the conf only
+        # takes effect at context creation, so it lives here, not in
+        # operators/materialize.py).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -119,22 +119,40 @@ class CkptRecorder:
                 "CkptRecorder is not reentrant: another recorder is already "
                 "active on DataFrame.localCheckpoint"
             )
-        self._orig = cls.localCheckpoint
+        # BOTH materialization entry points: operators/materialize.py routes
+        # to df.checkpoint() under SPARK_GRAFT_MATERIALIZE=reliable — if only
+        # localCheckpoint were patched, auditing a reliable-configured
+        # deployment would silently re-open the pre-checkpoint blind spot
+        # this recorder exists to close (round-15 review finding). The
+        # 'parquet' strategy truncates via a write+read-back that no patch
+        # can see — main() refuses to audit under it.
+        self._origs = {
+            "localCheckpoint": cls.localCheckpoint,
+            "checkpoint": cls.checkpoint,
+        }
         rec = self
 
-        def wrapper(df, *a, **kw):
-            try:
-                rec.plans.append(df._jdf.queryExecution().executedPlan().toString())
-            except Exception:  # noqa: BLE001 — recording must never break the query
-                pass
-            return rec._orig(df, *a, **kw)
+        def make_wrapper(orig):
+            def wrapper(df, *a, **kw):
+                try:
+                    rec.plans.append(
+                        df._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:  # noqa: BLE001 — recording must never break the query
+                    pass
+                return orig(df, *a, **kw)
 
-        wrapper._ckpt_recorder_wrapper = True
-        cls.localCheckpoint = wrapper
+            wrapper._ckpt_recorder_wrapper = True
+            return wrapper
+
+        for meth, orig in self._origs.items():
+            setattr(cls, meth, make_wrapper(orig))
         return self
 
     def __exit__(self, *exc) -> None:
-        self._target().localCheckpoint = self._orig
+        cls = self._target()
+        for meth, orig in self._origs.items():
+            setattr(cls, meth, orig)
 
     def pre_counts(self) -> dict[str, int]:
         """{checkpointed, segments, pre_exchanges, ..., pre_scans} summed
@@ -158,6 +176,17 @@ def main() -> int:
         "(materializes every query: costs one full sweep)",
     )
     args = ap.parse_args()
+
+    # the parquet materialize strategy truncates plans via a write +
+    # read-back that no method patch can observe — an audit under it
+    # would record pre_* = 0 for every checkpoint site and silently
+    # re-open the blind spot. Refuse loudly; audit under local/reliable.
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE", "local").strip().lower() == "parquet":
+        raise SystemExit(
+            "plan_audit cannot see pre-materialization segments under "
+            "SPARK_GRAFT_MATERIALIZE=parquet — run the audit with the "
+            "local (default) or reliable strategy"
+        )
 
     from pyspark.sql import SparkSession
 

@@ -177,7 +177,10 @@ def main() -> int:
     with open(out, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps({"checked": len(names), "fails": fails, "artifact": out}))
-    return 1 if fails else 0
+    # gate on the MERGED round artifact, not just this batch: a green
+    # batch 2 must not exit 0 while the artifact still records a batch-1
+    # failure (round-15 review finding)
+    return 1 if artifact["fails"] else 0
 
 
 if __name__ == "__main__":

@@ -347,3 +347,23 @@ def test_bench_parse_sf_tolerates_probe_dirs():
     # the r15 low-dup floor probe lost its artifact to float('1_lowdup')
     # AFTER all nine reps had run — carry the suffix as a string instead
     assert bench.parse_sf("/tmp/sf1_lowdup") == "1_lowdup"
+    # PEP-515: float('1_2') == 12.0 — an underscore suffix must never
+    # mislabel as a (wrong) numeric scale
+    assert bench.parse_sf("/tmp/sf1_2") == "1_2"
+    assert bench.parse_sf("/tmp/sf0_1") == "0_1"
+
+
+def test_ckpt_recorder_captures_reliable_checkpoints(spark, tmp_path_factory):
+    """SPARK_GRAFT_MATERIALIZE=reliable routes materialization through
+    df.checkpoint(); the recorder must capture those segments too, or
+    auditing a reliable-configured deployment silently re-opens the
+    pre-checkpoint blind spot (round-15 review finding)."""
+    pa = _load_script("plan_audit")
+    spark.sparkContext.setCheckpointDir(str(tmp_path_factory.mktemp("ckpt")))
+    from pyspark.sql import functions as F
+
+    with pa.CkptRecorder() as rec:
+        df = spark.range(100).withColumn("g", F.col("id") % 5).groupBy("g").count()
+        df.checkpoint(eager=True)
+    assert len(rec.plans) == 1
+    assert "HashAggregate" in rec.plans[0] or "Aggregate" in rec.plans[0]
