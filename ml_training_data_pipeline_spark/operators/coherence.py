@@ -88,4 +88,21 @@ def prob_coherence(
             ).alias("score"),
         )
     )
-    return scored.groupBy("cluster_id").agg(F.round(F.avg("score"), 6).alias("coherence"))
+    # decimal-summed mean (cur8's pattern): the per-pair score is a pure
+    # expression of integer doc counts, so round(score*1e6) is identical
+    # cross-engine per pair; summing the scaled integers makes the mean
+    # independent of accumulation order (avg(double) can land one 6th-
+    # decimal step from the oracle's — the d12 sf1-probe class).
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.sum(F.round(F.col("score") * 1000000).cast("long")).alias("s6"),
+            F.count("*").alias("n_pairs"),
+        )
+        .select(
+            "cluster_id",
+            F.round(F.col("s6") / F.lit(1000000.0) / F.col("n_pairs"), 6).alias(
+                "coherence"
+            ),
+        )
+    )

@@ -209,10 +209,22 @@ def cluster_term_scores(
     aggregation; the top-k is a window over cluster_id.
     Returns (cluster_id, term, score, rank).
     """
+    # decimal-summed score (cur8's pattern): per-(doc,term) weights round
+    # identically cross-engine at 6dp (v3's sf1-green row is the direct
+    # evidence), but sum(double) over cluster-term groups that grow with
+    # corpus size is accumulation-order-dependent in the last ulp — the
+    # d12 sf1-probe class. Summing the 6dp-scaled integers keeps the
+    # map-side partial aggregation AND makes the score (and hence the
+    # rank order) bit-stable at any group size.
     scored = (
         tfidf.join(assignments.select("doc_id", "cluster_id"), "doc_id")
         .groupBy("cluster_id", "term")
-        .agg(F.round(F.sum("weight"), 6).alias("score"))
+        .agg(F.sum(F.round(F.col("weight") * 1000000).cast("long")).alias("w6"))
+        .select(
+            "cluster_id",
+            "term",
+            F.round(F.col("w6") / F.lit(1000000.0), 6).alias("score"),
+        )
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("term"))
     return (

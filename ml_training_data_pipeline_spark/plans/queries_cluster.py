@@ -49,7 +49,8 @@ _CENT = f"""
       FROM tfidf t JOIN documents d ON t.doc_id = d.doc_id
     ),
     scored AS (
-      SELECT cluster_id, term, round(sum(weight), 6) AS score
+      SELECT cluster_id, term, round(sum(CAST(round(weight * 1000000) AS BIGINT))
+                   / 1000000.0, 6) AS score
       FROM assigned GROUP BY cluster_id, term
     )
     SELECT cluster_id, term, score, rank FROM (
@@ -176,7 +177,8 @@ def c5_merge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tfidf t JOIN documents d ON t.doc_id = d.doc_id
     ),
     scored AS (
-      SELECT cluster_id, term, round(sum(weight), 6) AS score
+      SELECT cluster_id, term, round(sum(CAST(round(weight * 1000000) AS BIGINT))
+                   / 1000000.0, 6) AS score
       FROM assigned GROUP BY cluster_id, term
     ),
     topterms AS (
@@ -210,7 +212,9 @@ def c5_merge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dfc dj ON p.wj = dj.term
       CROSS JOIN ncorp
     )
-    SELECT cluster_id, round(avg(score), 6) AS coherence
+    SELECT cluster_id,
+           round(sum(CAST(round(score * 1000000) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS coherence
     FROM scored_pairs GROUP BY cluster_id
     """,
 )
@@ -238,7 +242,8 @@ def c6_prob_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sizes AS (SELECT cluster_id, count(DISTINCT doc_id) AS documents FROM assigned GROUP BY cluster_id),
     scored AS (
-      SELECT cluster_id, term, round(sum(weight), 6) AS score
+      SELECT cluster_id, term, round(sum(CAST(round(weight * 1000000) AS BIGINT))
+                   / 1000000.0, 6) AS score
       FROM assigned GROUP BY cluster_id, term
     ),
     topterms AS (
@@ -272,7 +277,10 @@ def c6_prob_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dfc dj ON p.wj = dj.term
       CROSS JOIN ncorp
     ),
-    coh AS (SELECT cluster_id, round(avg(score), 6) AS coherence FROM scored_pairs GROUP BY cluster_id)
+    coh AS (SELECT cluster_id,
+                   round(sum(CAST(round(score * 1000000) AS BIGINT))
+                         / 1000000.0 / count(*), 6) AS coherence
+            FROM scored_pairs GROUP BY cluster_id)
     SELECT s.cluster_id, s.documents, c.coherence
     FROM sizes s JOIN coh c ON s.cluster_id = c.cluster_id
     """,

@@ -636,7 +636,8 @@ def d11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source_a, source_b,
            count(*) AS n_dup_pairs,
-           round(avg(jaccard), 6) AS mean_jaccard
+           round(sum(CAST(round(jaccard * 1000000) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_jaccard
     FROM tagged GROUP BY 1, 2
     """,
 )
@@ -656,7 +657,21 @@ def d12_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(
             F.count("*").alias("n_dup_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            # decimal-summed mean (cur8's pattern): avg(double) over
+            # 200+ pairs is accumulation-order-dependent in the last
+            # ulp, and the round-15 sf1 probe caught 9/162 rows landing
+            # one 6th-decimal step from DuckDB's. The 6dp-scaled
+            # per-pair value is integer-exact, so parallel partial sums
+            # bit-match the oracle at any group size.
+            F.sum(F.round(F.col("jaccard") * 1000000).cast("long")).alias("j6"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            F.round(F.col("j6") / F.lit(1000000.0) / F.col("n_dup_pairs"), 6).alias(
+                "mean_jaccard"
+            ),
         )
     )
 
@@ -1757,8 +1772,10 @@ def cur13_decontamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(is_bloom) AS BIGINT) AS n_bloom_flagged,
            CAST(sum(is_exact) AS BIGINT) AS n_exact_flagged,
            CAST(sum(is_bloom) - sum(is_exact) AS BIGINT) AS n_false_pos,
-           round((sum(is_bloom) - sum(is_exact))
-                 / CAST(count(*) - sum(is_exact) AS DOUBLE), 6) AS fp_doc_rate,
+           CASE WHEN count(*) - sum(is_exact) = 0 THEN NULL
+                ELSE round((sum(is_bloom) - sum(is_exact))
+                           / CAST(count(*) - sum(is_exact) AS DOUBLE), 6)
+           END AS fp_doc_rate,
            CAST(any_value(nb.bits_set) AS BIGINT) AS bits_set
     FROM base CROSS JOIN nb
     GROUP BY base.source
@@ -1814,11 +1831,23 @@ def cur14_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_bloom").cast("long").alias("n_bloom_flagged"),
             F.sum("is_exact").cast("long").alias("n_exact_flagged"),
             (F.sum("is_bloom") - F.sum("is_exact")).cast("long").alias("n_false_pos"),
-            F.round(
-                (F.sum("is_bloom") - F.sum("is_exact"))
-                / (F.count("*") - F.sum("is_exact")).cast("double"),
-                6,
-            ).alias("fp_doc_rate"),
+            # NULL when a source has no non-exact train docs left (there
+            # is nothing a false positive could discard). The sf1 probe
+            # caught this: on the 10x replica corpus one source's train
+            # slice is 100% exact-contaminated, the denominator hits 0,
+            # and ANSI Spark throws DIVIDE_BY_ZERO where DuckDB yields
+            # NULL — so the NULL case is now explicit on BOTH sides.
+            F.when(
+                (F.count("*") - F.sum("is_exact")) == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    (F.sum("is_bloom") - F.sum("is_exact"))
+                    / (F.count("*") - F.sum("is_exact")).cast("double"),
+                    6,
+                )
+            )
+            .alias("fp_doc_rate"),
         )
         .crossJoin(F.broadcast(nb))  # singleton fill-level row
     )
@@ -1841,20 +1870,30 @@ def _band_config_cte(r: int) -> str:
     )"""
 
 
+def _band_config_stats_cte(r: int) -> str:
+    """One-pass stats for one band config — candidate count and truth
+    hits from a SINGLE left join (truth is unique per pair), mirroring
+    the Spark side. The original form recomputed the candidate join in
+    five scalar subqueries per config; at sf1's replica corpus the
+    r=1 config emits 8.4M candidate pairs and the repeated joins pushed
+    the oracle past 10 minutes (the sf1 probe recorded the fallout)."""
+    return f"""
+    stats_{r} AS (
+      SELECT count(*) AS nc,
+             CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh
+      FROM cand_{r} c LEFT JOIN truth t
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )"""
+
+
 def _band_config_select(r: int) -> str:
     b = 8 // r
     return f"""
     SELECT {b} AS bands, {r} AS rows_per_band,
-           (SELECT count(*) FROM cand_{r}) AS n_candidates,
-           (SELECT count(*) FROM truth) AS n_true,
-           (SELECT count(*) FROM cand_{r} c JOIN truth t
-             ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit,
-           round((SELECT count(*) FROM cand_{r} c JOIN truth t
-                   ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
-                 / CAST((SELECT count(*) FROM cand_{r}) AS DOUBLE), 6) AS precision_,
-           round((SELECT count(*) FROM cand_{r} c JOIN truth t
-                   ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
-                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall
+           s.nc AS n_candidates, nt.n AS n_true, s.nh AS n_hit,
+           round(s.nh / CAST(s.nc AS DOUBLE), 6) AS precision_,
+           round(s.nh / CAST(nt.n AS DOUBLE), 6) AS recall
+    FROM stats_{r} s CROSS JOIN nt
     """
 
 
@@ -1880,7 +1919,9 @@ def _band_config_select(r: int) -> str:
     WITH {_MINHASH},
     {_JACCARD},
     truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
-    {",".join(_band_config_cte(r) for r in (1, 2, 4))}
+    nt AS (SELECT count(*) AS n FROM truth),
+    {",".join(_band_config_cte(r) for r in (1, 2, 4))},
+    {",".join(_band_config_stats_cte(r) for r in (1, 2, 4))}
     {" UNION ALL ".join(_band_config_select(r) for r in (1, 2, 4))}
     """,
 )
@@ -1970,8 +2011,11 @@ def d20_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.source, p.docs_before, p.docs_after, p.toks_before, p.toks_after,
            round(1.0 - p.toks_after / CAST(p.toks_before AS DOUBLE), 6) AS token_loss_frac,
            round(p.toks_before / t.tb, 6) AS share_before,
-           round(p.toks_after / t.ta, 6) AS share_after,
-           round(p.toks_after / t.ta - p.toks_before / t.tb, 6) AS share_shift
+           CASE WHEN t.ta = 0 THEN NULL
+                ELSE round(p.toks_after / t.ta, 6) END AS share_after,
+           CASE WHEN t.ta = 0 THEN NULL
+                ELSE round(p.toks_after / t.ta - p.toks_before / t.tb, 6)
+           END AS share_shift
     FROM per_src p CROSS JOIN tot t
     """,
 )
@@ -2020,7 +2064,15 @@ def cur15_decontamination_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_loss_frac"
         ),
         F.round(F.col("toks_before") / F.col("tb"), 6).alias("share_before"),
-        F.round(F.col("toks_after") / F.col("ta"), 6).alias("share_after"),
+        # NULL when decontamination removed EVERYTHING (ta = 0): the
+        # post-screen share is undefined over an empty corpus. The sf1
+        # probe caught this crashing — on the 10x replica corpus every
+        # train doc shares >= 2 shingles with the %97 eval slice, the
+        # global toks_after total hits 0, and ANSI Spark throws
+        # DIVIDE_BY_ZERO where DuckDB yields NULL. Explicit both sides.
+        F.when(F.col("ta") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("toks_after") / F.col("ta"), 6))
+        .alias("share_after"),
         # signed-zero audit (round-12, after ep9's post-mortem): this
         # a−b is SAFE — ta/tb are exact integer sums cast to double and
         # each quotient is ONE division of deterministic values, so both
@@ -2028,9 +2080,14 @@ def cur15_decontamination_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-identical difference (a zero here carries the SAME sign on
         # both sides — unlike old ep9, where a float-sum normalizer gave
         # each engine a different last-ulp quotient and ±0.0 split).
-        F.round(
-            F.col("toks_after") / F.col("ta") - F.col("toks_before") / F.col("tb"), 6
-        ).alias("share_shift"),
+        F.when(F.col("ta") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("toks_after") / F.col("ta") - F.col("toks_before") / F.col("tb"),
+                6,
+            )
+        )
+        .alias("share_shift"),
     )
 
 

@@ -101,7 +101,8 @@ def l1_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tfidf t JOIN documents d ON t.doc_id = d.doc_id
     ),
     scored AS (
-      SELECT cluster_id, term, round(sum(weight), 6) AS score
+      SELECT cluster_id, term, round(sum(CAST(round(weight * 1000000) AS BIGINT))
+                   / 1000000.0, 6) AS score
       FROM assigned GROUP BY cluster_id, term
     ),
     topterms AS (

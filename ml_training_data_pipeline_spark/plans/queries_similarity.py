@@ -370,9 +370,11 @@ def n9_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            count(*) AS n_vecs,
-           round(avg(mse) * 1e6, 6) AS mean_mse_ppm,
+           round(sum(CAST(round(mse * 1e12) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_mse_ppm,
            round(max(mse) * 1e6, 6) AS max_mse_ppm,
-           round(avg(max_abs), 6) AS mean_scale_denom
+           round(sum(CAST(round(max_abs * 1000000) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_scale_denom
     FROM e
     GROUP BY label
     """,
@@ -402,11 +404,31 @@ def n10_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mse"),
     )
-    return e.groupBy("label").agg(
-        F.count("*").alias("n_vecs"),
-        F.round(F.avg("mse") * 1e6, 6).alias("mean_mse_ppm"),
-        F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
-        F.round(F.avg("max_abs"), 6).alias("mean_scale_denom"),
+    # decimal-summed means (cur8's pattern): per-row mse and max_abs are
+    # pure row expressions (identical doubles cross-engine), but
+    # avg(double) over ~2000-row label groups is accumulation-order-
+    # dependent in the last ulp — the d12 sf1-probe class. Scaling to
+    # integers (1e12 for mse: the ppm column's 6 decimals) makes the
+    # partial sums exact; max is order-independent and stays raw.
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.round(F.col("mse") * 1e12).cast("long")).alias("m12"),
+            F.round(F.max("mse") * 1e6, 6).alias("max_mse_ppm"),
+            F.sum(F.round(F.col("max_abs") * 1000000).cast("long")).alias("a6"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("m12") / F.lit(1000000.0) / F.col("n_vecs"), 6).alias(
+                "mean_mse_ppm"
+            ),
+            "max_mse_ppm",
+            F.round(F.col("a6") / F.lit(1000000.0) / F.col("n_vecs"), 6).alias(
+                "mean_scale_denom"
+            ),
+        )
     )
 
 

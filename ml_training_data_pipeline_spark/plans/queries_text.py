@@ -1424,7 +1424,8 @@ def v7_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(flesch), 6) AS mean_flesch,
+           round(sum(CAST(round(flesch * 1000000) AS BIGINT))
+                 / 1000000.0 / count(*), 6) AS mean_flesch,
            round(min(flesch), 6) AS min_flesch,
            round(max(flesch), 6) AS max_flesch,
            CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
@@ -1452,10 +1453,25 @@ def x19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("flesch"), 6).alias("mean_flesch"),
+            # decimal-summed mean (cur8's pattern): per-doc flesch is a
+            # pure expression of three integer counts (identical double
+            # cross-engine), but avg over ~10k-doc lang groups is
+            # accumulation-order-dependent in the last ulp — the d12
+            # sf1-probe class; min/max are order-independent and stay raw
+            F.sum(F.round(F.col("flesch") * 1000000).cast("long")).alias("f6"),
             F.round(F.min("flesch"), 6).alias("min_flesch"),
             F.round(F.max("flesch"), 6).alias("max_flesch"),
             F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0)).cast("long").alias("n_hard"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("f6") / F.lit(1000000.0) / F.col("n_docs"), 6).alias(
+                "mean_flesch"
+            ),
+            "min_flesch",
+            "max_flesch",
+            "n_hard",
         )
     )
 

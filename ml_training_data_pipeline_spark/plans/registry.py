@@ -61,6 +61,21 @@ PRIORITY: tuple[str, ...] = (
     # order. Round-15 additions insert at the FRONT as they land; each
     # insertion pushes the r8-block tail past the 50-cut into the
     # round-16 rotation — keep the ROUND-16 note below accurate.
+    # LATE-ROUND-15 CHANGE WAVE: the full-registry sf1 probe caught
+    # d12's mean_jaccard one 6th-decimal step from DuckDB's (avg(double)
+    # accumulation order at 200+-pair groups — h1's hazard class, its
+    # aggregate-mean face); the whole class was closed structurally with
+    # cur8's decimal-summed mean at every convertible round(avg|sum)
+    # output: d12, cluster_term_scores (c1/c6/c7/l2), prob_coherence
+    # (c6/c7), n10, x19. The same full-registry probe also caught cur14
+    # CRASHING at sf1 (one replica-corpus source is 100% exact-
+    # contaminated, the fp_doc_rate denominator hits 0, and ANSI Spark
+    # throws where DuckDB yields NULL) — the NULL case is now explicit
+    # on both sides. All eight re-verified at sf0.01+sf0.1+sf1 before
+    # commit; they lead the prefix as changed-this-round names.
+    "cur14_bloom_decontamination",
+    "d12_cross_source_dups", "c1_cluster_term_scores", "c6_prob_coherence",
+    "c7_quality_summary", "l2_cluster_labels", "n10_int8_quantization",
     "d27_cross_source_exposure",
     "d26_boilerplate_contagion",
     "st17_stream_span_scrub", "d24_span_scrub", "d25_cascade_quality_survivors",
@@ -81,9 +96,12 @@ PRIORITY: tuple[str, ...] = (
     "h17_sole_final_supplier", "x22_lexical_diversity", "w14_activity_gini",
     "n14_ann_margin", "g5_grouping_sets_profile",
     # ROUND-16 ROTATION (pre-staged): lead with any round-16
-    # additions/changes, then the 11 r8-stamp names left after this
-    # round's 35 (n14_ann_margin and g5_grouping_sets_profile — pushed
-    # past the 50-cut by the d26/d27 insertions — plus
+    # additions/changes, then the 17 r8-stamp names left after this
+    # round's prefix (h13_market_share, h14_top_supplier_revenue, h15_small_qty_revenue,
+    # h16_disjunctive_revenue, h17_sole_final_supplier,
+    # x22_lexical_diversity, w14_activity_gini — pushed past the 50-cut
+    # by the late-round decimal-mean change wave — plus n14_ann_margin,
+    # g5_grouping_sets_profile (pushed by d26/d27),
     # cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,
@@ -91,14 +109,16 @@ PRIORITY: tuple[str, ...] = (
     # r9-stamp block (n6_embedding_dedup_groups ... f11_json_decode,
     # listed next below) and r11-stamp names to fill 50. Rotation is
     # stamp-fold-driven: fold CORRECTNESS_r*.json for the newest stamp
-    # per name — comments can lie.
+    # per name — comments can lie. (Everything pushed past this round's
+    # cut was sf1-oracle-probed green in SF1_PROBE_r15 and stays in the
+    # local two-scale sweeps.)
     "w16_cusum_changepoint", "s16_orc_roundtrip", "v14_oov_by_source",
     "cur9_split_leakage", "mix6_weighted_sample", "mm7_image_channel_stats",
     "cur5_passage_dedup", "mix2_stratified_quota", "x12_char_entropy",
     "t7_training_shards", "w6_decayed_engagement", "s9_bucketed_join_roundtrip",
     "d11_containment_pairs", "x13_zipf_profile", "w7_cohort_retention",
     "n7_prototype_confusion", "st8_stream_static_join", "x14_source_divergence",
-    "mm3_audio_features", "mm4_video_features", "d12_cross_source_dups", "g3_cube_profile",
+    "mm3_audio_features", "mm4_video_features", "g3_cube_profile",
     "cur6_passage_scrub", "w8_value_outliers", "s10_jsonl_roundtrip",
     "n8_prototype_silhouette", "x15_zipf_alpha", "f12_fuzzy_term_variants",
     "ep4_curation_to_shards", "x16_pmi_collocations", "w9_gap_filled_daily",
@@ -106,7 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "w10_ordered_funnel", "mix3_temperature_weights", "x17_hapax_rate",
     "x18_word_length_outliers", "n9_norm_outliers", "j9_transition_matrix",
     "d14_source_dup_rates", "h3_shipping_priority", "h4_forecast_revenue",
-    "h5_local_supplier_volume", "n10_int8_quantization", "g4_salted_distinct_users",
+    "h5_local_supplier_volume", "g4_salted_distinct_users",
     "v7_feature_hashing", "cur7_length_survivorship", "t10_balanced_shards",
     "s15_schema_evolution_scan", "x23_langid_confusion", "v12_vocab_coverage",
     "h18_nation_profit", "mm6_audio_frame_profile", "x24_template_families",
@@ -122,7 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "s19_textlines_gzip_roundtrip", "cur12_versioned_admission",
     "cur13_decontamination_sweep", "h20_late_shipping_priority",
     "w17_trailing_range_stats", "mix8_epoch_upsampling", "v15_subword_fertility",
-    "st14_stream_outer_join", "cur14_bloom_decontamination", "n18_pq_adc_audit",
+    "st14_stream_outer_join", "n18_pq_adc_audit",
     "n19_ivfpq_audit", "d20_lsh_band_sweep", "l5_batched_inference_plan",
     "cur15_decontamination_impact", "x1_token_stats", "x2_quality_scores",
     "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg", "w2_sessionization",
@@ -142,11 +162,11 @@ PRIORITY: tuple[str, ...] = (
     "ep5_dedup_split_shards", "ep7_dataset_card", "st10_stream_dedup_gate",
     "ep6_stream_ingest_gate", "ep8_drift_report", "cur1_corpus_curation", "d5_simhash",
     "d6_simhash_near_dups", "h1_lineitem_pricing_summary", "h2_revenue_per_nation",
-    "v1_tfidf_ngram", "c1_cluster_term_scores", "m2_kmeans_cluster_sizes",
+    "v1_tfidf_ngram", "m2_kmeans_cluster_sizes",
     "l1_enrich_documents", "m4_lda_topic_terms", "v5_pos_keywords", "x5_corpus_profile",
     "s3_csv_chunk_roundtrip", "s7_inline_table", "p8_threshold_bands",
     "w4_argmax_per_group", "u2_vocab_intersection", "g1_rollup_totals",
-    "l2_cluster_labels", "st3_stream_enrich", "mm1_media_features", "t1_sort_topk",
+    "st3_stream_enrich", "mm1_media_features", "t1_sort_topk",
     "c5_merge_components", "d8_jaccard_capped", "n22_srp_probe_budget_sweep",
     "d22_exact_substring_spans", "ep12_data_card_diff", "d23_dedup_cascade",
     "st16_stream_cascade_admission", "ep13_dedup_budget_roadmap", "mix9_budget_waterfill",
@@ -154,7 +174,7 @@ PRIORITY: tuple[str, ...] = (
     "x6_subword_counts", "m1_kmeans_assignments", "m3_kmeans_predict_new_docs",
     "s5_model_roundtrip", "v2_term_counts", "v3_tfidf_unigram", "v6_doc_top_terms",
     "c2_group_centroids", "c3_group_withinss", "c4_centroid_cosine_pairs",
-    "c6_prob_coherence", "c7_quality_summary", "d1_exact_dup_groups",
+    "d1_exact_dup_groups",
     "d2_minhash_signatures", "x9_repetition_quality", "x10_pii_redaction",
     "pack1_token_budget_packing", "cur4_incremental_dedup", "st7_stream_curation_gate",
     "x11_unigram_logprob", "d9_simhash_banded_near_dups", "p11_referential_integrity",

@@ -96,6 +96,47 @@ def pick_names(n: int) -> list[str]:
     return (never + probed)[:n]
 
 
+def _write_artifact(results: dict, args) -> str:
+    """Merge ``results`` into the round's artifact on disk and rewrite it.
+
+    Called after EVERY probed name (idempotent merge-on-write), so a
+    mid-batch crash loses at most the in-flight comparison — a round-15
+    ENOSPC killed the JVM at name 47/50 and the old end-of-run write
+    lost all 46 finished rows. ``fails`` is always recomputed from the
+    merged result set (the round gate reads the merged artifact)."""
+    artifact = {
+        "note": (
+            "rotating sf1 correctness probe: driver-style DuckDB comparison "
+            f"on {args.sf_dir} (make_sf1.py replica corpus). Names rotate by "
+            "sf1-probe staleness with decimal/float hazard classes promoted; "
+            "the fold reads SF1_PROBE_r*.json artifacts (r14's ad-hoc sample "
+            "is seeded in scripts/sf1_probe.py)."
+        ),
+        "round": args.round,
+        "sf_dir": args.sf_dir,
+        "results": dict(results),
+        "fails": [],
+    }
+    out = os.path.join(REPO, f"SF1_PROBE_r{args.round:02d}.json")
+    # a round may probe several batches (e.g. decimal family early, float
+    # family after later additions land): MERGE into the round's artifact
+    # instead of clobbering the earlier batch
+    if os.path.exists(out):
+        try:
+            prior = json.load(open(out))
+            artifact["results"] = {**prior.get("results", {}), **results}
+        except Exception:
+            pass  # unreadable prior artifact: write this batch alone
+    artifact["fails"] = [
+        n for n, r in artifact["results"].items() if not r.get("hash_match")
+    ]
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    os.replace(tmp, out)  # atomic: a crash mid-dump cannot corrupt the artifact
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -145,38 +186,15 @@ def main() -> int:
         if not ok:
             fails.append(name)
         print(f"[{i + 1}/{len(names)}] {name}: {'OK' if ok else 'FAIL'} ({r['sec']}s)", flush=True)
+        # flush after EVERY name: a 50-name sf1 batch runs for an hour,
+        # and a mid-batch crash (a round-15 ENOSPC killed the JVM at
+        # name 47/50) must not lose the 46 finished comparisons — the
+        # merge-on-write below makes incremental flushes idempotent
+        _write_artifact(results, args)
 
-    artifact = {
-        "note": (
-            "rotating sf1 correctness probe: driver-style DuckDB comparison "
-            f"on {args.sf_dir} (make_sf1.py replica corpus). Names rotate by "
-            "sf1-probe staleness with decimal/float hazard classes promoted; "
-            "the fold reads SF1_PROBE_r*.json artifacts (r14's ad-hoc sample "
-            "is seeded in scripts/sf1_probe.py)."
-        ),
-        "round": args.round,
-        "sf_dir": args.sf_dir,
-        "results": results,
-        "fails": fails,
-    }
-    out = os.path.join(REPO, f"SF1_PROBE_r{args.round:02d}.json")
-    # a round may probe several batches (e.g. decimal family early, float
-    # family after later additions land): MERGE into the round's artifact
-    # instead of clobbering the earlier batch, and recompute fails from
-    # the merged result set
-    if os.path.exists(out):
-        try:
-            prior = json.load(open(out))
-            merged = {**prior.get("results", {}), **results}
-            artifact["results"] = merged
-            artifact["fails"] = [
-                n for n, r in merged.items() if not r.get("hash_match")
-            ]
-        except Exception:
-            pass  # unreadable prior artifact: write this batch alone
-    with open(out, "w") as fh:
-        json.dump(artifact, fh, indent=1)
+    out = _write_artifact(results, args)
     print(json.dumps({"checked": len(names), "fails": fails, "artifact": out}))
+    artifact = json.load(open(out))
     # gate on the MERGED round artifact, not just this batch: a green
     # batch 2 must not exit 0 while the artifact still records a batch-1
     # failure (round-15 review finding)

@@ -367,3 +367,56 @@ def test_ckpt_recorder_captures_reliable_checkpoints(spark, tmp_path_factory):
         df.checkpoint(eager=True)
     assert len(rec.plans) == 1
     assert "HashAggregate" in rec.plans[0] or "Aggregate" in rec.plans[0]
+
+
+def test_sf1_probe_artifacts_are_clean():
+    """Every sf1-probe row ever recorded must be hash-green: the rotating
+    probe's value is the claim that no oracle-backed query diverges from
+    DuckDB at 6M-row scale, so a committed artifact with a fail (or a
+    result row whose hash_match is not True) means a cross-engine
+    divergence shipped unfixed — the h1 decimal-ulp class this probe
+    exists to catch."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "SF1_PROBE_r*.json")))
+    if not artifacts:
+        pytest.skip("no sf1 probe artifacts yet")
+    for path in artifacts:
+        data = json.load(open(path))
+        assert data["fails"] == [], f"{path} records failures: {data['fails']}"
+        for name, row in data["results"].items():
+            assert row.get("err") is None, f"{path}:{name} errored: {row['err']}"
+            assert row.get("hash_match") is True, f"{path}:{name} not hash-green"
+
+
+def test_cur14_fully_contaminated_source_yields_null_rate(spark, tmp_path_factory):
+    """A source whose train docs are ALL exact-contaminated leaves
+    fp_doc_rate with a zero denominator (no non-exact doc a false
+    positive could discard). The sf1 probe caught this crashing: ANSI
+    Spark throws DIVIDE_BY_ZERO where DuckDB yields NULL — both sides
+    now make the NULL explicit. Planted: doc 97 is the eval doc (the
+    %97 slice), the 'dirty' source is two verbatim copies of it, the
+    'clean' source shares no shingle."""
+    import pandas as pd
+
+    eval_text = _fill("contam", 10)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [97, 1, 2, 3, 4],
+            "text": [eval_text, eval_text, eval_text, _fill("ca", 12), _fill("cb", 12)],
+            "lang": ["en"] * 5,
+            "source": ["evalsrc", "dirty", "dirty", "clean", "clean"],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path_factory.mktemp("cur14null"))
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    out = entry_mod.queries()["cur14_bloom_decontamination"](spark, d).toPandas()
+    rows = {r["source"]: r for _, r in out.iterrows()}
+    assert rows["dirty"]["n_train_docs"] == 2
+    assert rows["dirty"]["n_exact_flagged"] == 2
+    assert pd.isna(rows["dirty"]["fp_doc_rate"])  # explicit NULL, no crash
+    assert rows["clean"]["n_exact_flagged"] == 0
+    assert rows["clean"]["fp_doc_rate"] == rows["clean"]["fp_doc_rate"]  # not NaN
