@@ -112,6 +112,27 @@ def span_scrub_ctes(width: int = SPAN_WIDTH) -> str:
     rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id)"""
 
 
+def materialize(sql: str, *cte_names: str) -> str:
+    """Rewrite ``name AS (`` → ``name AS MATERIALIZED (`` for the given
+    CTE names (word-boundary match, all occurrences).
+
+    DuckDB 1.0 INLINES every non-recursive CTE, so a fragment referenced
+    by several consumers is re-evaluated per consumer — and when the
+    consumers are UNION ALL branches they all run concurrently. d20's
+    oracle at sf1 is the measured pathology: the 113M-row Jaccard
+    intersection aggregate (cheap alone: 11 s, no spill at a 40 GB
+    limit) is inlined into nt + three stats branches, and the combined
+    query spilled >80 GB of temp and filled the disk. With the shared
+    CTEs materialized the same query returns in 160 s with ZERO temp
+    spill. Purely physical — results are unchanged (same rows either
+    way wherever both forms finish)."""
+    import re as _re
+
+    for name in cte_names:
+        sql = _re.sub(rf"(?<![A-Za-z0-9_]){_re.escape(name)} AS \(", f"{name} AS MATERIALIZED (", sql)
+    return sql
+
+
 def stopword_list_sql() -> str:
     """The engine's stopword list as a SQL array literal."""
     inner = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)

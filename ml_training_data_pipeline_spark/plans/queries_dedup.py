@@ -30,6 +30,7 @@ from ..operators.dedup import (
 from .oracle_fragments import (
     H60,
     SPAN_WIDTH,
+    materialize,
     quality_cte,
     span_scrub_ctes,
     stopword_list_sql,
@@ -1915,7 +1916,15 @@ def _band_config_select(r: int) -> str:
 # independent; the measured curve is the real one).
 @query(
     "d20_lsh_band_sweep",
-    oracle=f"""
+    # materialize(): DuckDB 1.0 inlines each shared CTE into every
+    # consumer — here truth feeds nt + three UNION ALL stats branches
+    # and mh feeds three band projections, so at sf1 the inlined plan
+    # re-ran the 113M-row intersection aggregate per branch and spilled
+    # >80 GB of temp (filled the disk, 772 s, killed). Materialized, the
+    # same query finishes in 160 s with zero spill. See
+    # oracle_fragments.materialize for the measurements.
+    oracle=materialize(
+        f"""
     WITH {_MINHASH},
     {_JACCARD},
     truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
@@ -1924,6 +1933,10 @@ def _band_config_select(r: int) -> str:
     {",".join(_band_config_stats_cte(r) for r in (1, 2, 4))}
     {" UNION ALL ".join(_band_config_select(r) for r in (1, 2, 4))}
     """,
+        "toks", "sh", "mh", "truth",
+        "cand_1", "cand_2", "cand_4",
+        "jac", "inter", "sizes",
+    ),
 )
 def d20_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2624,7 +2637,11 @@ def cur18_ngram_decontamination_sweep(spark: SparkSession, sf_dir: str) -> DataF
 # split across engines.
 @query(
     "d21_jaccard_threshold_sweep",
-    oracle=f"""
+    # materialize(): same CTE-inlining hazard d20 hit at sf1 (cands is
+    # referenced by cj AND nc; sh three times through _JACCARD) — see
+    # oracle_fragments.materialize.
+    oracle=materialize(
+        f"""
     WITH {_CANDIDATES},
     {_JACCARD},
     cj AS (
@@ -2650,6 +2667,8 @@ def cur18_ngram_decontamination_sweep(spark: SparkSession, sf_dir: str) -> DataF
     FROM ts t LEFT JOIN per p ON p.threshold = t.threshold
     CROSS JOIN nc CROSS JOIN nd
     """,
+        "toks", "sh", "mh", "bands", "cands", "jac", "inter", "sizes", "cj",
+    ),
 )
 def d21_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (

@@ -420,3 +420,34 @@ def test_cur14_fully_contaminated_source_yields_null_rate(spark, tmp_path_factor
     assert pd.isna(rows["dirty"]["fp_doc_rate"])  # explicit NULL, no crash
     assert rows["clean"]["n_exact_flagged"] == 0
     assert rows["clean"]["fp_doc_rate"] == rows["clean"]["fp_doc_rate"]  # not NaN
+
+
+def test_materialize_rewrites_word_boundary_cte_names_only():
+    """materialize() must hit exactly the named CTEs: 'sh AS (' inside
+    another identifier (e.g. 'hash AS (') or a non-requested CTE must
+    stay untouched, and every occurrence of a requested name is
+    rewritten (d20 defines cand_1 once but the helper is re-entrant)."""
+    from ml_training_data_pipeline_spark.plans.oracle_fragments import materialize
+
+    sql = "WITH hash AS (SELECT 1), sh AS (SELECT 2), stats_1 AS (SELECT 3) SELECT 4"
+    out = materialize(sql, "sh")
+    assert "sh AS MATERIALIZED (" in out
+    assert "hash AS (" in out  # suffix-collision guard
+    assert "stats_1 AS (" in out  # non-requested CTE untouched
+
+
+def test_d20_d21_oracles_materialize_shared_ctes():
+    """The d20/d21 oracles must carry MATERIALIZED on their shared CTEs:
+    DuckDB 1.0 inlines multi-referenced CTEs, and at sf1 d20's inlined
+    plan re-ran the 113M-row Jaccard intersection aggregate inside all
+    four consuming branches — >80 GB of temp spill, disk full, killed at
+    772 s. Materialized, the identical query returns in 160 s with zero
+    spill (both measured 2026-08-16). This pin keeps a fragment refactor
+    from silently dropping the hint."""
+    sql20 = entry_mod.oracle_sql()["d20_lsh_band_sweep"]
+    for name in ("sh", "mh", "truth", "inter", "cand_1", "cand_2", "cand_4"):
+        assert f"{name} AS MATERIALIZED (" in sql20, name
+    assert "stats_1 AS (" in sql20  # single-consumer CTEs stay plain
+    sql21 = entry_mod.oracle_sql()["d21_jaccard_threshold_sweep"]
+    for name in ("sh", "cands", "jac"):
+        assert f"{name} AS MATERIALIZED (" in sql21, name
