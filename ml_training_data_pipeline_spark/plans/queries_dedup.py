@@ -36,7 +36,7 @@ from .oracle_fragments import (
     stopword_list_sql,
     toks_cte,
 )
-from .registry import query
+from .registry import ORACLE_SQL, query
 
 # shared shingle CTE: distinct word-3-shingles per doc, keyed by the
 # 60-bit md5 long (mirrors doc_shingles — string keys never shuffle;
@@ -2434,8 +2434,10 @@ def ep10_release_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ex.n_exact_flagged AS BIGINT) AS n_exact_flagged,
            CAST(coalesce(bl.n_bloom_flagged, 0) - ex.n_exact_flagged AS BIGINT)
              AS n_false_pos,
-           round((coalesce(bl.n_bloom_flagged, 0) - ex.n_exact_flagged)
-                 / (tot.n_train_docs - ex.n_exact_flagged), 6) AS fp_doc_rate
+           CASE WHEN tot.n_train_docs - ex.n_exact_flagged = 0 THEN NULL
+                ELSE round((coalesce(bl.n_bloom_flagged, 0) - ex.n_exact_flagged)
+                           / (tot.n_train_docs - ex.n_exact_flagged), 6)
+           END AS fp_doc_rate
     FROM nb LEFT JOIN bloom bl USING (m) CROSS JOIN ex CROSS JOIN tot
     """,
 )
@@ -2497,11 +2499,23 @@ def cur17_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             nbf.alias("n_bloom_flagged"),
             "n_exact_flagged",
             (nbf - F.col("n_exact_flagged")).cast("long").alias("n_false_pos"),
-            F.round(
-                (nbf - F.col("n_exact_flagged"))
-                / (F.col("n_train_docs") - F.col("n_exact_flagged")),
-                6,
-            ).alias("fp_doc_rate"),
+            # NULL when every train doc is exact-contaminated (nothing a
+            # false positive could discard) — cur14's hazard at corpus
+            # grain; the sf1 replica corpus hits it and ANSI Spark throws
+            # DIVIDE_BY_ZERO where DuckDB yields NULL, so the NULL case
+            # is explicit on BOTH sides.
+            F.when(
+                (F.col("n_train_docs") - F.col("n_exact_flagged")) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    (nbf - F.col("n_exact_flagged"))
+                    / (F.col("n_train_docs") - F.col("n_exact_flagged")),
+                    6,
+                )
+            )
+            .alias("fp_doc_rate"),
         )
     )
 
@@ -3848,4 +3862,32 @@ def d27_cross_source_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("exposure_frac"),
+    )
+
+
+# --- DuckDB CTE-inlining guard over the heavy dedup oracles -------------------------
+# DuckDB 1.0 inlines every non-recursive CTE into each consumer, so an
+# oracle that references the shingle stream / full-Jaccard machinery
+# from several consumers re-evaluates it per consumer — d20's inlined
+# plan at sf1 spilled >80 GB of temp and filled the disk (measured; see
+# oracle_fragments.materialize), and ep10 reproduced the same failure
+# (785 s, disk full) with sh referenced six times. Every oracle below
+# multi-references at least one of these fragments; materializing them
+# is purely physical (results unchanged — re-verified at sf0.01/sf0.1
+# after this rewrite) and bounds the oracle's memory at ONE evaluation
+# per fragment. d20/d21 apply the same helper inline at their
+# decorators, where their failure history is documented.
+for _name in (
+    "ep10_release_roadmap",
+    "d4_minhash_dedup",
+    "d8_jaccard_capped",
+    "d10_neardup_components",
+    "d17_lsh_precision",
+    "d18_component_size_histogram",
+    "cur2_component_survivors",
+    "cur8_dedup_quality_interaction",
+):
+    ORACLE_SQL[_name] = materialize(
+        ORACLE_SQL[_name],
+        "toks", "sh", "mh", "bands", "cands", "jac", "inter", "sizes",
     )

@@ -451,3 +451,45 @@ def test_d20_d21_oracles_materialize_shared_ctes():
     sql21 = entry_mod.oracle_sql()["d21_jaccard_threshold_sweep"]
     for name in ("sh", "cands", "jac"):
         assert f"{name} AS MATERIALIZED (" in sql21, name
+
+
+def test_heavy_dedup_oracles_materialize_shared_ctes():
+    """The post-registration guard in queries_dedup must keep the
+    MATERIALIZED hint on every heavy-fragment oracle: ep10 reproduced
+    d20's sf1 disk-fill (785 s, >80 GB temp) with `sh` inlined into six
+    consumers before the guard existed."""
+    for name in (
+        "ep10_release_roadmap", "d4_minhash_dedup", "d8_jaccard_capped",
+        "d10_neardup_components", "d17_lsh_precision",
+        "d18_component_size_histogram", "cur2_component_survivors",
+        "cur8_dedup_quality_interaction",
+    ):
+        sql = entry_mod.oracle_sql()[name]
+        assert "sh AS MATERIALIZED (" in sql, name
+
+
+def test_cur17_fully_contaminated_corpus_yields_null_rate(spark, tmp_path_factory):
+    """Corpus-grain twin of the cur14 hazard: when EVERY train doc is
+    exact-contaminated, cur17's fp_doc_rate denominator
+    (n_train_docs - n_exact_flagged) is 0 — ANSI Spark threw
+    DIVIDE_BY_ZERO at sf1 where DuckDB yields NULL. Planted: doc 97 is
+    the eval doc, both train docs are verbatim copies of it."""
+    import pandas as pd
+
+    eval_text = _fill("bloomsat", 10)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [97, 1, 2],
+            "text": [eval_text] * 3,
+            "lang": ["en"] * 3,
+            "source": ["evalsrc", "train", "train"],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path_factory.mktemp("cur17null"))
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    out = entry_mod.queries()["cur17_bloom_sizing_sweep"](spark, d).toPandas()
+    assert len(out) == 3  # one row per M
+    assert (out["n_train_docs"] == 2).all()
+    assert (out["n_exact_flagged"] == 2).all()
+    assert out["fp_doc_rate"].isna().all()  # explicit NULL, no crash
