@@ -73,6 +73,17 @@ PRIORITY: tuple[str, ...] = (
     # throws where DuckDB yields NULL) — the NULL case is now explicit
     # on both sides. All eight re-verified at sf0.01+sf0.1+sf1 before
     # commit; they lead the prefix as changed-this-round names.
+    # FULL-COVERAGE WAVE (later the same round): the probe reached ALL
+    # 254 oracle-backed names at sf1 and caught two more — cur17's
+    # fp_doc_rate crashed on the same zero denominator at CORPUS grain
+    # (fixed both sides + planted test), and d20/ep10's oracles filled
+    # the disk with DuckDB temp because DuckDB 1.0 inlines every
+    # multi-referenced CTE (fixed physically: oracle_fragments.
+    # materialize — applied to d20/d21 inline and to the eight
+    # heavy-fragment dedup oracles post-registration). cur17 leads the
+    # prefix (its Spark side changed); d20/ep10 follow (oracle-only
+    # changes); each re-verified at sf0.01+sf0.1+sf1 before commit.
+    "cur17_bloom_sizing_sweep", "d20_lsh_band_sweep", "ep10_release_roadmap",
     "cur14_bloom_decontamination",
     "d12_cross_source_dups", "c1_cluster_term_scores", "c6_prob_coherence",
     "c7_quality_summary", "l2_cluster_labels", "n10_int8_quantization",
@@ -96,13 +107,15 @@ PRIORITY: tuple[str, ...] = (
     "h17_sole_final_supplier", "x22_lexical_diversity", "w14_activity_gini",
     "n14_ann_margin", "g5_grouping_sets_profile",
     # ROUND-16 ROTATION (pre-staged): lead with any round-16
-    # additions/changes, then the 17 r8-stamp names left after this
+    # additions/changes, then the 20 r8-stamp names left after this
     # round's prefix (h13_market_share, h14_top_supplier_revenue, h15_small_qty_revenue,
     # h16_disjunctive_revenue, h17_sole_final_supplier,
     # x22_lexical_diversity, w14_activity_gini — pushed past the 50-cut
     # by the late-round decimal-mean change wave — plus n14_ann_margin,
-    # g5_grouping_sets_profile (pushed by d26/d27),
-    # cur7_length_survivorship, t10_balanced_shards,
+    # g5_grouping_sets_profile (pushed by d26/d27), and the last three
+    # pushed by the full-coverage wave (cur17/d20/ep10 promotions):
+    # h12_two_nation_volume, n13_ann_table_sweep, m8_cluster_stability —
+    # plus cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,
     # x24_template_families, mix5_mixture_entropy), then the 20-name
@@ -143,7 +156,7 @@ PRIORITY: tuple[str, ...] = (
     "cur13_decontamination_sweep", "h20_late_shipping_priority",
     "w17_trailing_range_stats", "mix8_epoch_upsampling", "v15_subword_fertility",
     "st14_stream_outer_join", "n18_pq_adc_audit",
-    "n19_ivfpq_audit", "d20_lsh_band_sweep", "l5_batched_inference_plan",
+    "n19_ivfpq_audit", "l5_batched_inference_plan",
     "cur15_decontamination_impact", "x1_token_stats", "x2_quality_scores",
     "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg", "w2_sessionization",
     "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk", "n2_srp_buckets",
@@ -152,7 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "mix1_source_mixing_sample", "x7_language_length_quantiles", "w5_asof_attribution",
     "g2_event_type_pivot", "s8_partitioned_sink_roundtrip", "j6_range_band_join",
     "u3_union_mixed_schemas", "t6_range_partitioned_export", "v4_vocab_top2000",
-    "ep10_release_roadmap", "cur18_ngram_decontamination_sweep",
+    "cur18_ngram_decontamination_sweep",
     "d21_jaccard_threshold_sweep", "st15_stream_semantic_admission",
     "n21_srp_multiprobe_recall", "ep11_release_diff_card", "cur16_neardup_split_leakage",
     "n20_embedding_health", "s20_schema_evolution_read", "ep9_mixture_roadmap",
@@ -170,7 +183,7 @@ PRIORITY: tuple[str, ...] = (
     "c5_merge_components", "d8_jaccard_capped", "n22_srp_probe_budget_sweep",
     "d22_exact_substring_spans", "ep12_data_card_diff", "d23_dedup_cascade",
     "st16_stream_cascade_admission", "ep13_dedup_budget_roadmap", "mix9_budget_waterfill",
-    "cur17_bloom_sizing_sweep", "n5_ann_ivf_topk", "mm2_frame_samples",
+    "n5_ann_ivf_topk", "mm2_frame_samples",
     "x6_subword_counts", "m1_kmeans_assignments", "m3_kmeans_predict_new_docs",
     "s5_model_roundtrip", "v2_term_counts", "v3_tfidf_unigram", "v6_doc_top_terms",
     "c2_group_centroids", "c3_group_withinss", "c4_centroid_cosine_pairs",

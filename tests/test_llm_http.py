@@ -121,7 +121,13 @@ def test_exhausted_retries_raise(stub_factory):
 
 
 def test_batch_concurrency_is_bounded(stub_factory):
-    stub = stub_factory(delay_s=0.05)
+    # delay_s=0.25: the lower-bound assertion (overlap actually happens)
+    # is timing-sensitive — at 0.05s a fully loaded host can schedule the
+    # pool's threads serially and max_in_flight stays 1 (observed once
+    # under a concurrent full-suite run). A 0.25s hold per request makes
+    # serial scheduling of 4 ready threads across 20 requests implausible
+    # even under load, without materially slowing the test (~1.3s).
+    stub = stub_factory(delay_s=0.25)
     client = HTTPLLMClient(stub.endpoint, api_key="k", max_concurrency=4)
     prompts = [f"p{i}" for i in range(20)]
     out = client.complete_batch(prompts)
