@@ -104,20 +104,32 @@ def _write_artifact(results: dict, args) -> str:
     ENOSPC killed the JVM at name 47/50 and the old end-of-run write
     lost all 46 finished rows. ``fails`` is always recomputed from the
     merged result set (the round gate reads the merged artifact)."""
-    artifact = {
-        "note": (
+    if getattr(args, "rows_only", False):
+        note = (
+            "sf1 EXECUTION probe for the rows-only (no-oracle) queries: "
+            f"each runs driver-style on {args.sf_dir} and records row count "
+            "+ schema + elapsed. No value comparison exists for these by "
+            "design (SURVEY §5) — the probe exists because the cur14/cur17 "
+            "hazard class (ANSI arithmetic on replica-corpus shapes) only "
+            "shows up when the query actually EXECUTES at this scale."
+        )
+    else:
+        note = (
             "rotating sf1 correctness probe: driver-style DuckDB comparison "
             f"on {args.sf_dir} (make_sf1.py replica corpus). Names rotate by "
             "sf1-probe staleness with decimal/float hazard classes promoted; "
             "the fold reads SF1_PROBE_r*.json artifacts (r14's ad-hoc sample "
             "is seeded in scripts/sf1_probe.py)."
-        ),
+        )
+    artifact = {
+        "note": note,
         "round": args.round,
         "sf_dir": args.sf_dir,
         "results": dict(results),
         "fails": [],
     }
-    out = os.path.join(REPO, f"SF1_PROBE_r{args.round:02d}.json")
+    prefix = "SF1_ROWSONLY" if getattr(args, "rows_only", False) else "SF1_PROBE"
+    out = os.path.join(REPO, f"{prefix}_r{args.round:02d}.json")
     # a round may probe several batches (e.g. decimal family early, float
     # family after later additions land): MERGE into the round's artifact
     # instead of clobbering the earlier batch
@@ -127,9 +139,14 @@ def _write_artifact(results: dict, args) -> str:
             artifact["results"] = {**prior.get("results", {}), **results}
         except Exception:
             pass  # unreadable prior artifact: write this batch alone
-    artifact["fails"] = [
-        n for n, r in artifact["results"].items() if not r.get("hash_match")
-    ]
+    if getattr(args, "rows_only", False):
+        artifact["fails"] = [
+            n for n, r in artifact["results"].items() if r.get("err") is not None
+        ]
+    else:
+        artifact["fails"] = [
+            n for n, r in artifact["results"].items() if not r.get("hash_match")
+        ]
     tmp = out + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(artifact, fh, indent=1)
@@ -144,6 +161,14 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--sf-dir", default="/tmp/sf1")
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument(
+        "--rows-only",
+        action="store_true",
+        help="probe the NO-ORACLE queries instead: execute at sf1, record "
+        "row count + schema + elapsed (crash detection — the cur14/cur17 "
+        "ANSI-arithmetic class — not value comparison). Writes "
+        "SF1_ROWSONLY_r{N}.json.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -152,8 +177,11 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from driver_sweep import TABLES, compare
 
-    names = args.names or pick_names(args.n)
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    if args.rows_only:
+        names = args.names or [q for q in qs if q not in osql][: args.n]
+    else:
+        names = args.names or pick_names(args.n)
 
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
@@ -174,11 +202,20 @@ def main() -> int:
     for i, name in enumerate(names):
         t0 = time.time()
         try:
-            sp = qs[name](spark, args.sf_dir).toPandas()
-            od = con.execute(osql[name]).fetchdf()
-            r = compare(sp, od)
-            r["spark_rows"], r["oracle_rows"] = len(sp), len(od)
-            ok = bool(r["hash_match"])
+            if args.rows_only:
+                df = qs[name](spark, args.sf_dir)
+                r = {
+                    "mode": "rows_only",
+                    "spark_rows": df.count(),
+                    "schema": df.schema.simpleString()[:400],
+                }
+                ok = True
+            else:
+                sp = qs[name](spark, args.sf_dir).toPandas()
+                od = con.execute(osql[name]).fetchdf()
+                r = compare(sp, od)
+                r["spark_rows"], r["oracle_rows"] = len(sp), len(od)
+                ok = bool(r["hash_match"])
         except Exception as e:  # noqa: BLE001 — probe must report, not die
             r, ok = {"err": f"{type(e).__name__}: {e}"[:300]}, False
         r["sec"] = round(time.time() - t0, 2)

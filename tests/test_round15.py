@@ -493,3 +493,24 @@ def test_cur17_fully_contaminated_corpus_yields_null_rate(spark, tmp_path_factor
     assert (out["n_train_docs"] == 2).all()
     assert (out["n_exact_flagged"] == 2).all()
     assert out["fp_doc_rate"].isna().all()  # explicit NULL, no crash
+
+
+def test_sf1_rowsonly_artifacts_are_clean():
+    """Every rows-only sf1 execution-probe row must have executed without
+    error: these queries have no oracle by design, so the probe's whole
+    claim is 'the query runs and returns a stable frame at 6M-row scale'
+    — a recorded err means a scale-only crash (the cur14/cur17 ANSI
+    class) shipped unfixed."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "SF1_ROWSONLY_r*.json")))
+    if not artifacts:
+        pytest.skip("no rows-only sf1 artifacts yet")
+    for path in artifacts:
+        data = json.load(open(path))
+        assert data["fails"] == [], f"{path} records failures: {data['fails']}"
+        for name, row in data["results"].items():
+            assert row.get("err") is None, f"{path}:{name} errored: {row['err']}"
+            assert row.get("spark_rows", -1) >= 0, f"{path}:{name} no row count"
