@@ -125,11 +125,23 @@ def materialize(sql: str, *cte_names: str) -> str:
     query spilled >80 GB of temp and filled the disk. With the shared
     CTEs materialized the same query returns in 160 s with ZERO temp
     spill. Purely physical — results are unchanged (same rows either
-    way wherever both forms finish)."""
+    way wherever both forms finish).
+
+    Callers pass a SUPERSET of names (a name absent from this oracle is
+    a no-op), so a silent regex miss on a PRESENT definition would be
+    indistinguishable from legitimate absence — the match is therefore
+    case- and whitespace-tolerant (``name  as\\n(`` still rewrites), and
+    tests/test_round15.py pins that no heavy fragment is left inlined
+    in any guarded oracle."""
     import re as _re
 
     for name in cte_names:
-        sql = _re.sub(rf"(?<![A-Za-z0-9_]){_re.escape(name)} AS \(", f"{name} AS MATERIALIZED (", sql)
+        sql = _re.sub(
+            rf"(?<![A-Za-z0-9_]){_re.escape(name)}\s+AS\s*\(",
+            f"{name} AS MATERIALIZED (",
+            sql,
+            flags=_re.IGNORECASE,
+        )
     return sql
 
 

@@ -80,10 +80,19 @@ PRIORITY: tuple[str, ...] = (
     # the disk with DuckDB temp because DuckDB 1.0 inlines every
     # multi-referenced CTE (fixed physically: oracle_fragments.
     # materialize — applied to d20/d21 inline and to the eight
-    # heavy-fragment dedup oracles post-registration). cur17 leads the
-    # prefix (its Spark side changed); d20/ep10 follow (oracle-only
-    # changes); each re-verified at sf0.01+sf0.1+sf1 before commit.
-    "cur17_bloom_sizing_sweep", "d20_lsh_band_sweep", "ep10_release_roadmap",
+    # heavy-fragment dedup oracles post-registration). cur17 and cur15
+    # lead the prefix (their Spark sides changed); d20/d21/ep10 follow
+    # (oracle-shape changes — d20/d21 rewritten inline, ep10 the guard's
+    # one measured failure). The other SEVEN guard names (d4, d8, d10,
+    # d17, d18, cur2, cur8) are deliberately NOT promoted: the guard is
+    # one loop applying one tested helper, all seven are byte-identical
+    # on the Spark side, each was re-swept at sf0.01+sf0.1 and probed
+    # hash-green at sf1 after the rewrite, and spending seven prefix
+    # slots on physically-identical oracle hints would displace seven
+    # genuinely stale r8 stamps — the rotation's actual purpose. ep10
+    # stands in the prefix as the guard's representative.
+    "cur17_bloom_sizing_sweep", "cur15_decontamination_impact",
+    "d20_lsh_band_sweep", "d21_jaccard_threshold_sweep", "ep10_release_roadmap",
     "cur14_bloom_decontamination",
     "d12_cross_source_dups", "c1_cluster_term_scores", "c6_prob_coherence",
     "c7_quality_summary", "l2_cluster_labels", "n10_int8_quantization",
@@ -107,14 +116,15 @@ PRIORITY: tuple[str, ...] = (
     "h17_sole_final_supplier", "x22_lexical_diversity", "w14_activity_gini",
     "n14_ann_margin", "g5_grouping_sets_profile",
     # ROUND-16 ROTATION (pre-staged): lead with any round-16
-    # additions/changes, then the 20 r8-stamp names left after this
+    # additions/changes, then the 22 r8-stamp names left after this
     # round's prefix (h13_market_share, h14_top_supplier_revenue, h15_small_qty_revenue,
     # h16_disjunctive_revenue, h17_sole_final_supplier,
     # x22_lexical_diversity, w14_activity_gini — pushed past the 50-cut
     # by the late-round decimal-mean change wave — plus n14_ann_margin,
-    # g5_grouping_sets_profile (pushed by d26/d27), and the last three
-    # pushed by the full-coverage wave (cur17/d20/ep10 promotions):
-    # h12_two_nation_volume, n13_ann_table_sweep, m8_cluster_stability —
+    # g5_grouping_sets_profile (pushed by d26/d27), and the last five
+    # pushed by the full-coverage wave (cur17/cur15/d20/d21/ep10
+    # promotions): h12_two_nation_volume, n13_ann_table_sweep,
+    # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff —
     # plus cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,
@@ -157,7 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "w17_trailing_range_stats", "mix8_epoch_upsampling", "v15_subword_fertility",
     "st14_stream_outer_join", "n18_pq_adc_audit",
     "n19_ivfpq_audit", "l5_batched_inference_plan",
-    "cur15_decontamination_impact", "x1_token_stats", "x2_quality_scores",
+    "x1_token_stats", "x2_quality_scores",
     "x3_language_id", "x4_fingerprint", "w1_tumbling_window_agg", "w2_sessionization",
     "w3_conditional_agg_funnel", "d7_jaccard_pairs", "n1_ann_brute_topk", "n2_srp_buckets",
     "n3_ann_lsh_topk", "n4_embedding_near_dups", "st1_stream_window_counts",
@@ -166,7 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "g2_event_type_pivot", "s8_partitioned_sink_roundtrip", "j6_range_band_join",
     "u3_union_mixed_schemas", "t6_range_partitioned_export", "v4_vocab_top2000",
     "cur18_ngram_decontamination_sweep",
-    "d21_jaccard_threshold_sweep", "st15_stream_semantic_admission",
+    "st15_stream_semantic_admission",
     "n21_srp_multiprobe_recall", "ep11_release_diff_card", "cur16_neardup_split_leakage",
     "n20_embedding_health", "s20_schema_evolution_read", "ep9_mixture_roadmap",
     "mix7_target_mixture_weights", "ep3_phase1_pipeline", "x8_approx_profile",

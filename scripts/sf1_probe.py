@@ -158,7 +158,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--names", nargs="*", default=None)
-    ap.add_argument("--n", type=int, default=12)
+    ap.add_argument(
+        "--n",
+        type=int,
+        default=None,
+        help="batch size: default 12 for the rotating oracle probe, the "
+        "FULL no-oracle pool for --rows-only (a silent 12-name cap there "
+        "would record a 'clean' round while skipping the expensive "
+        "pipelines most likely to crash at scale).",
+    )
     ap.add_argument("--sf-dir", default="/tmp/sf1")
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument(
@@ -179,9 +187,10 @@ def main() -> int:
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     if args.rows_only:
-        names = args.names or [q for q in qs if q not in osql][: args.n]
+        pool = [q for q in qs if q not in osql]
+        names = args.names or (pool if args.n is None else pool[: args.n])
     else:
-        names = args.names or pick_names(args.n)
+        names = args.names or pick_names(args.n if args.n is not None else 12)
 
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
@@ -204,9 +213,15 @@ def main() -> int:
         try:
             if args.rows_only:
                 df = qs[name](spark, args.sf_dir)
+                # toPandas(), NOT count(): Catalyst prunes columns a
+                # count never reads, so a scale-only crash inside a
+                # projected expression (the ANSI class this probe hunts)
+                # would pass a count() unexercised — and the grading
+                # driver's rows-only check materializes every column.
+                sp = df.toPandas()
                 r = {
                     "mode": "rows_only",
-                    "spark_rows": df.count(),
+                    "spark_rows": len(sp),
                     "schema": df.schema.simpleString()[:400],
                 }
                 ok = True

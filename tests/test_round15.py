@@ -514,3 +514,31 @@ def test_sf1_rowsonly_artifacts_are_clean():
         for name, row in data["results"].items():
             assert row.get("err") is None, f"{path}:{name} errored: {row['err']}"
             assert row.get("spark_rows", -1) >= 0, f"{path}:{name} no row count"
+
+
+def test_no_guarded_oracle_leaves_a_heavy_cte_inlined():
+    """The real invariant behind the materialize pins: in every oracle
+    that went through materialize() (d20/d21 inline + the 8-name guard),
+    NO heavy shared fragment may remain in plain inlined form — a
+    formatting drift in a fragment that stops the rewrite matching
+    would silently bring back the measured >80 GB sf1 temp spill. The
+    helper is case/whitespace-tolerant, and this pin catches whatever
+    still slips through."""
+    import re
+
+    heavy = ("toks", "sh", "mh", "bands", "cands", "jac", "inter", "sizes")
+    guarded = (
+        "d20_lsh_band_sweep", "d21_jaccard_threshold_sweep",
+        "ep10_release_roadmap", "d4_minhash_dedup", "d8_jaccard_capped",
+        "d10_neardup_components", "d17_lsh_precision",
+        "d18_component_size_histogram", "cur2_component_survivors",
+        "cur8_dedup_quality_interaction",
+    )
+    for name in guarded:
+        sql = entry_mod.oracle_sql()[name]
+        for cte in heavy:
+            plain = re.search(
+                rf"(?<![A-Za-z0-9_]){cte}\s+AS\s*\((?!\s*SELECT 1)", sql, re.IGNORECASE
+            )
+            if plain and "MATERIALIZED" not in sql[plain.start():plain.end() + 14]:
+                raise AssertionError(f"{name}: CTE '{cte}' is defined inlined")
