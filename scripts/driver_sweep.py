@@ -96,6 +96,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # keep duckdb temp out of the repo (it spills to ./.tmp under cwd);
+    # see sf1_probe.py for the sf1 incident this guards against
+    con.execute("SET temp_directory='/tmp/duckdb_sweep_tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"

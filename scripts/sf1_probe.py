@@ -202,6 +202,16 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Spill guard: before the materialize() fix, a CTE-inlined oracle at
+    # sf1 wrote >80 GB of duckdb temp into ./.tmp INSIDE THE REPO until
+    # the disk filled (and a stray .tmp dir dirtied the tree). Pin temp
+    # to /tmp and cap it so a future pathological oracle fails fast with
+    # a clear error instead of taking the filesystem down.
+    con.execute("SET temp_directory='/tmp/duckdb_sf1_probe_tmp'")
+    try:
+        con.execute("SET max_temp_directory_size='40GiB'")
+    except Exception:
+        pass  # older duckdb: the explicit temp dir alone still protects the repo
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
