@@ -88,3 +88,94 @@ def cluster_summary(features: DataFrame, assignments: DataFrame, features_col: s
     return cluster_sizes(assignments).join(
         withinss(features, assignments, cents, features_col), "cluster_id", "left"
     )
+
+
+def lloyd_deterministic(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means under a cross-engine determinism recipe (M10).
+
+    Unlike ``fit_kmeans`` (Spark ML: parallel init, partition-order-
+    sensitive float reductions — only rows-only checkable), this variant
+    is EXACTLY reproducible, including in DuckDB SQL:
+
+    - inputs quantized to integers (``floor(x * quant)``) so cluster sums
+      are exact integer arithmetic, order-independent;
+    - centers are ``int_sum / n`` in IEEE double — both engines divide the
+      same exactly-representable integers, giving bit-identical centers
+      (sums must stay below 2^53: |x|*quant*n_rows bounds it, fine for
+      unit-scale embeddings up to ~10^9 rows per cluster at quant=1000);
+    - distances fold ``(x-c)^2`` left-to-right over dims via
+      ``zip_with`` + ``aggregate`` — the same IEEE op sequence on the
+      same bits on any engine;
+    - argmin ties break on cluster_id; an emptied cluster keeps its
+      previous center.
+
+    Init: the ``k`` lowest ``id_col`` rows. Scale shape: one scan per
+    iteration, centers ship as k x d literals (broadcast-equivalent),
+    per-cluster sums are map-side-combinable longs; driver transfer is
+    k rows per iteration (job control).
+    """
+    from .materialize import materialize
+
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
+        ).alias("q"),
+    ).withColumn("d", F.transform("q", lambda x: x.cast("double")))
+    q = materialize(q)  # consumed by every iteration's assign + sums pass
+
+    init = q.orderBy("vec_id").limit(k).select("d").collect()
+    if len(init) < k:
+        raise ValueError(f"lloyd_deterministic: k={k} but only {len(init)} rows")
+    centers: dict[int, list[float]] = {j: list(r["d"]) for j, r in enumerate(init)}
+    dims = len(centers[0])
+
+    assign = None
+    for t in range(1, iters + 1):
+        structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "d",
+                            F.array(*[F.lit(v) for v in centers[j]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    F.lit(j).cast("int").alias("cluster_id"),
+                )
+                for j in range(k)
+            ]
+        )
+        assign = q.select(
+            "vec_id", "q", F.array_min(structs)["cluster_id"].alias("cluster_id")
+        )
+        if t < iters:
+            rows = (
+                assign.groupBy("cluster_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                        for i in range(dims)
+                    ],
+                )
+                .collect()  # k rows x d sums — job control, not data movement
+            )
+            centers = {
+                **centers,
+                **{
+                    r["cluster_id"]: [r[f"s{i}"] / r["n"] for i in range(dims)]
+                    for r in rows
+                },
+            }
+    return assign.select("vec_id", "cluster_id")

@@ -542,3 +542,85 @@ def m9_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# --- M10: deterministic Lloyd K-means — the m-family's ORACLE-BACKED row ----
+# m1/m2/m3 ride Spark ML's k-means (parallel init, partition-order-sensitive
+# reductions), so the driver can only rows-only-check them. This query runs
+# Lloyd's algorithm under a determinism recipe that makes the assignment
+# table EXACTLY reproducible in DuckDB SQL, turning "iterative ML is not
+# oracle-checkable" into a triple-green row (reference parity:
+# 02_build_models.R:183-190 fits kmeans on the same embedding family):
+#   * embeddings are quantized to integers (floor(x*1000)) — cluster sums
+#     become exact integer arithmetic, immune to accumulation order;
+#   * centers are sum/n in IEEE double — both engines divide the same
+#     exactly-representable integers, so centers are bit-identical;
+#   * per-center distances fold (x-c)^2 left-to-right over the dims
+#     (Spark zip_with+aggregate; DuckDB list_zip+list_reduce) — the same
+#     sequence of IEEE ops on the same bits gives bit-identical distances,
+#     so argmin (ties broken by cluster_id) matches exactly;
+#   * an emptied cluster keeps its previous center on both sides.
+# Scale shape: one fact scan per iteration; the k x d centers travel to the
+# executors as literals (a broadcast in cluster form); the per-cluster sums
+# are map-side-combinable longs; the only driver transfer is k rows per
+# iteration (job control, same class as the BPE merge loop). Iterations are
+# a fixed constant, so the 100 TB cost is ITERS linear passes.
+_LLOYD_K = 8
+_LLOYD_ITERS = 3
+_LLOYD_DIMS = 64  # the oracle is generated for the testdata's 64-dim vectors
+_LLOYD_Q = 1000
+
+
+def _lloyd_oracle() -> str:
+    dims, k, iters = _LLOYD_DIMS, _LLOYD_K, _LLOYD_ITERS
+    mean_list = ", ".join(
+        f"CAST(sum(q[{i + 1}]) AS DOUBLE) / count(*)" for i in range(dims)
+    )
+    dist = (
+        "list_reduce(list_transform(list_zip(qd.d, c.c),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"""qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_LLOYD_Q}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qd AS (SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS d FROM qe),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, d AS c
+  FROM (SELECT vec_id, d FROM qd ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT qd.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY qd.vec_id
+                              ORDER BY {dist}, c.cluster_id) AS rn
+    FROM qd CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            ctes.append(
+                f"""m{t} AS (
+  SELECT cluster_id, [{mean_list}] AS c
+  FROM qd JOIN a{t} USING (vec_id) GROUP BY cluster_id
+),
+c{t} AS (
+  SELECT p.cluster_id, COALESCE(m.c, p.c) AS c
+  FROM c{t - 1} p LEFT JOIN m{t} m USING (cluster_id)
+)"""
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cluster_id FROM a{iters}"
+
+
+@query("m10_lloyd_deterministic", oracle=_lloyd_oracle())
+def m10_lloyd_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import lloyd_deterministic
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_deterministic(emb, k=_LLOYD_K, iters=_LLOYD_ITERS, quant=_LLOYD_Q)

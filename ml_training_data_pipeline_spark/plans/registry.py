@@ -91,6 +91,13 @@ PRIORITY: tuple[str, ...] = (
     # slots on physically-identical oracle hints would displace seven
     # genuinely stale r8 stamps — the rotation's actual purpose. ep10
     # stands in the prefix as the guard's representative.
+    # SESSION-2 ADDITIONS (round 15, after the full-coverage wave):
+    # m10_lloyd_deterministic — the m-family's first ORACLE-BACKED row
+    # (deterministic Lloyd k-means, exact-matched Spark-vs-DuckDB at
+    # sf0.01 + sf0.1 + sf1 before registration). Leads the prefix as a
+    # new name; pushes p10_data_quality_profile past the 50-cut into the
+    # round-16 rotation.
+    "m10_lloyd_deterministic",
     "cur17_bloom_sizing_sweep", "cur15_decontamination_impact",
     "d20_lsh_band_sweep", "d21_jaccard_threshold_sweep", "ep10_release_roadmap",
     "cur14_bloom_decontamination",
@@ -124,7 +131,9 @@ PRIORITY: tuple[str, ...] = (
     # g5_grouping_sets_profile (pushed by d26/d27), and the last five
     # pushed by the full-coverage wave (cur17/cur15/d20/d21/ep10
     # promotions): h12_two_nation_volume, n13_ann_table_sweep,
-    # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff —
+    # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff,
+    # and p10_data_quality_profile (pushed by the session-2
+    # m10_lloyd_deterministic insertion) —
     # plus cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,

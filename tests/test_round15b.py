@@ -1,0 +1,118 @@
+"""Round-15 session-2 additions: m10_lloyd_deterministic — the m-family's
+first oracle-backed row. Planted-truth pins for the determinism recipe
+(the Spark-vs-DuckDB parity itself is swept by test_oracle_parity.py and
+was exact-matched at sf0.01/sf0.1/sf1 before registration).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ml_training_data_pipeline_spark.operators.cluster import lloyd_deterministic
+
+
+def _mk_vectors(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        schema="vec_id bigint, embedding array<float>",
+    )
+
+
+def _reference_lloyd(rows, k, iters, quant=1000):
+    """Pure-Python mirror of the recipe: floor-quantize, int sums, double
+    centers, left-to-right fold distances, argmin tie-broken by cluster."""
+    q = {
+        i: [math.floor(float(x) * quant) for x in v]  # float32 narrowing
+        for i, v in rows
+    }
+    ids = sorted(q)
+    centers = {j: [float(x) for x in q[ids[j]]] for j in range(k)}
+    assign = {}
+    for t in range(1, iters + 1):
+        for i in ids:
+            best = None
+            for j in range(k):
+                d = 0.0
+                for x, c in zip(q[i], centers[j]):
+                    d = d + (float(x) - c) * (float(x) - c)
+                if best is None or (d, j) < best:
+                    best = (d, j)
+            assign[i] = best[1]
+        if t < iters:
+            for j in range(k):
+                members = [i for i in ids if assign[i] == j]
+                if members:
+                    n = len(members)
+                    centers[j] = [
+                        sum(q[i][dim] for i in members) / n
+                        for dim in range(len(q[ids[0]]))
+                    ]
+    return assign
+
+
+def test_lloyd_matches_pure_python_mirror(spark):
+    # 40 vectors x 5 dims from a fixed LCG — no planted structure, so the
+    # argmin decisions exercise arbitrary boundaries; the Spark pipeline
+    # must reproduce the reference recipe decision-for-decision.
+    state, rows = 12345, []
+    for i in range(40):
+        v = []
+        for _ in range(5):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v.append((state / (1 << 31)) - 0.5)
+        rows.append((i, v))
+    # push through float32 the same way the parquet column does
+    import numpy as np
+
+    rows = [(i, [float(np.float32(x)) for x in v]) for i, v in rows]
+    got = (
+        lloyd_deterministic(_mk_vectors(spark, rows), k=4, iters=3)
+        .toPandas()
+        .set_index("vec_id")["cluster_id"]
+        .to_dict()
+    )
+    want = _reference_lloyd(rows, k=4, iters=3)
+    assert got == want
+
+
+def test_lloyd_recovers_planted_blobs(spark):
+    # Three tight, far-apart blobs; vec_ids 0/1/2 are one per blob so the
+    # deterministic init lands one center in each. Lloyd must recover the
+    # planted partition exactly.
+    blobs = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    rows = []
+    for i in range(30):
+        b = i % 3
+        jitter = 0.01 * ((i * 7) % 5)
+        rows.append((i, [c + (jitter if d == b else 0.0) for d, c in enumerate(blobs[b])]))
+    out = lloyd_deterministic(_mk_vectors(spark, rows), k=3, iters=3).toPandas()
+    by_cluster = out.groupby("cluster_id")["vec_id"].apply(
+        lambda s: {v % 3 for v in s}
+    )
+    assert len(by_cluster) == 3
+    for members in by_cluster:
+        assert len(members) == 1, f"blob split across clusters: {members}"
+
+
+def test_lloyd_empty_cluster_keeps_previous_center(spark):
+    # vec_ids 0 and 1 are identical, so cluster 1's init center duplicates
+    # cluster 0's; iteration 1 ties every near point to cluster 0, leaving
+    # cluster 1 EMPTY — it must keep its previous center (not crash, not
+    # renumber), which then wins the identical points BACK in iteration 2
+    # (cluster 0's center drifted toward vec 4; cluster 1's stayed put).
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [9.0, 9.0]), (3, [9.1, 9.1]),
+            (4, [1.1, 0.9])]
+    out = lloyd_deterministic(_mk_vectors(spark, rows), k=3, iters=3).toPandas()
+    got = out.set_index("vec_id")["cluster_id"].to_dict()
+    assert got == _reference_lloyd(rows, k=3, iters=3)
+    assert got[0] == got[1] == 1  # re-captured by the kept center
+    assert got[4] == 0
+    assert got[2] == got[3] == 2
+
+
+def test_lloyd_raises_when_fewer_rows_than_k(spark):
+    rows = [(0, [1.0]), (1, [2.0])]
+    with pytest.raises(ValueError, match="k=5"):
+        lloyd_deterministic(_mk_vectors(spark, rows), k=5, iters=1)
