@@ -71,6 +71,43 @@ def sample_load(
         sleep(poll_s)
 
 
+def read_proc_stat(_path: str = "/proc/stat") -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate cpu line, or None
+    (non-Linux / unreadable). The _-prefixed param is a test injection
+    point."""
+    try:
+        with open(_path) as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(v) for v in parts[1:]]
+    if not vals:
+        return None
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float:
+    """Hypervisor steal share (%) of ALL cpu time between two
+    read_proc_stat samples; -1.0 when unavailable.
+
+    loadavg only sees THIS machine's runnable tasks — on a virtualized
+    host the bench can read host_load 0.01, contended false, and still
+    run 2x slow because a co-tenant holds the physical cores (this
+    session: identical code read 12.4 wall one day and 25.4 the next at
+    host_load 0.007; steal was the only visible difference). Sampled
+    across the whole timed suite so the artifact records the honest
+    environment."""
+    if before is None or after is None:
+        return -1.0
+    dt = after[1] - before[1]
+    if dt <= 0:
+        return -1.0
+    return round(100.0 * (after[0] - before[0]) / dt, 3)
+
+
 def parse_sf(sf_dir: str) -> float | str:
     """sf label from a data dir: numeric when the dir is a plain sf
     scale (/root/testdata/sf0.1 -> 0.1), the raw suffix string otherwise
@@ -146,6 +183,7 @@ def main() -> None:
     load1, contended = sample_load(
         max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "120"))
     )
+    stat_before = read_proc_stat()
 
     from ml_training_data_pipeline_spark.session import get_spark
 
@@ -274,6 +312,7 @@ def main() -> None:
         if any(c < 0 for c in cpu_med.values())
         else round(sum(cpu_med.values()), 3)
     )
+    steal = steal_pct(stat_before, read_proc_stat())
     print(
         json.dumps(
             {
@@ -287,7 +326,11 @@ def main() -> None:
                 "total_cpu_median_s": total_cpu_med,
                 "sf": sf,
                 "host_load": round(load1, 3),
-                "contended": contended,
+                "steal_pct": steal,
+                # loadavg can't see co-tenant pressure on a virtualized
+                # host; >2% of all cpu time stolen across the suite makes
+                # wall/CPU deltas environment, not code
+                "contended": contended or steal > 2.0,
             }
         )
     )

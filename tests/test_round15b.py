@@ -116,3 +116,43 @@ def test_lloyd_raises_when_fewer_rows_than_k(spark):
     rows = [(0, [1.0]), (1, [2.0])]
     with pytest.raises(ValueError, match="k=5"):
         lloyd_deterministic(_mk_vectors(spark, rows), k=5, iters=1)
+
+
+# --- bench.py steal-time visibility ------------------------------------------
+# This session's own hazard: identical code read 12.4s wall one boot and
+# 25.4s the next at host_load 0.007/contended=false — loadavg only counts
+# THIS machine's runnable tasks, so hypervisor steal was invisible. bench
+# now samples /proc/stat across the suite and folds steal into contended.
+
+
+def test_read_proc_stat_parses_aggregate_cpu_line(tmp_path):
+    import bench
+
+    p = tmp_path / "stat"
+    p.write_text("cpu  100 0 50 800 10 0 5 35 0 0\nCPU0 ignored\n")
+    steal, total = bench.read_proc_stat(str(p))
+    assert steal == 35
+    assert total == 1000
+
+
+def test_read_proc_stat_handles_missing_and_malformed(tmp_path):
+    import bench
+
+    assert bench.read_proc_stat(str(tmp_path / "nope")) is None
+    bad = tmp_path / "bad"
+    bad.write_text("intr 12345\n")
+    assert bench.read_proc_stat(str(bad)) is None
+    short = tmp_path / "short"  # pre-2.6.11 kernels: no steal column
+    short.write_text("cpu 1 2 3 4\n")
+    assert bench.read_proc_stat(str(short)) == (0, 10)
+
+
+def test_steal_pct_flags_contention_and_degrades_cleanly():
+    import bench
+
+    # 3% of all cpu time stolen across the window
+    assert bench.steal_pct((100, 10_000), (400, 20_000)) == 3.0
+    assert bench.steal_pct(None, (400, 20_000)) == -1.0
+    assert bench.steal_pct((100, 10_000), None) == -1.0
+    # zero/negative elapsed (clock weirdness) must not divide
+    assert bench.steal_pct((100, 10_000), (100, 10_000)) == -1.0
