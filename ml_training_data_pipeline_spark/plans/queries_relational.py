@@ -1225,3 +1225,247 @@ def h20_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("delay_days").cast("long").alias("max_delay_days"),
         )
     )
+
+
+# --- H21: min-cost regional supplier (TPC-H Q2 shape, adapted) ---------------
+# The correlated-MIN-subquery shape: for each part in a size/type slice,
+# the EUROPE supplier(s) charging the minimum price, ties all kept. The
+# reference schema has no partsupp, so the supply relation is derived
+# from lineitem — cost := min extendedprice the supplier ever charged for
+# the part (an exact decimal MIN: no division, no float accumulation).
+# Scale layout: the only fact shuffle is the (part, supplier) group of
+# lineitem; region→nation→supplier prunes to one region and BROADCASTS
+# into it; part's slice broadcasts too; the per-part minimum is a
+# combinable groupBy joined back on equality (keeps ties) — no window.
+@query(
+    "h21_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu_supply AS (
+      SELECT supply.*, s_name, s_acctbal, n_name
+      FROM supply
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+      JOIN part ON p_partkey = l_partkey
+                AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    ),
+    best AS (SELECT l_partkey, min(cost) AS min_cost FROM eu_supply GROUP BY l_partkey)
+    SELECT e.l_partkey AS p_partkey, p_brand, p_size, s_name, n_name,
+           CAST(e.cost AS DOUBLE) AS cost,
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+    FROM eu_supply e
+    JOIN best ON best.l_partkey = e.l_partkey AND e.cost = best.min_cost
+    JOIN part ON p_partkey = e.l_partkey
+    """,
+)
+def h21_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import materialize
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_brand", "p_size")
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # both dim filters semi-prune the FACT before its one shuffle: at
+    # cluster scale only the slice's (part, supplier) pairs move
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu_supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    eu_supply = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    )
+    eu_supply = materialize(eu_supply)  # consumed by best AND the tie join-back
+    best = eu_supply.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eu_supply.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey"),
+            "p_brand",
+            "p_size",
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("cost"),
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+# --- H22: supplier diversity per part slice (TPC-H Q16 shape, adapted) -------
+# The NOT-IN-blacklist + COUNT-DISTINCT shape: how many distinct
+# suppliers offer each (brand, type, size) combination, excluding
+# excluded brands/types and blacklisted suppliers. The reference schema
+# has no supplier comments, so "complaint" suppliers are restated as
+# negative account balance. Scale layout: the supplier blacklist is a
+# tiny broadcast anti-join on the DISTINCT (part, supplier) pairs (the
+# distinct is the one fact shuffle — countDistinct then reuses its
+# partitioning), and part broadcasts.
+@query(
+    "h22_supplier_diversity",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok_pairs AS (
+      SELECT * FROM pairs
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    )
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ok_pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def h22_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = l.distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- H23: important-part share (TPC-H Q11 shape, adapted) --------------------
+# The global-fraction scalar-subquery shape: parts whose total traded
+# value exceeds 1.5x the average part's share. Both sides of the
+# comparison stay EXACT: per-part value and the corpus total are decimal
+# sums, and the threshold test multiplies by integer constants
+# (n_parts * value > 3 * total / 2 restated as 2*n*value > 3*total) —
+# no decimal division anywhere, so no cross-engine rounding surface.
+# Scale layout: one shuffle (part group), the corpus total is a
+# broadcast singleton crossJoin (the engine's blessed BNLJ shape).
+@query(
+    "h23_important_part_share",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS total, count(*) AS n_parts FROM per_part)
+    SELECT p_partkey, CAST(value AS DOUBLE) AS value
+    FROM per_part, tot
+    WHERE 2 * n_parts * value > 3 * total
+    """,
+)
+def h23_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = l.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value")
+    )
+    from ..operators.materialize import materialize
+
+    per_part = materialize(per_part)  # consumed by the total AND the filter
+    tot = per_part.agg(
+        F.sum("value").alias("total"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.join(F.broadcast(tot))  # singleton crossJoin
+        .where(2 * F.col("n_parts") * F.col("value") > 3 * F.col("total"))
+        .select("p_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+# --- H24: dominant seasonal supplier (TPC-H Q20 shape, adapted) --------------
+# The nested-correlated-aggregate shape: suppliers who shipped MORE THAN
+# HALF of a qualifying part's 1996 volume (Q20's "availqty > half of
+# shipped" restated shipped-vs-shipped since the schema has no partsupp).
+# Qualifying parts: name starts with 'red'. The half test is
+# 2*supp_qty > part_qty on exact decimal sums — no division. Scale
+# layout: one shuffle to (part, supplier) grain, the per-part total is a
+# map-side-combinable re-aggregation of that grain (NOT a second fact
+# scan), and the supplier/nation dims broadcast into the tiny winner set.
+@query(
+    "h24_dominant_seasonal_supplier",
+    oracle="""
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    y96 AS (
+      SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM red_parts)
+    ),
+    per_pair AS (
+      SELECT l_partkey, l_suppkey, SUM(qty) AS supp_qty
+      FROM y96 GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty FROM per_pair GROUP BY l_partkey
+    )
+    SELECT s_name, n_name, count(*) AS n_parts_dominated
+    FROM per_pair
+    JOIN per_part USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE 2 * supp_qty > part_qty
+    GROUP BY s_name, n_name
+    """,
+)
+def h24_dominant_seasonal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import materialize
+
+    red = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty"))
+    per_pair = (
+        l.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    per_pair = materialize(per_pair)  # re-aggregated for the per-part total
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_pair.join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
+        .where(2 * F.col("supp_qty") > F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("n_parts_dominated"))
+    )

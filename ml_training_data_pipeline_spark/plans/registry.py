@@ -96,8 +96,16 @@ PRIORITY: tuple[str, ...] = (
     # (deterministic Lloyd k-means, exact-matched Spark-vs-DuckDB at
     # sf0.01 + sf0.1 + sf1 before registration). Leads the prefix as a
     # new name; pushes p10_data_quality_profile past the 50-cut into the
-    # round-16 rotation.
+    # round-16 rotation. h21-h24 fill the four TPC-H shape classes the
+    # h-family lacked — Q2 correlated-min supplier, Q16 NOT-IN blacklist
+    # + count-distinct, Q11 global-fraction scalar subquery, Q20 nested
+    # correlated aggregate — each adapted to the partsupp-less schema
+    # (supply derived from lineitem) and verified at sf0.001+sf0.01+sf0.1
+    # before registration; they push h11_dormant_high_balance, x21,
+    # w12_weekday_hour_heatmap and x20_term_burstiness past the cut.
     "m10_lloyd_deterministic",
+    "h21_min_cost_supplier", "h22_supplier_diversity",
+    "h23_important_part_share", "h24_dominant_seasonal_supplier",
     "cur17_bloom_sizing_sweep", "cur15_decontamination_impact",
     "d20_lsh_band_sweep", "d21_jaccard_threshold_sweep", "ep10_release_roadmap",
     "cur14_bloom_decontamination",
@@ -132,8 +140,9 @@ PRIORITY: tuple[str, ...] = (
     # pushed by the full-coverage wave (cur17/cur15/d20/d21/ep10
     # promotions): h12_two_nation_volume, n13_ann_table_sweep,
     # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff,
-    # and p10_data_quality_profile (pushed by the session-2
-    # m10_lloyd_deterministic insertion) —
+    # and the five pushed by the session-2 insertions (m10 + h21-h24):
+    # x20_term_burstiness, w12_weekday_hour_heatmap,
+    # h11_dormant_high_balance, x21_heaps_law, p10_data_quality_profile —
     # plus cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,
