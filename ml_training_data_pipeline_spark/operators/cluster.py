@@ -90,15 +90,15 @@ def cluster_summary(features: DataFrame, assignments: DataFrame, features_col: s
     )
 
 
-def lloyd_deterministic(
+def lloyd_quantized(
     vectors: DataFrame,
     k: int,
     iters: int,
     quant: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means under a cross-engine determinism recipe (M10).
+) -> "tuple[DataFrame, dict[int, list[float]], DataFrame]":
+    """Lloyd's k-means under a cross-engine determinism recipe (M10/N23).\n\n    Returns ``(assignments, final_centers, quantized_frame)`` — the\n    assignment frame carries (vec_id, q, d, cluster_id); centers are the\n    k x dims doubles iteration ``iters`` was computed against.
 
     Unlike ``fit_kmeans`` (Spark ML: parallel init, partition-order-
     sensitive float reductions — only rows-only checkable), this variant
@@ -157,7 +157,7 @@ def lloyd_deterministic(
             ]
         )
         assign = q.select(
-            "vec_id", "q", F.array_min(structs)["cluster_id"].alias("cluster_id")
+            "vec_id", "q", "d", F.array_min(structs)["cluster_id"].alias("cluster_id")
         )
         if t < iters:
             rows = (
@@ -178,4 +178,19 @@ def lloyd_deterministic(
                     for r in rows
                 },
             }
+    return assign, centers, q
+
+
+def lloyd_deterministic(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The M10 assignment table — see ``lloyd_quantized`` for the full
+    (assignments, final centers, quantized frame) return that IVF-style
+    consumers (n23) build on."""
+    assign, _, _ = lloyd_quantized(vectors, k, iters, quant, id_col, vec_col)
     return assign.select("vec_id", "cluster_id")

@@ -175,3 +175,63 @@ def quality_cte() -> str:
         6) AS quality_score
       FROM qstats
     )"""
+
+
+def lloyd_dist(a: str, b: str) -> str:
+    """Squared-L2 between two DOUBLE[] expressions as an explicit
+    LEFT-TO-RIGHT fold — the same IEEE op sequence Spark's
+    zip_with+aggregate runs, so on bit-identical inputs the distance is
+    bit-identical (the m10/n23 determinism recipe)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
+    )
+
+
+def lloyd_ctes(dims: int, k: int, iters: int, quant: int) -> str:
+    """The deterministic-Lloyd CTE chain (no WITH keyword): qe/qd
+    (floor-quantized embeddings), c0..c{iters-1} (centers: exact integer
+    means cast to double; emptied clusters keep their previous center),
+    a1..a{iters} (assignments: argmin of lloyd_dist, ties to the lower
+    cluster_id). Mirrors operators/cluster.lloyd_deterministic exactly —
+    m10 selects from a{iters}; n23 extends the chain with an IVF probe."""
+    mean_list = ", ".join(
+        f"CAST(sum(q[{i + 1}]) AS DOUBLE) / count(*)" for i in range(dims)
+    )
+    dist = lloyd_dist("qd.d", "c.c")
+    ctes = [
+        f"""qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qd AS (SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS d FROM qe),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, d AS c
+  FROM (SELECT vec_id, d FROM qd ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT qd.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY qd.vec_id
+                              ORDER BY {dist}, c.cluster_id) AS rn
+    FROM qd CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            ctes.append(
+                f"""m{t} AS (
+  SELECT cluster_id, [{mean_list}] AS c
+  FROM qd JOIN a{t} USING (vec_id) GROUP BY cluster_id
+),
+c{t} AS (
+  SELECT p.cluster_id, COALESCE(m.c, p.c) AS c
+  FROM c{t - 1} p LEFT JOIN m{t} m USING (cluster_id)
+)"""
+            )
+    return ",\n".join(ctes)

@@ -572,50 +572,10 @@ _LLOYD_Q = 1000
 
 
 def _lloyd_oracle() -> str:
-    dims, k, iters = _LLOYD_DIMS, _LLOYD_K, _LLOYD_ITERS
-    mean_list = ", ".join(
-        f"CAST(sum(q[{i + 1}]) AS DOUBLE) / count(*)" for i in range(dims)
-    )
-    dist = (
-        "list_reduce(list_transform(list_zip(qd.d, c.c),"
-        " s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
-    )
-    ctes = [
-        f"""qe AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * {_LLOYD_Q}) AS BIGINT)) AS q
-  FROM embeddings
-),
-qd AS (SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS d FROM qe),
-c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, d AS c
-  FROM (SELECT vec_id, d FROM qd ORDER BY vec_id LIMIT {k})
-)"""
-    ]
-    for t in range(1, iters + 1):
-        ctes.append(
-            f"""a{t} AS (
-  SELECT vec_id, cluster_id FROM (
-    SELECT qd.vec_id, c.cluster_id,
-           row_number() OVER (PARTITION BY qd.vec_id
-                              ORDER BY {dist}, c.cluster_id) AS rn
-    FROM qd CROSS JOIN c{t - 1} c
-  ) WHERE rn = 1
-)"""
-        )
-        if t < iters:
-            ctes.append(
-                f"""m{t} AS (
-  SELECT cluster_id, [{mean_list}] AS c
-  FROM qd JOIN a{t} USING (vec_id) GROUP BY cluster_id
-),
-c{t} AS (
-  SELECT p.cluster_id, COALESCE(m.c, p.c) AS c
-  FROM c{t - 1} p LEFT JOIN m{t} m USING (cluster_id)
-)"""
-            )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cluster_id FROM a{iters}"
+    from .oracle_fragments import lloyd_ctes
+
+    ctes = lloyd_ctes(_LLOYD_DIMS, _LLOYD_K, _LLOYD_ITERS, _LLOYD_Q)
+    return f"WITH {ctes}\nSELECT vec_id, cluster_id FROM a{_LLOYD_ITERS}"
 
 
 @query("m10_lloyd_deterministic", oracle=_lloyd_oracle())

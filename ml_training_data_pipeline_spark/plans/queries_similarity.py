@@ -1832,3 +1832,118 @@ def n22_srp_probe_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at5"
         ),
     )
+
+
+# --- N23: deterministic IVF top-k — the ANN family's ORACLE-BACKED row -------
+# n5/n15/n18/n19 train their coarse quantizer with Spark ML k-means, so the
+# driver can only rows-only-check them. n23 builds the SAME IVF shape on
+# m10's deterministic Lloyd centroids, making the whole probe pipeline —
+# cell ranking, candidate scoping, exact in-cell top-k — reproducible in
+# DuckDB SQL: every distance is the left-to-right (x−c)² fold on
+# bit-identical inputs (quantized ints / exact int_sum/n centers), so cell
+# choices and neighbor ranks match exactly (ties break on id). Query set:
+# vec_id % 97 == 0 (deterministic, ~1% of vectors). nprobe=2, top-3.
+# Scale shape: the probe-cells frame (Q×nprobe rows) BROADCASTS into the
+# assignment table — the k-valued cluster_id join key never rides a
+# shuffle, so cell skew can't funnel; candidate distance work is the IVF
+# contract Q·nprobe·(N/k), the quantity the nprobe/budget sweeps (n21/n22)
+# measure.
+_N23_K = 8
+_N23_ITERS = 3
+_N23_Q = 1000
+_N23_NPROBE = 2
+_N23_TOPK = 3
+
+
+def _n23_oracle() -> str:
+    from .oracle_fragments import lloyd_ctes, lloyd_dist
+
+    ctes = lloyd_ctes(64, _N23_K, _N23_ITERS, _N23_Q)
+    cell_d = lloyd_dist("qv.qd", "c.c")
+    cand_d = lloyd_dist("qd", "nd")
+    return f"""WITH {ctes},
+qv AS (SELECT vec_id AS query_id, d AS qd FROM qd WHERE vec_id % 97 = 0),
+cellrank AS (
+  SELECT query_id, qd, cluster_id FROM (
+    SELECT qv.query_id, qv.qd, c.cluster_id,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {cell_d}, c.cluster_id) AS rn
+    FROM qv CROSS JOIN c{_N23_ITERS - 1} c
+  ) WHERE rn <= {_N23_NPROBE}
+),
+cand AS (
+  SELECT cr.query_id, cr.qd, a.vec_id AS neighbor_id, v.d AS nd
+  FROM cellrank cr
+  JOIN a{_N23_ITERS} a USING (cluster_id)
+  JOIN qd v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> cr.query_id
+)
+SELECT query_id, rank, neighbor_id, dist FROM (
+  SELECT query_id, neighbor_id, {cand_d} AS dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cand_d}, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {_N23_TOPK}"""
+
+
+@query("n23_deterministic_ivf_topk", oracle=_n23_oracle())
+def n23_deterministic_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cluster import lloyd_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, centers, q = lloyd_quantized(emb, k=_N23_K, iters=_N23_ITERS, quant=_N23_Q)
+
+    def dist_to_center(j: int):
+        return F.aggregate(
+            F.zip_with(
+                "qd",
+                F.array(*[F.lit(v) for v in centers[j]]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    queries = q.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("d").alias("qd")
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(
+                dist_to_center(j).alias("dist"),
+                F.lit(j).cast("int").alias("cluster_id"),
+            )
+            for j in range(_N23_K)
+        ]
+    )
+    probe = (
+        queries.select(
+            "query_id",
+            "qd",
+            F.explode(F.slice(F.array_sort(cell_structs), 1, _N23_NPROBE)).alias("c"),
+        )
+        .select("query_id", "qd", F.col("c.cluster_id").alias("probe_cid"))
+    )
+    cand_dist = F.aggregate(
+        F.zip_with("d", "qd", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cands = (
+        assign.select("vec_id", "d", "cluster_id")
+        .join(F.broadcast(probe), F.col("cluster_id") == F.col("probe_cid"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cand_dist.alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _N23_TOPK)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "dist")
+    )

@@ -103,7 +103,12 @@ PRIORITY: tuple[str, ...] = (
     # (supply derived from lineitem) and verified at sf0.001+sf0.01+sf0.1
     # before registration; they push h11_dormant_high_balance, x21,
     # w12_weekday_hour_heatmap and x20_term_burstiness past the cut.
-    "m10_lloyd_deterministic",
+    # n23 extends m10's Lloyd centroids into a fully ORACLE-BACKED IVF
+    # probe (cell ranking + candidate scoping + exact in-cell top-k,
+    # every distance the bit-identical fold) — the ANN family's first
+    # oracle row; verified sf0.001+sf0.01+sf0.1+sf1. Pushes
+    # n12_ann_multitable_recall past the cut.
+    "m10_lloyd_deterministic", "n23_deterministic_ivf_topk",
     "h21_min_cost_supplier", "h22_supplier_diversity",
     "h23_important_part_share", "h24_dominant_seasonal_supplier",
     "cur17_bloom_sizing_sweep", "cur15_decontamination_impact",
@@ -140,9 +145,10 @@ PRIORITY: tuple[str, ...] = (
     # pushed by the full-coverage wave (cur17/cur15/d20/d21/ep10
     # promotions): h12_two_nation_volume, n13_ann_table_sweep,
     # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff,
-    # and the five pushed by the session-2 insertions (m10 + h21-h24):
-    # x20_term_burstiness, w12_weekday_hour_heatmap,
-    # h11_dormant_high_balance, x21_heaps_law, p10_data_quality_profile —
+    # and the six pushed by the session-2 insertions (m10 + n23 +
+    # h21-h24): n12_ann_multitable_recall, x20_term_burstiness,
+    # w12_weekday_hour_heatmap, h11_dormant_high_balance, x21_heaps_law,
+    # p10_data_quality_profile —
     # plus cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,

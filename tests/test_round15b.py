@@ -156,3 +156,28 @@ def test_steal_pct_flags_contention_and_degrades_cleanly():
     assert bench.steal_pct((100, 10_000), None) == -1.0
     # zero/negative elapsed (clock weirdness) must not divide
     assert bench.steal_pct((100, 10_000), (100, 10_000)) == -1.0
+
+
+# --- n23 structural pins ------------------------------------------------------
+# n23's value correctness is oracle-checked at four scales; these pin the
+# probe pipeline's structure so a window/tie-break regression can't hide
+# behind a same-shape answer.
+
+
+def test_n23_probe_structure(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+    import ml_training_data_pipeline_spark.plans.queries_similarity  # noqa: F401
+
+    out = (
+        registry.QUERIES["n23_deterministic_ivf_topk"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert len(out) > 0
+    for qid, g in out.groupby("query_id"):
+        assert qid % 97 == 0
+        assert list(g["rank"]) == list(range(1, len(g) + 1))  # dense 1..k
+        assert len(g) <= 3
+        assert (g["neighbor_id"] != qid).all()  # self excluded
+        d = list(g["dist"])
+        assert all(a <= b for a, b in zip(d, d[1:])), d  # nondecreasing
