@@ -235,3 +235,64 @@ c{t} AS (
 )"""
             )
     return ",\n".join(ctes)
+
+
+def bpe_merge_ctes(n_merges: int) -> tuple[str, str]:
+    """(ctes, merge_table_select) — unrolled deterministic BPE trainer
+    (requires toks CTE). st0 is the
+    distinct-term table (term, corpus tf, symbols joined by chr(31) — the
+    unit separator, unreachable from the [a-z0-9]-only tokenizer), each
+    step counts adjacent pairs weighted by tf, picks the winner
+    (freq DESC, l, r — operators/bpe.train_bpe's exact tie-break), and
+    re-segments via a string-encoded left-to-right greedy fold.
+
+    The fold dodges a DuckDB list_reduce defect: a LIST inside a STRUCT
+    accumulator silently loses elements (['a','a','a','b'] with rule
+    (a,a) folded to res=['a'], not ['aa','a']), so the accumulator is a
+    separator-joined STRING — "last symbol == L" is an exact
+    ends_with(chr(31)||L) check (separator-bounded, so a multi-char
+    symbol merely ENDING in L can't fire), and a merge appends R with no
+    separator, which IS tail replacement in the joined form. Greedy
+    non-overlap matches the Spark fold: the merged tail no longer equals
+    L, so an overlapping second match can't fire."""
+    sep = "chr(31)"
+    ctes = [
+        """tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0
+),
+st0 AS (
+  SELECT term, count(*) AS tf,
+         array_to_string(list_transform(range(1, len(term) + 1), i -> term[i]), chr(31)) AS symstr
+  FROM tok GROUP BY term
+)"""
+    ]
+    for t in range(n_merges):
+        ctes.append(
+            f"""p{t} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(tf) AS freq FROM (
+    SELECT tf, unnest(list_transform(range(1, len(parts)),
+                                     i -> {{l: parts[i], r: parts[i + 1]}})) AS pr
+    FROM (SELECT tf, string_split(symstr, {sep}) AS parts FROM st{t})
+  ) GROUP BY 1, 2
+),
+b{t} AS (SELECT l, r, freq FROM p{t} ORDER BY freq DESC, l, r LIMIT 1)"""
+        )
+        if t < n_merges - 1:
+            ctes.append(
+                f"""st{t + 1} AS (
+  SELECT term, tf,
+         list_reduce(
+           string_split(symstr, {sep}),
+           (acc, e) -> CASE WHEN (acc = b.l OR ends_with(acc, {sep} || b.l)) AND e = b.r
+                            THEN acc || e
+                            ELSE acc || {sep} || e END
+         ) AS symstr
+  FROM st{t} CROSS JOIN b{t} b
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f'SELECT CAST({t} AS BIGINT) AS step, l AS "left", r AS "right",'
+        f" l || r AS merged, CAST(freq AS BIGINT) AS pair_freq FROM b{t}"
+        for t in range(n_merges)
+    )
+    return ",\n".join(ctes), selects

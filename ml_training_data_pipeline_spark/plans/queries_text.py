@@ -1666,7 +1666,18 @@ def v9_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # low/lower/newest/widest corpus learns exactly es→est→lo→low→ew→ewest,
 # and rules are partitioning-invariant). Every iteration is bounded by
 # |vocab|, not corpus size — see operators/bpe.py.
-@query("v10_bpe_learned_merges")
+def _v10_oracle() -> str:
+    # session-2 upgrade: v10 was rows-only since r8 ("iterative trainers
+    # aren't SQL-expressible") — but train_bpe is DETERMINISTIC (exact
+    # integer pair counts, freq-DESC/l/r tie-break, greedy fold), so an
+    # 8-step unrolled CTE chain reproduces the merge table exactly.
+    from .oracle_fragments import bpe_merge_ctes, toks_cte
+
+    ctes, selects = bpe_merge_ctes(8)
+    return f"WITH {toks_cte()},\n{ctes}\n{selects}"
+
+
+@query("v10_bpe_learned_merges", oracle=_v10_oracle())
 def v10_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import merge_table, train_bpe
 
