@@ -237,9 +237,11 @@ c{t} AS (
     return ",\n".join(ctes)
 
 
-def bpe_merge_ctes(n_merges: int) -> tuple[str, str]:
+def bpe_merge_ctes(n_merges: int, with_final_state: bool = False) -> tuple[str, str]:
     """(ctes, merge_table_select) — unrolled deterministic BPE trainer
-    (requires toks CTE). st0 is the
+    (requires toks CTE). ``with_final_state`` additionally emits
+    st{n_merges}, the segmentation AFTER the last merge, for serve-path
+    oracles (v11/v13). st0 is the
     distinct-term table (term, corpus tf, symbols joined by chr(31) — the
     unit separator, unreachable from the [a-z0-9]-only tokenizer), each
     step counts adjacent pairs weighted by tf, picks the winner
@@ -277,7 +279,7 @@ st0 AS (
 ),
 b{t} AS (SELECT l, r, freq FROM p{t} ORDER BY freq DESC, l, r LIMIT 1)"""
         )
-        if t < n_merges - 1:
+        if t < n_merges - 1 or with_final_state:
             ctes.append(
                 f"""st{t + 1} AS (
   SELECT term, tf,

@@ -1693,7 +1693,37 @@ def v10_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs ONCE per distinct term (vocabulary-sized) and joins back to the
 # per-doc term stream; train/serve use the same JVM fold, so
 # tests/test_bpe.py's train-serve round-trip is exact.
-@query("v11_bpe_token_budget")
+def _v11_oracle() -> str:
+    # session-2 upgrade (same basis as v10): the serve path is as
+    # deterministic as the trainer — segment each distinct term under the
+    # 8 learned rules (st8 = the final state the unrolled trainer already
+    # computes), join term-level subword counts back to the per-doc term
+    # stream, aggregate per language.
+    from .oracle_fragments import bpe_merge_ctes, toks_cte
+
+    ctes, _selects = bpe_merge_ctes(8, with_final_state=True)
+    return f"""WITH {toks_cte()},
+{ctes},
+counts AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+seg AS (
+  SELECT term, CAST(len(term) AS BIGINT) AS n_chars_term,
+         CAST(len(string_split(symstr, chr(31))) AS BIGINT) AS n_sub_term
+  FROM st8
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(tf * n_chars_term) AS BIGINT) AS n_chars_sym,
+         CAST(sum(tf * n_sub_term) AS BIGINT) AS n_subwords
+  FROM counts JOIN seg USING (term) GROUP BY doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+       round(CAST(sum(n_chars_sym) AS DOUBLE) / sum(n_subwords), 6) AS chars_per_subword
+FROM per_doc JOIN documents ON documents.doc_id = per_doc.doc_id
+GROUP BY lang"""
+
+
+@query("v11_bpe_token_budget", oracle=_v11_oracle())
 def v11_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import encode_token_counts, train_bpe
 
@@ -2121,7 +2151,25 @@ def mix5_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # learning order, like n13's table prefixes); subword totals are exact
 # integers. Monotone nonincreasing by construction — pinned in
 # tests/test_round7.py.
-@query("v13_bpe_compression_curve")
+def _v13_oracle() -> str:
+    # session-2 upgrade: the compression curve needs only the trainer's
+    # intermediate states — total subwords at n merges is
+    # sum(corpus_tf x symbols(term)@st{n}), no per-doc pass at all.
+    from .oracle_fragments import bpe_merge_ctes, toks_cte
+
+    ctes, _selects = bpe_merge_ctes(8, with_final_state=True)
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({n} AS BIGINT) AS n_merges,
+       CAST(sum(tf * len(string_split(symstr, chr(31)))) AS BIGINT) AS total_subwords,
+       round(CAST(sum(tf * len(term)) AS DOUBLE)
+             / sum(tf * len(string_split(symstr, chr(31)))), 6) AS chars_per_subword
+FROM st{n}"""
+        for n in (0, 2, 4, 8)
+    )
+    return f"WITH {toks_cte()},\n{ctes}\n{selects}"
+
+
+@query("v13_bpe_compression_curve", oracle=_v13_oracle())
 def v13_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import encode_token_counts, train_bpe
 

@@ -108,7 +108,12 @@ PRIORITY: tuple[str, ...] = (
     # every distance the bit-identical fold) — the ANN family's first
     # oracle row; verified sf0.001+sf0.01+sf0.1+sf1. Pushes
     # n12_ann_multitable_recall past the cut.
+    # v13 moved up from the registry tail: its oracle is NEW this round
+    # (the BPE serve-path upgrade wave with v10/v11 — v10/v11 already sit
+    # in this prefix at their r8-rotation slots, so only v13 moves).
+    # Pushes s13_upsert_latest_wins past the cut.
     "m10_lloyd_deterministic", "n23_deterministic_ivf_topk",
+    "v13_bpe_compression_curve",
     "h21_min_cost_supplier", "h22_supplier_diversity",
     "h23_important_part_share", "h24_dominant_seasonal_supplier",
     "cur17_bloom_sizing_sweep", "cur15_decontamination_impact",
@@ -145,10 +150,10 @@ PRIORITY: tuple[str, ...] = (
     # pushed by the full-coverage wave (cur17/cur15/d20/d21/ep10
     # promotions): h12_two_nation_volume, n13_ann_table_sweep,
     # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff,
-    # and the six pushed by the session-2 insertions (m10 + n23 +
-    # h21-h24): n12_ann_multitable_recall, x20_term_burstiness,
-    # w12_weekday_hour_heatmap, h11_dormant_high_balance, x21_heaps_law,
-    # p10_data_quality_profile —
+    # and the seven pushed by the session-2 insertions (m10 + n23 + v13
+    # + h21-h24): s13_upsert_latest_wins, n12_ann_multitable_recall,
+    # x20_term_burstiness, w12_weekday_hour_heatmap,
+    # h11_dormant_high_balance, x21_heaps_law, p10_data_quality_profile —
     # plus cur7_length_survivorship, t10_balanced_shards,
     # s15_schema_evolution_scan, x23_langid_confusion,
     # v12_vocab_coverage, h18_nation_profit, mm6_audio_frame_profile,
@@ -228,7 +233,7 @@ PRIORITY: tuple[str, ...] = (
     "st11_stream_type_totals", "l4_llm_cache_report", "w15_daily_autocorr",
     "x25_lexicon_screen", "n15_ivf_nprobe_sweep", "u5_vocab_symmetric_diff",
     "j13_coactivity_pairs", "x26_crosslang_dups", "h19_ship_latency_quantiles",
-    "x27_effective_tokens", "v13_bpe_compression_curve", "d18_component_size_histogram",
+    "x27_effective_tokens", "d18_component_size_histogram",
     "x28_length_drift_ks", "pack3_packing_efficiency", "m9_classifier_threshold_sweep",
     "x29_token_psi", "g6_source_lang_chi2", "cur8_dedup_quality_interaction",
 )
