@@ -1343,8 +1343,6 @@ def h21_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def h22_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    pairs = l.distinct()
     bad = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_acctbal") < 0)
@@ -1355,9 +1353,21 @@ def h22_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    # filter-before-shuffle: the slice join and blacklist anti-join both
+    # BROADCAST onto the raw fact rows, so the DISTINCT — the one real
+    # shuffle — moves only the slice's pairs (~1/7 of the fact; measured
+    # 24x CPU at 10x data when the distinct ran first, the map-side
+    # partials being too sparse to combine 6M scattered pairs)
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    pairs = l.distinct()
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
