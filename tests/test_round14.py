@@ -451,9 +451,13 @@ def test_bench_emits_median_cpu_column():
     assert '"cpu_median_s": cpu_med' in src
     assert '"total_cpu_median_s": total_cpu_med' in src
     assert "any(c < 0 for c in cpu_med.values())" in src
-    # ADVICE r13: a mixed wall/CPU pair (fastest rep's CPU sample failed)
-    # must be flagged in the stderr line
-    assert "cpu from" in src
+    # ADVICE r13 (superseded in r15 session 2): a CPU column whose reps
+    # aren't fully trustworthy must be flagged. The "cpu from Xs rep"
+    # mixed-pair marker was replaced by the per-query cpu_rep_source tag
+    # ("clean-k/n" steal-gated / "all-k/n" no-quiet-rep fallback), which
+    # subsumes it — pin the replacement, not the retired string.
+    assert '"cpu_rep_source": cpu_src' in src
+    assert "pick_cpu_stats" in src
     # the timed action must be the noop sink, NOT count(): count() lets
     # Catalyst prune unused columns and eliminate unique-key left joins,
     # so per-doc report queries (x2, d24) measured as parquet count-stars

@@ -181,3 +181,38 @@ def test_n23_probe_structure(spark):
         assert (g["neighbor_id"] != qid).all()  # self excluded
         d = list(g["dist"])
         assert all(a <= b for a, b in zip(d, d[1:])), d  # nondecreasing
+
+
+def test_pick_cpu_stats_prefers_steal_clean_reps():
+    import bench
+
+    # rep 2 hit a 6% steal episode and read 657 CPU-s; clean reps rule
+    reps = [(5.0, 18.0, 0.4), (4.8, 657.0, 6.1), (5.2, 19.0, 0.2)]
+    wall, cpu, med, src = bench.pick_cpu_stats(reps)
+    assert wall == 4.8  # min wall over ALL reps (episode only slows)
+    assert cpu == 18.0 and med == 18.5
+    assert src == "clean-2/3"
+
+
+def test_pick_cpu_stats_falls_back_when_no_quiet_rep():
+    import bench
+
+    reps = [(5.0, 100.0, 3.0), (6.0, 120.0, 4.5)]
+    wall, cpu, med, src = bench.pick_cpu_stats(reps)
+    assert (wall, cpu, med) == (5.0, 100.0, 110.0)
+    assert src == "all-2/2"
+
+
+def test_pick_cpu_stats_sentinel_discipline():
+    import bench
+
+    # failed CPU samples (-1.0) never win even when their rep is quiet
+    reps = [(5.0, -1.0, 0.1), (6.0, 20.0, 0.2)]
+    wall, cpu, med, src = bench.pick_cpu_stats(reps)
+    assert (wall, cpu, med, src) == (5.0, 20.0, 20.0, "clean-1/2")
+    # all samples failed -> sentinels, tagged
+    wall, cpu, med, src = bench.pick_cpu_stats([(5.0, -1.0, 0.1)])
+    assert (cpu, med, src) == (-1.0, -1.0, "none-0/1")
+    # off-Linux steal (-1.0) is not "clean" but stays usable via fallback
+    wall, cpu, med, src = bench.pick_cpu_stats([(5.0, 20.0, -1.0)])
+    assert (cpu, med, src) == (20.0, 20.0, "all-1/1")
