@@ -82,7 +82,10 @@ def read_proc_stat(_path: str = "/proc/stat") -> tuple[int, int] | None:
         return None
     if not parts or parts[0] != "cpu":
         return None
-    vals = [int(v) for v in parts[1:]]
+    try:
+        vals = [int(v) for v in parts[1:]]
+    except ValueError:
+        return None  # malformed field: degrade like every other failure
     if not vals:
         return None
     steal = vals[7] if len(vals) > 7 else 0
@@ -131,7 +134,15 @@ def pick_cpu_stats(
     valid = [(w, c, s) for w, c, s in reps if c >= 0]
     clean = [(w, c, s) for w, c, s in valid if 0 <= s < REP_STEAL_GATE]
     pool = clean if clean else valid
-    tag = f"clean-{len(clean)}/{len(reps)}" if clean else f"all-{len(valid)}/{len(reps)}"
+    # three distinct sources: steal-gated reps; reps that EXCEEDED the
+    # gate (read with suspicion); reps with no steal sample at all
+    # (non-Linux — healthy data, just ungated)
+    if clean:
+        tag = f"clean-{len(clean)}/{len(reps)}"
+    elif any(s >= 0 for _, _, s in valid):
+        tag = f"all-{len(valid)}/{len(reps)}"
+    else:
+        tag = f"nosteal-{len(valid)}/{len(reps)}"
     if not pool:
         return min_wall, -1.0, -1.0, f"none-0/{len(reps)}"
     cpu = min(pool)[1]

@@ -90,6 +90,38 @@ def cluster_summary(features: DataFrame, assignments: DataFrame, features_col: s
     )
 
 
+def dist_to_center(vec_col: str, center: "list[float]"):
+    """Squared-L2 to one center as the LEFT-TO-RIGHT IEEE fold — the
+    M10/N23 determinism recipe's load-bearing expression, single-sourced
+    here for the trainer and every IVF-style consumer (its DuckDB twin
+    is oracle_fragments.lloyd_dist)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(v) for v in center]),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def center_dist_structs(vec_col: str, centers: "dict[int, list[float]]"):
+    """array<struct<dist, cluster_id>> over all centers — array_min of it
+    is the recipe's argmin (ties to the lower cluster_id, matching the
+    oracle's ORDER BY dist, cluster_id); array_sort + slice gives an
+    IVF probe's nprobe nearest cells."""
+    return F.array(
+        *[
+            F.struct(
+                dist_to_center(vec_col, centers[j]).alias("dist"),
+                F.lit(j).cast("int").alias("cluster_id"),
+            )
+            for j in sorted(centers)
+        ]
+    )
+
+
 def lloyd_quantized(
     vectors: DataFrame,
     k: int,
@@ -98,7 +130,11 @@ def lloyd_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "tuple[DataFrame, dict[int, list[float]], DataFrame]":
-    """Lloyd's k-means under a cross-engine determinism recipe (M10/N23).\n\n    Returns ``(assignments, final_centers, quantized_frame)`` — the\n    assignment frame carries (vec_id, q, d, cluster_id); centers are the\n    k x dims doubles iteration ``iters`` was computed against.
+    """Lloyd's k-means under a cross-engine determinism recipe (M10/N23).
+
+    Returns ``(assignments, final_centers, quantized_frame)`` — the
+    assignment frame carries (vec_id, q, d, cluster_id); centers are the
+    k x dims doubles iteration ``iters`` was computed against.
 
     Unlike ``fit_kmeans`` (Spark ML: parallel init, partition-order-
     sensitive float reductions — only rows-only checkable), this variant
@@ -131,6 +167,8 @@ def lloyd_quantized(
     ).withColumn("d", F.transform("q", lambda x: x.cast("double")))
     q = materialize(q)  # consumed by every iteration's assign + sums pass
 
+    if iters < 1:
+        raise ValueError(f"lloyd_deterministic: iters={iters}, need >= 1")
     init = q.orderBy("vec_id").limit(k).select("d").collect()
     if len(init) < k:
         raise ValueError(f"lloyd_deterministic: k={k} but only {len(init)} rows")
@@ -139,23 +177,7 @@ def lloyd_quantized(
 
     assign = None
     for t in range(1, iters + 1):
-        structs = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            "d",
-                            F.array(*[F.lit(v) for v in centers[j]]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    F.lit(j).cast("int").alias("cluster_id"),
-                )
-                for j in range(k)
-            ]
-        )
+        structs = center_dist_structs("d", centers)
         assign = q.select(
             "vec_id", "q", "d", F.array_min(structs)["cluster_id"].alias("cluster_id")
         )

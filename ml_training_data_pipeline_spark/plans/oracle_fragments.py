@@ -239,9 +239,16 @@ c{t} AS (
 
 def bpe_merge_ctes(n_merges: int, with_final_state: bool = False) -> tuple[str, str]:
     """(ctes, merge_table_select) — unrolled deterministic BPE trainer
-    (requires toks CTE). ``with_final_state`` additionally emits
-    st{n_merges}, the segmentation AFTER the last merge, for serve-path
-    oracles (v11/v13). st0 is the
+    (requires the toks AND the canonical `tok` unigram CTE upstream —
+    compose as `WITH {toks_cte()}, {unigram_cte()}, {ctes}` so the BPE
+    oracles track the one shared tokenizer contract). ``with_final_state``
+    additionally emits st{n_merges}, the segmentation AFTER the last
+    merge, for serve-path oracles (v11/v13). A step whose pair pool is
+    EMPTY (corpus dried up before n_merges) leaves b{t} with zero rows:
+    the state CTE LEFT-JOINs it, the NULL l/r make every CASE take the
+    no-merge branch, and the segmentation carries forward unchanged —
+    mirroring train_bpe's early break (the merge-table select likewise
+    contributes zero rows for that step). st0 is the
     distinct-term table (term, corpus tf, symbols joined by chr(31) — the
     unit separator, unreachable from the [a-z0-9]-only tokenizer), each
     step counts adjacent pairs weighted by tf, picks the winner
@@ -259,10 +266,7 @@ def bpe_merge_ctes(n_merges: int, with_final_state: bool = False) -> tuple[str, 
     L, so an overlapping second match can't fire."""
     sep = "chr(31)"
     ctes = [
-        """tok AS (
-  SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0
-),
-st0 AS (
+        """st0 AS (
   SELECT term, count(*) AS tf,
          array_to_string(list_transform(range(1, len(term) + 1), i -> term[i]), chr(31)) AS symstr
   FROM tok GROUP BY term
@@ -289,7 +293,7 @@ b{t} AS (SELECT l, r, freq FROM p{t} ORDER BY freq DESC, l, r LIMIT 1)"""
                             THEN acc || e
                             ELSE acc || {sep} || e END
          ) AS symstr
-  FROM st{t} CROSS JOIN b{t} b
+  FROM st{t} LEFT JOIN b{t} b ON TRUE
 )"""
             )
     selects = " UNION ALL ".join(

@@ -1857,8 +1857,9 @@ _N23_TOPK = 3
 
 def _n23_oracle() -> str:
     from .oracle_fragments import lloyd_ctes, lloyd_dist
+    from .queries_ml import _LLOYD_DIMS  # one documented 64, not two
 
-    ctes = lloyd_ctes(64, _N23_K, _N23_ITERS, _N23_Q)
+    ctes = lloyd_ctes(_LLOYD_DIMS, _N23_K, _N23_ITERS, _N23_Q)
     cell_d = lloyd_dist("qv.qd", "c.c")
     cand_d = lloyd_dist("qd", "nd")
     return f"""WITH {ctes},
@@ -1890,34 +1891,17 @@ SELECT query_id, rank, neighbor_id, dist FROM (
 def n23_deterministic_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.cluster import lloyd_quantized
+    from ..operators.cluster import center_dist_structs, lloyd_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     assign, centers, q = lloyd_quantized(emb, k=_N23_K, iters=_N23_ITERS, quant=_N23_Q)
 
-    def dist_to_center(j: int):
-        return F.aggregate(
-            F.zip_with(
-                "qd",
-                F.array(*[F.lit(v) for v in centers[j]]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     queries = q.where(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("d").alias("qd")
     )
-    cell_structs = F.array(
-        *[
-            F.struct(
-                dist_to_center(j).alias("dist"),
-                F.lit(j).cast("int").alias("cluster_id"),
-            )
-            for j in range(_N23_K)
-        ]
-    )
+    # the trainer's own struct machinery — the recipe's IEEE fold stays
+    # single-sourced in operators/cluster.py
+    cell_structs = center_dist_structs("qd", centers)
     probe = (
         queries.select(
             "query_id",

@@ -1671,10 +1671,10 @@ def _v10_oracle() -> str:
     # aren't SQL-expressible") — but train_bpe is DETERMINISTIC (exact
     # integer pair counts, freq-DESC/l/r tie-break, greedy fold), so an
     # 8-step unrolled CTE chain reproduces the merge table exactly.
-    from .oracle_fragments import bpe_merge_ctes, toks_cte
+    from .oracle_fragments import bpe_merge_ctes, toks_cte, unigram_cte
 
     ctes, selects = bpe_merge_ctes(8)
-    return f"WITH {toks_cte()},\n{ctes}\n{selects}"
+    return f"WITH {toks_cte()}, {unigram_cte()},\n{ctes}\n{selects}"
 
 
 @query("v10_bpe_learned_merges", oracle=_v10_oracle())
@@ -1699,10 +1699,10 @@ def _v11_oracle() -> str:
     # 8 learned rules (st8 = the final state the unrolled trainer already
     # computes), join term-level subword counts back to the per-doc term
     # stream, aggregate per language.
-    from .oracle_fragments import bpe_merge_ctes, toks_cte
+    from .oracle_fragments import bpe_merge_ctes, toks_cte, unigram_cte
 
     ctes, _selects = bpe_merge_ctes(8, with_final_state=True)
-    return f"""WITH {toks_cte()},
+    return f"""WITH {toks_cte()}, {unigram_cte()},
 {ctes},
 counts AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 seg AS (
@@ -2155,7 +2155,7 @@ def _v13_oracle() -> str:
     # session-2 upgrade: the compression curve needs only the trainer's
     # intermediate states — total subwords at n merges is
     # sum(corpus_tf x symbols(term)@st{n}), no per-doc pass at all.
-    from .oracle_fragments import bpe_merge_ctes, toks_cte
+    from .oracle_fragments import bpe_merge_ctes, toks_cte, unigram_cte
 
     ctes, _selects = bpe_merge_ctes(8, with_final_state=True)
     selects = " UNION ALL ".join(
@@ -2166,7 +2166,7 @@ def _v13_oracle() -> str:
 FROM st{n}"""
         for n in (0, 2, 4, 8)
     )
-    return f"WITH {toks_cte()},\n{ctes}\n{selects}"
+    return f"WITH {toks_cte()}, {unigram_cte()},\n{ctes}\n{selects}"
 
 
 @query("v13_bpe_compression_curve", oracle=_v13_oracle())

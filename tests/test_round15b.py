@@ -213,6 +213,63 @@ def test_pick_cpu_stats_sentinel_discipline():
     # all samples failed -> sentinels, tagged
     wall, cpu, med, src = bench.pick_cpu_stats([(5.0, -1.0, 0.1)])
     assert (cpu, med, src) == (-1.0, -1.0, "none-0/1")
-    # off-Linux steal (-1.0) is not "clean" but stays usable via fallback
+    # off-Linux steal (-1.0) is not "clean" but stays usable — and is
+    # tagged nosteal (healthy, ungated), NOT all (gate exceeded)
     wall, cpu, med, src = bench.pick_cpu_stats([(5.0, 20.0, -1.0)])
-    assert (cpu, med, src) == (20.0, 20.0, "all-1/1")
+    assert (cpu, med, src) == (20.0, 20.0, "nosteal-1/1")
+
+
+def test_read_proc_stat_malformed_numeric_degrades(tmp_path):
+    import bench
+
+    bad = tmp_path / "stat"
+    bad.write_text("cpu 100 abc 50\n")
+    assert bench.read_proc_stat(str(bad)) is None
+
+
+def test_lloyd_rejects_zero_iters(spark):
+    rows = [(0, [1.0]), (1, [2.0])]
+    with pytest.raises(ValueError, match="iters=0"):
+        lloyd_deterministic(_mk_vectors(spark, rows), k=2, iters=0)
+
+
+def test_bpe_oracle_survives_merge_dryup(spark, tmp_path):
+    # review finding (r15 session 2): when the pair pool dries up before
+    # n_merges, b{t} is EMPTY — the old CROSS JOIN collapsed st{t+1} to
+    # zero rows, so the v11/v13 oracles returned empty/NULL while Spark's
+    # train_bpe breaks early and still serves real numbers. The LEFT JOIN
+    # carry-forward must keep both engines matched on degenerate corpora.
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ml_training_data_pipeline_spark.plans import registry
+    import ml_training_data_pipeline_spark.plans.queries_text  # noqa: F401
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["ab ab ab", "ab"], "lang": ["en", "en"],
+         "source": ["s", "s"]}
+    )
+    sf = tmp_path / "sf_tiny"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(sf / "documents.parquet"))
+
+    for name in ("v10_bpe_learned_merges", "v11_bpe_token_budget",
+                 "v13_bpe_compression_curve"):
+        sp = registry.QUERIES[name](spark, str(sf)).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        od = con.execute(registry.ORACLE_SQL[name]).df()
+        con.close()
+        assert len(sp) > 0, f"{name}: Spark side empty"
+        assert len(od) == len(sp), f"{name}: rows {len(od)} vs {len(sp)}"
+        a = sp[sorted(sp.columns)].sort_values(sorted(sp.columns), ignore_index=True)
+        b = od[sorted(od.columns)].sort_values(sorted(od.columns), ignore_index=True)
+        for c in a.columns:
+            if a[c].dtype.kind == "f":
+                assert (a[c].round(6) == b[c].astype(float).round(6)).all(), (name, c)
+            else:
+                assert (a[c].astype(str) == b[c].astype(str)).all(), (name, c)
