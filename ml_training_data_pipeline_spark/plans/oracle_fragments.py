@@ -188,50 +188,63 @@ def lloyd_dist(a: str, b: str) -> str:
     )
 
 
-def lloyd_ctes(dims: int, k: int, iters: int, quant: int) -> str:
-    """The deterministic-Lloyd CTE chain (no WITH keyword): qe/qd
-    (floor-quantized embeddings), c0..c{iters-1} (centers: exact integer
-    means cast to double; emptied clusters keep their previous center),
-    a1..a{iters} (assignments: argmin of lloyd_dist, ties to the lower
-    cluster_id). Mirrors operators/cluster.lloyd_deterministic exactly —
-    m10 selects from a{iters}; n23 extends the chain with an IVF probe."""
-    mean_list = ", ".join(
-        f"CAST(sum(q[{i + 1}]) AS DOUBLE) / count(*)" for i in range(dims)
-    )
-    dist = lloyd_dist("qd.d", "c.c")
-    ctes = [
-        f"""qe AS (
+def lloyd_input_ctes(quant: int) -> str:
+    """The shared qe/qd input pair (no WITH keyword) — floor-quantized
+    embeddings + their exact double casts. Emitted ONCE even when several
+    Lloyd chains (m11's k-sweep) share one corpus."""
+    return f"""qe AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS q
   FROM embeddings
 ),
-qd AS (SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS d FROM qe),
-c0 AS (
+qd AS (SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS d FROM qe)"""
+
+
+def lloyd_ctes(
+    dims: int, k: int, iters: int, quant: int, prefix: str = "", emit_input: bool = True
+) -> str:
+    """The deterministic-Lloyd CTE chain (no WITH keyword): qe/qd
+    (floor-quantized embeddings), {prefix}c0..c{iters-1} (centers: exact
+    integer means cast to double; emptied clusters keep their previous
+    center), {prefix}a1..a{iters} (assignments: argmin of lloyd_dist,
+    ties to the lower cluster_id). Mirrors
+    operators/cluster.lloyd_deterministic exactly — m10 selects from
+    a{iters}; n23 extends the chain with an IVF probe; m11 emits THREE
+    prefixed chains (k sweep) over one shared qe/qd
+    (emit_input=False)."""
+    mean_list = ", ".join(
+        f"CAST(sum(q[{i + 1}]) AS DOUBLE) / count(*)" for i in range(dims)
+    )
+    dist = lloyd_dist("qd.d", "c.c")
+    p = prefix
+    ctes = [lloyd_input_ctes(quant)] if emit_input else []
+    ctes.append(
+        f"""{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster_id, d AS c
   FROM (SELECT vec_id, d FROM qd ORDER BY vec_id LIMIT {k})
 )"""
-    ]
+    )
     for t in range(1, iters + 1):
         ctes.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
   SELECT vec_id, cluster_id FROM (
     SELECT qd.vec_id, c.cluster_id,
            row_number() OVER (PARTITION BY qd.vec_id
                               ORDER BY {dist}, c.cluster_id) AS rn
-    FROM qd CROSS JOIN c{t - 1} c
+    FROM qd CROSS JOIN {p}c{t - 1} c
   ) WHERE rn = 1
 )"""
         )
         if t < iters:
             ctes.append(
-                f"""m{t} AS (
+                f"""{p}m{t} AS (
   SELECT cluster_id, [{mean_list}] AS c
-  FROM qd JOIN a{t} USING (vec_id) GROUP BY cluster_id
+  FROM qd JOIN {p}a{t} USING (vec_id) GROUP BY cluster_id
 ),
-c{t} AS (
+{p}c{t} AS (
   SELECT p.cluster_id, COALESCE(m.c, p.c) AS c
-  FROM c{t - 1} p LEFT JOIN m{t} m USING (cluster_id)
+  FROM {p}c{t - 1} p LEFT JOIN {p}m{t} m USING (cluster_id)
 )"""
             )
     return ",\n".join(ctes)

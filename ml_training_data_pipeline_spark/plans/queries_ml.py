@@ -584,3 +584,114 @@ def m10_lloyd_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lloyd_deterministic(emb, k=_LLOYD_K, iters=_LLOYD_ITERS, quant=_LLOYD_Q)
+
+
+# --- M11: Lloyd elbow with EXACT integer inertia (oracle-backed) -------------
+# m7's elbow rides Spark ML k-means (rows-only by design); m11 makes the
+# model-selection sweep itself oracle-checkable. For k in (2, 4, 8) it runs
+# the deterministic Lloyd trainer (2 iterations, shared quantized corpus)
+# and reports per-cluster within-cluster scatter as an EXACT INTEGER:
+#   inertia_num(c) = sum over members of sum_dims (q_i * n_c - s_c,i)^2
+# i.e. the within-SS about the cluster's own mean, scaled by n_c^2 — all
+# integer arithmetic (q quantized long, s exact long sums), so there is NO
+# float anywhere in the output and the k-sweep hash-matches DuckDB exactly
+# (Spark sums in decimal(38,0), DuckDB in HUGEINT; both print plain
+# digits). True WSS = inertia_num / n_members^2 in quantized units — the
+# downstream elbow analysis divides AFTER the engines are compared.
+# Scale shape: per k, one assign pass + one combinable sums aggregate
+# (k x dims longs to the driver, job control) + one broadcast join back
+# for the scatter fold — 3 x ITERS linear passes, no shuffle beyond the
+# k-group aggregates.
+_M11_KS = (2, 4, 8)
+_M11_ITERS = 2
+
+
+def _m11_oracle() -> str:
+    from .oracle_fragments import lloyd_ctes, lloyd_input_ctes
+
+    dims = _LLOYD_DIMS
+    parts = [lloyd_input_ctes(_LLOYD_Q)]
+    selects = []
+    for k in _M11_KS:
+        p = f"k{k}_"
+        parts.append(
+            lloyd_ctes(dims, k, _M11_ITERS, _LLOYD_Q, prefix=p, emit_input=False)
+        )
+        sums_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
+        term = " + ".join(
+            f"(q[{i + 1}] * n - s{i}) * (q[{i + 1}] * n - s{i})" for i in range(dims)
+        )
+        parts.append(
+            f"""{p}sums AS (
+  SELECT cluster_id, count(*) AS n, {sums_cols}
+  FROM qd JOIN {p}a{_M11_ITERS} USING (vec_id) GROUP BY cluster_id
+),
+{p}inertia AS (
+  SELECT cluster_id, n, SUM({term}) AS inertia_num
+  FROM qd JOIN {p}a{_M11_ITERS} USING (vec_id) JOIN {p}sums USING (cluster_id)
+  GROUP BY cluster_id, n
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, cluster_id,"
+            f" CAST(n AS BIGINT) AS n_members,"
+            # HUGEINT -> pandas crosses the bridge as float64, silently
+            # double-rounding above 2^53 (sf1 inertia ~5.6e20); VARCHAR
+            # keeps the integer byte-exact on both sides
+            f" CAST(inertia_num AS VARCHAR) AS inertia_num FROM {p}inertia"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("m11_lloyd_elbow_exact", oracle=_m11_oracle())
+def m11_lloyd_elbow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import lloyd_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for k in _M11_KS:
+        assign, centers, _q = lloyd_quantized(
+            emb, k=k, iters=_M11_ITERS, quant=_LLOYD_Q
+        )
+        dims = len(centers[0])
+        sums = (
+            assign.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dims)],
+            )
+            .select(
+                "cluster_id",
+                "n",
+                F.array(*[F.col(f"s{i}") for i in range(dims)]).alias("s"),
+            )
+        )
+        # (q_i*n - s_i)^2 stays inside LONG (|q|<=~10^4 quantized units,
+        # n<=corpus, product <=~10^7, square <=~10^14, 64-dim row sum
+        # <=~10^16); only the cluster total needs decimal(38,0)
+        per_row = assign.join(F.broadcast(sums), "cluster_id").select(
+            "cluster_id",
+            "n",
+            F.aggregate(
+                F.zip_with(
+                    "q",
+                    "s",
+                    lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("row_num"),
+        )
+        inertia = per_row.groupBy("cluster_id", "n").agg(
+            F.sum(F.col("row_num").cast("decimal(38,0)"))
+            .cast("string")  # exact digits; see the oracle's VARCHAR note
+            .alias("inertia_num")
+        )
+        res = inertia.select(
+            F.lit(k).cast("long").alias("k"),
+            "cluster_id",
+            F.col("n").cast("long").alias("n_members"),
+            "inertia_num",
+        )
+        out = res if out is None else out.unionAll(res)
+    return out

@@ -112,7 +112,12 @@ PRIORITY: tuple[str, ...] = (
     # (the BPE serve-path upgrade wave with v10/v11 — v10/v11 already sit
     # in this prefix at their r8-rotation slots, so only v13 moves).
     # Pushes s13_upsert_latest_wins past the cut.
+    # m11 extends the Lloyd recipe to MODEL SELECTION: the k-sweep elbow
+    # with exact-integer per-cluster scatter (no float in the output),
+    # oracle-verified at sf0.001+sf0.01+sf0.1+sf1. Pushes
+    # s12_dynamic_partition_overwrite past the cut.
     "m10_lloyd_deterministic", "n23_deterministic_ivf_topk",
+    "m11_lloyd_elbow_exact",
     "v13_bpe_compression_curve",
     "h21_min_cost_supplier", "h22_supplier_diversity",
     "h23_important_part_share", "h24_dominant_seasonal_supplier",
@@ -150,8 +155,9 @@ PRIORITY: tuple[str, ...] = (
     # pushed by the full-coverage wave (cur17/cur15/d20/d21/ep10
     # promotions): h12_two_nation_volume, n13_ann_table_sweep,
     # m8_cluster_stability, w13_interevent_quantiles, s14_snapshot_diff,
-    # and the seven pushed by the session-2 insertions (m10 + n23 + v13
-    # + h21-h24): s13_upsert_latest_wins, n12_ann_multitable_recall,
+    # and the eight pushed by the session-2 insertions (m10 + n23 + m11
+    # + v13 + h21-h24): s12_dynamic_partition_overwrite,
+    # s13_upsert_latest_wins, n12_ann_multitable_recall,
     # x20_term_burstiness, w12_weekday_hour_heatmap,
     # h11_dormant_high_balance, x21_heaps_law, p10_data_quality_profile —
     # plus cur7_length_survivorship, t10_balanced_shards,

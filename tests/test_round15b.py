@@ -273,3 +273,21 @@ def test_bpe_oracle_survives_merge_dryup(spark, tmp_path):
                 assert (a[c].round(6) == b[c].astype(float).round(6)).all(), (name, c)
             else:
                 assert (a[c].astype(str) == b[c].astype(str)).all(), (name, c)
+
+
+def test_m11_elbow_structure(spark):
+    from ml_training_data_pipeline_spark.plans import registry
+    import ml_training_data_pipeline_spark.plans.queries_ml  # noqa: F401
+
+    out = registry.QUERIES["m11_lloyd_elbow_exact"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    n_vecs = 500  # sf0.001 embeddings table size (TESTDATA.md)
+    for k, g in out.groupby("k"):
+        assert k in (2, 4, 8)
+        assert len(g) <= k
+        assert int(g["n_members"].sum()) == n_vecs  # every vector assigned
+        assert (g["n_members"] > 0).all()
+        # exact integers: Decimal/int objects, never floats, never negative
+        assert all(int(v) >= 0 for v in g["inertia_num"])
+    assert set(out["k"]) == {2, 4, 8}
