@@ -122,6 +122,29 @@ def center_dist_structs(vec_col: str, centers: "dict[int, list[float]]"):
     )
 
 
+def scatter_row_num(q_col: str, s_col: str, n_col: str):
+    """Exact-integer within-cluster scatter numerator for ONE member row
+    (m11): sum_dims (q_i*n - s_i)^2 with q_i the member's quantized
+    coordinates, s_i the cluster's exact coordinate sums, n the cluster
+    size. The DIFFERENCE fits long to astronomical n (overflow needs
+    n >~ 10^16 at |q|~10^3), but its SQUARE is quadratic in n — at
+    |q|~600 / 64 dims the fold exceeds Long.MAX once a cluster holds
+    ~3e5 members and ANSI Spark throws where DuckDB's HUGEINT stays
+    exact (r15 ADVICE). So: diff in long, square and accumulate in
+    decimal(38,0) — exact integer digits either way, overflow pushed to
+    ~10^38."""
+    return F.aggregate(
+        F.zip_with(
+            q_col,
+            s_col,
+            lambda x, s: (x * F.col(n_col) - s).cast("decimal(19,0)")
+            * (x * F.col(n_col) - s).cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+
+
 def lloyd_quantized(
     vectors: DataFrame,
     k: int,
@@ -129,6 +152,7 @@ def lloyd_quantized(
     quant: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prequantized: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, dict[int, list[float]], DataFrame]":
     """Lloyd's k-means under a cross-engine determinism recipe (M10/N23).
 
@@ -156,16 +180,24 @@ def lloyd_quantized(
     iteration, centers ship as k x d literals (broadcast-equivalent),
     per-cluster sums are map-side-combinable longs; driver transfer is
     k rows per iteration (job control).
+
+    ``prequantized``: a (vec_id, q, d) frame from a prior call's third
+    return slot — a k-sweep (m11) quantizes/materializes the corpus ONCE
+    and shares it across every k, matching the oracle's one shared qd/qe
+    input shape (r15 ADVICE); when given, ``vectors`` is ignored.
     """
     from .materialize import materialize
 
-    q = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
-        ).alias("q"),
-    ).withColumn("d", F.transform("q", lambda x: x.cast("double")))
-    q = materialize(q)  # consumed by every iteration's assign + sums pass
+    if prequantized is not None:
+        q = prequantized
+    else:
+        q = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
+            ).alias("q"),
+        ).withColumn("d", F.transform("q", lambda x: x.cast("double")))
+        q = materialize(q)  # consumed by every iteration's assign + sums pass
 
     if iters < 1:
         raise ValueError(f"lloyd_deterministic: iters={iters}, need >= 1")

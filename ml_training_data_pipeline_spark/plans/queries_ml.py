@@ -649,9 +649,13 @@ def m11_lloyd_elbow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = None
+    # quantize + materialize the corpus ONCE and share it across the
+    # k-sweep (r15 ADVICE) — matches the oracle's single shared qd/qe
+    # input (emit_input=False per k), one corpus scan instead of three
+    qframe = None
     for k in _M11_KS:
-        assign, centers, _q = lloyd_quantized(
-            emb, k=k, iters=_M11_ITERS, quant=_LLOYD_Q
+        assign, centers, qframe = lloyd_quantized(
+            emb, k=k, iters=_M11_ITERS, quant=_LLOYD_Q, prequantized=qframe
         )
         dims = len(centers[0])
         sums = (
@@ -666,21 +670,15 @@ def m11_lloyd_elbow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.col(f"s{i}") for i in range(dims)]).alias("s"),
             )
         )
-        # (q_i*n - s_i)^2 stays inside LONG (|q|<=~10^4 quantized units,
-        # n<=corpus, product <=~10^7, square <=~10^14, 64-dim row sum
-        # <=~10^16); only the cluster total needs decimal(38,0)
+        # decimal-accumulated scatter fold — see scatter_row_num for the
+        # overflow bound (r15 ADVICE: the old long fold threw under ANSI
+        # once a cluster held ~3e5 members)
+        from ..operators.cluster import scatter_row_num
+
         per_row = assign.join(F.broadcast(sums), "cluster_id").select(
             "cluster_id",
             "n",
-            F.aggregate(
-                F.zip_with(
-                    "q",
-                    "s",
-                    lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("row_num"),
+            scatter_row_num("q", "s", "n").alias("row_num"),
         )
         inertia = per_row.groupBy("cluster_id", "n").agg(
             F.sum(F.col("row_num").cast("decimal(38,0)"))

@@ -191,7 +191,9 @@ def test_pick_cpu_stats_prefers_steal_clean_reps():
     wall, cpu, med, src = bench.pick_cpu_stats(reps)
     assert wall == 4.8  # min wall over ALL reps (episode only slows)
     assert cpu == 18.0 and med == 18.5
-    assert src == "clean-2/3"
+    # r16: the cpu-source rep (5.0s) is NOT the min-wall rep (4.8s) —
+    # mixed pairing must stay visible in the tag (r15 ADVICE)
+    assert src == "clean-2/3@5.0s"
 
 
 def test_pick_cpu_stats_falls_back_when_no_quiet_rep():
@@ -209,7 +211,7 @@ def test_pick_cpu_stats_sentinel_discipline():
     # failed CPU samples (-1.0) never win even when their rep is quiet
     reps = [(5.0, -1.0, 0.1), (6.0, 20.0, 0.2)]
     wall, cpu, med, src = bench.pick_cpu_stats(reps)
-    assert (wall, cpu, med, src) == (5.0, 20.0, 20.0, "clean-1/2")
+    assert (wall, cpu, med, src) == (5.0, 20.0, 20.0, "clean-1/2@6.0s")
     # all samples failed -> sentinels, tagged
     wall, cpu, med, src = bench.pick_cpu_stats([(5.0, -1.0, 0.1)])
     assert (cpu, med, src) == (-1.0, -1.0, "none-0/1")
