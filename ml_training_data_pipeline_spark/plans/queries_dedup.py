@@ -379,8 +379,6 @@ def d8_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cur2_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..functions.analysis import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -393,16 +391,18 @@ def cur2_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
         "q",
     )
-    w = Window.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
-    surv = (
-        membered.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("component_id", F.col("doc_id").alias("survivor_doc_id"))
+    # combinable survivor argmax — d25's (q, -doc_id)-max struct, NOT a
+    # component-partitioned window (VERDICT r15 #3): lexicographic max ≡
+    # the oracle's ORDER BY q DESC, doc_id ASC, map-side-combinable, and
+    # a pathological giant component (templated spam surviving the
+    # near-dup threshold) can't funnel through one hot-key window task.
+    # Bonus: the window + groupBy + back-join collapses to ONE groupBy.
+    best = F.max(F.struct(F.col("q").alias("q"), (-F.col("doc_id")).alias("nid")))
+    return membered.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        (-best.getField("nid")).cast("long").alias("survivor_doc_id"),
+        F.round(F.max("q"), 6).alias("best_quality"),
     )
-    agg = membered.groupBy("component_id").agg(
-        F.count("*").alias("n_members"), F.round(F.max("q"), 6).alias("best_quality")
-    )
-    return agg.join(surv, "component_id")
 
 
 # --- CUR3: benchmark decontamination (train/eval n-gram overlap) -------------------

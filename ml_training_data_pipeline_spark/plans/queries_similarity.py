@@ -999,8 +999,6 @@ def n16_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cur11_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1019,18 +1017,16 @@ def cur11_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component_id", "vec_id")
         .agg(F.sum("w").cast("long").alias("s"))
     )
-    wc = Window.partitionBy("component_id")
-    wr = Window.partitionBy("component_id").orderBy(F.desc("s"), F.asc("vec_id"))
-    return (
-        score.select(
-            "component_id",
-            F.count("*").over(wc).alias("n_members"),
-            F.col("vec_id").alias("keep_vec_id"),
-            F.round(F.col("s") / 1e6, 6).alias("keep_score"),
-            F.row_number().over(wr).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    # combinable keeper argmax — d25's (s, -vec_id)-max struct, NOT a
+    # component-partitioned window (VERDICT r15 #3): integer s is exact,
+    # lexicographic max ≡ the oracle's ORDER BY s DESC, vec_id ASC, and
+    # the two windows + rn filter collapse to ONE map-side-combinable
+    # groupBy with no hot-key funnel on a giant component.
+    best = F.max(F.struct(F.col("s").alias("s"), (-F.col("vec_id")).alias("nid")))
+    return score.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        (-best.getField("nid")).cast("long").alias("keep_vec_id"),
+        F.round(best.getField("s") / 1e6, 6).alias("keep_score"),
     )
 
 

@@ -132,3 +132,35 @@ def test_m11_shares_one_quantized_corpus(spark):
     left = {r["vec_id"]: r["cluster_id"] for r in a2.select("vec_id", "cluster_id").collect()}
     right = {r["vec_id"]: r["cluster_id"] for r in a2b.select("vec_id", "cluster_id").collect()}
     assert left == right
+
+
+# --- cur2/cur11 survivor argmax unified with d25's combinable struct ---------
+
+
+def test_cur2_cur11_use_combinable_argmax_not_window(spark):
+    """VERDICT r15 #3: cur2/cur11's survivor selection must be the same
+    (score, -id)-max struct groupBy d25 uses — identical answers (the
+    round's two-scale sweeps), but no component-partitioned window a
+    pathological giant component could funnel through. Checked on the
+    full executed plan including pre-checkpoint segments (cur11
+    checkpoints its pairs frame)."""
+    import importlib.util
+
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "plan_audit.py",
+    )
+    spec = importlib.util.spec_from_file_location("plan_audit", path)
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    for name in ("cur2_component_survivors", "cur11_semantic_survivors"):
+        spark.catalog.clearCache()
+        with pa.CkptRecorder() as rec:
+            df = entry_mod.queries()[name](spark, SF_DIR)
+            final_plan = df._jdf.queryExecution().executedPlan().toString()
+        for seg in [final_plan, *rec.plans]:
+            assert "Window" not in seg, f"component window reappeared in {name}"
