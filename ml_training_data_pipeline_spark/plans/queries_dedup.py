@@ -3865,6 +3865,400 @@ def d27_cross_source_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D28: compaction-side arrival scrub (closes st17's scope hole) ------------------
+# st17 scrubs each ARRIVING doc against the standing corpus only —
+# cross-ARRIVAL duplication is deliberately out of scope there (the
+# admission-discipline invariant: micro-batch boundaries must not change
+# the answer), deferred to "the next compaction". d28 IS that compaction:
+# scrub the accumulated arrival log (doc_id % 2 = 1, st17's exact
+# arrival universe) against the standing corpus (% 2 = 0) AND against
+# itself with keep-first among arrivals, corpus always winning. The
+# ledger splits removals into removed_vs_corpus (by construction
+# EXACTLY st17's per-source tokens_removed — the reconciliation the
+# compaction owes the stream, pinned in tests) and
+# removed_cross_arrival (the NEW mass only the compaction can see:
+# positions covered solely by windows another arrival owns). Scale
+# shape: corpus inventory = distinct 60-bit longs built once; the
+# arrival position stream materialized once for its three consumers
+# (dup groupBy + two removal probes); both removal explodes are bounded
+# to duplicated-window coverage (≤ 8 × arrival tokens); the shared
+# span-scrub operators carry the semantics so a fix lands once across
+# d24/ep14/st17/d28.
+@query(
+    "d28_compaction_arrival_scrub",
+    oracle=materialize(
+        f"""
+    WITH {toks_cte()},
+    {span_scrub_ctes()},
+    cw AS (SELECT DISTINCT win FROM p WHERE doc_id % 2 = 0),
+    ap AS (SELECT doc_id, pos, win FROM p WHERE doc_id % 2 = 1),
+    adw AS (
+      SELECT win, min(doc_id) AS keep_doc
+      FROM (SELECT DISTINCT doc_id, win FROM ap)
+      WHERE win NOT IN (SELECT win FROM cw)
+      GROUP BY win HAVING count(*) > 1
+    ),
+    rem_c AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT ap.doc_id, unnest(range(ap.pos, ap.pos + {SPAN_WIDTH})) AS tok
+        FROM ap JOIN cw USING (win)
+      )
+    ),
+    rem_x AS (
+      SELECT doc_id, tok FROM (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT ap.doc_id, unnest(range(ap.pos, ap.pos + {SPAN_WIDTH})) AS tok
+          FROM ap JOIN adw USING (win) WHERE ap.doc_id <> adw.keep_doc
+        )
+      ) EXCEPT SELECT doc_id, tok FROM rem_c
+    ),
+    cc AS (SELECT doc_id, count(*) AS n_c FROM rem_c GROUP BY doc_id),
+    cx AS (SELECT doc_id, count(*) AS n_x FROM rem_x GROUP BY doc_id),
+    arr AS (
+      SELECT t.doc_id, d.source, len(t.toks) AS L
+      FROM toks t JOIN documents d USING (doc_id)
+      WHERE t.doc_id % 2 = 1
+    )
+    SELECT a.source,
+           count(*) AS n_docs,
+           CAST(sum(a.L) AS BIGINT) AS tokens_before,
+           CAST(sum(coalesce(c.n_c, 0)) AS BIGINT) AS removed_vs_corpus,
+           CAST(sum(coalesce(x.n_x, 0)) AS BIGINT) AS removed_cross_arrival,
+           CAST(sum(coalesce(c.n_c, 0) + coalesce(x.n_x, 0)) AS BIGINT)
+             AS tokens_removed,
+           CAST(sum(a.L - coalesce(c.n_c, 0) - coalesce(x.n_x, 0)) AS BIGINT)
+             AS tokens_kept,
+           round(sum(coalesce(c.n_c, 0) + coalesce(x.n_x, 0))
+                 / CAST(sum(a.L) AS DOUBLE), 6) AS removed_frac
+    FROM arr a
+    LEFT JOIN cc c ON c.doc_id = a.doc_id
+    LEFT JOIN cx x ON x.doc_id = a.doc_id
+    GROUP BY a.source
+    """,
+        "toks", "p", "ap", "cw", "rem_c",
+    ),
+)
+def d28_compaction_arrival_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..operators.dedup import (
+        duplicated_windows,
+        span_removed_positions,
+        span_window_stream,
+    )
+    from ..operators.materialize import materialize as mat
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+    corpus_t8 = toks.where(
+        (F.col("doc_id") % 2 == 0) & (F.size("toks") >= SPAN_WIDTH)
+    ).select("doc_id", "toks")
+    arr_toks = toks.where(F.col("doc_id") % 2 == 1)
+    arr_t8 = arr_toks.where(F.size("toks") >= SPAN_WIDTH).select("doc_id", "toks")
+
+    # standing inventory: distinct corpus window keys (st17's shape); the
+    # -1 sentinel keeper matches no arriving doc_id (corpus always wins)
+    cw = mat(span_window_stream(corpus_t8).select("win").distinct())
+    # 3 consumers: cross-arrival dup groupBy + two removal probes
+    ap = mat(span_window_stream(arr_t8))
+
+    cw_k = cw.withColumn("keep_doc", F.lit(-1).cast("long"))
+    # cross-arrival duplicated windows NOT already owned by the corpus:
+    # keep-first among arrivals (min doc_id), the d24 batch policy
+    adw = duplicated_windows(ap).join(cw, "win", "left_anti")
+    rem_c = mat(span_removed_positions(ap, cw_k))  # 2 consumers: count + anti
+    rem_x = span_removed_positions(ap, adw).join(
+        rem_c, ["doc_id", "tok"], "left_anti"
+    )
+    cc = rem_c.groupBy("doc_id").agg(F.count("*").alias("n_c"))
+    cx = rem_x.groupBy("doc_id").agg(F.count("*").alias("n_x"))
+    nc, nx = F.coalesce("n_c", F.lit(0)), F.coalesce("n_x", F.lit(0))
+    per_doc = (
+        arr_toks.select("doc_id", "source", F.size("toks").alias("L"))
+        .join(cc, "doc_id", "left")
+        .join(cx, "doc_id", "left")
+    )
+    removed = F.sum(nc + nx)
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("L").cast("long").alias("tokens_before"),
+        F.sum(nc).cast("long").alias("removed_vs_corpus"),
+        F.sum(nx).cast("long").alias("removed_cross_arrival"),
+        removed.cast("long").alias("tokens_removed"),
+        F.sum(F.col("L") - nc - nx).cast("long").alias("tokens_kept"),
+        F.round(removed / F.sum("L").cast("double"), 6).alias("removed_frac"),
+    )
+
+
+# --- EP15: source-drop decision composite -------------------------------------------
+# d26/d27 produce the drop-the-source EVIDENCE (who shares boilerplate
+# with whom; how much of each source's token mass is syndicated); ep15 is
+# the DECISION table a mixture owner reads next: for each candidate
+# source, what do we actually gain by dropping it? Per source: its d27
+# cross-source exposure (exposed_tokens/exposure_frac — closure against
+# d27 pinned in tests), the unique token mass that would be lost
+# (tokens no other source's windows cover), and the RECOMPUTED mix9
+# water-fill over the remaining mixture — post-drop budget
+# (B' = ⌊(T − T_s)/2⌋, the mix9 half-epoch rule on the remaining
+# corpus), how many remaining sources cap out, and the new uncapped
+# per-source level vs the baseline level (level_gain: dropping a
+# low-unique-mass syndicated source frees budget the remaining sources
+# absorb). INTEGER-EXACT throughout (the ep9/mix9 contract): capped-set
+# membership is decided by BIGINT comparisons; every float output is ONE
+# division of BIGINTs, and level_gain subtracts two such bit-identical
+# doubles (the ep11-audited a−b shape). Scale shape: ONE O(corpus
+# tokens) position-stream build (d27's exact construction, source
+# carried through the projection) feeds the exposure side; everything
+# after base is |sources|-row algebra — the S×(S−1) candidate expansion
+# is a broadcast nested-loop over a frame bounded by the source
+# taxonomy (tens–hundreds), the same boundedness contract as d26's pair
+# expansion and mix9's partitionBy(lit(0)) window.
+@query(
+    "ep15_source_drop_impact",
+    oracle=materialize(
+        f"""
+    WITH {toks_cte()},
+    {span_scrub_ctes()},
+    ps AS (
+      SELECT p.doc_id, d.source, p.pos, p.win
+      FROM p JOIN documents d USING (doc_id)
+    ),
+    xw AS (
+      SELECT win FROM (
+        SELECT win, count(DISTINCT source) AS cs FROM ps GROUP BY win
+      ) WHERE cs >= 2
+    ),
+    exp AS (
+      SELECT DISTINCT doc_id, source, tok FROM (
+        SELECT ps.doc_id, ps.source, unnest(range(ps.pos, ps.pos + {SPAN_WIDTH})) AS tok
+        FROM ps JOIN xw USING (win)
+      )
+    ),
+    es AS (SELECT source, CAST(count(*) AS BIGINT) AS exposed_tokens FROM exp GROUP BY source),
+    base AS (
+      SELECT d.source, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+             CAST(4 * sum(len(t.toks)) AS BIGINT) AS cap_tokens
+      FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all, count(*) AS n_all FROM base
+    ),
+    branked AS (
+      SELECT b.*, t.t_all, t.n_all,
+             row_number() OVER (ORDER BY b.cap_tokens, b.source) AS i,
+             CAST(sum(b.cap_tokens) OVER (ORDER BY b.cap_tokens, b.source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      FROM base b CROSS JOIN tot t
+    ),
+    bmarked AS (
+      SELECT r.*,
+             (r.cap_tokens * (r.n_all - r.i + 1)
+              <= (r.t_all // 2) - (r.prefix - r.cap_tokens)) AS is_capped
+      FROM branked r
+    ),
+    blvl AS (
+      SELECT CAST(coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT)
+               AS b_p_k,
+             CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT) AS b_k,
+             CAST(max(t_all) AS BIGINT) AS t_all,
+             CAST(max(n_all) AS BIGINT) AS n_all
+      FROM bmarked
+    ),
+    cnd AS (
+      SELECT c.source AS dropped, c.n_tokens AS d_tokens,
+             b.source, b.cap_tokens
+      FROM base c JOIN base b ON b.source <> c.source
+    ),
+    rranked AS (
+      SELECT r.*, t.t_all, t.n_all,
+             CAST((t.t_all - r.d_tokens) // 2 AS BIGINT) AS b_after,
+             row_number() OVER (PARTITION BY r.dropped
+                                ORDER BY r.cap_tokens, r.source) AS i,
+             CAST(sum(r.cap_tokens) OVER (PARTITION BY r.dropped
+                  ORDER BY r.cap_tokens, r.source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      FROM cnd r CROSS JOIN tot t
+    ),
+    rmarked AS (
+      SELECT r.*,
+             (r.cap_tokens * ((r.n_all - 1) - r.i + 1)
+              <= r.b_after - (r.prefix - r.cap_tokens)) AS is_capped
+      FROM rranked r
+    ),
+    rlvl AS (
+      SELECT dropped,
+             CAST(max(b_after) AS BIGINT) AS budget_after,
+             CAST(max(n_all) - 1 AS BIGINT) AS n_rem,
+             CAST(coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT)
+               AS p_k,
+             CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_capped_after
+      FROM rmarked GROUP BY dropped
+    )
+    SELECT b.source,
+           b.n_tokens,
+           CAST(coalesce(es.exposed_tokens, 0) AS BIGINT) AS exposed_tokens,
+           round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                      ELSE coalesce(es.exposed_tokens, 0) / b.n_tokens END, 6)
+             AS exposure_frac,
+           CAST(b.n_tokens - coalesce(es.exposed_tokens, 0) AS BIGINT)
+             AS unique_tokens,
+           r.budget_after,
+           r.n_capped_after,
+           round(CASE WHEN r.n_rem - r.n_capped_after = 0 THEN 0.0
+                      ELSE (r.budget_after - r.p_k) / (r.n_rem - r.n_capped_after)
+                 END, 6) AS level_after,
+           round(CASE WHEN r.n_rem - r.n_capped_after = 0 THEN 0.0
+                      ELSE (r.budget_after - r.p_k) / (r.n_rem - r.n_capped_after)
+                 END
+                 - CASE WHEN l.n_all - l.b_k = 0 THEN 0.0
+                        ELSE ((l.t_all // 2) - l.b_p_k) / (l.n_all - l.b_k)
+                   END, 6) AS level_gain
+    FROM base b
+    LEFT JOIN es USING (source)
+    JOIN rlvl r ON r.dropped = b.source
+    CROSS JOIN blvl l
+    """,
+        "toks", "p", "ps", "exp", "base",
+    ),
+)
+def ep15_source_drop_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+    from ..operators.dedup import span_window_stream
+    from ..operators.materialize import materialize as mat
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+    t8 = toks.where(F.size("toks") >= SPAN_WIDTH)
+    # ONE position-stream build (d27's construction), 2 consumers:
+    # multi-source-window inventory + coverage probe
+    p = mat(span_window_stream(t8, keep=("source",)))
+    xw = (
+        p.groupBy("win")
+        .agg(F.count_distinct("source").alias("cs"))
+        .where(F.col("cs") >= 2)
+        .select("win")
+    )
+    exposed = (
+        p.join(xw, "win")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_WIDTH - 1))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    es = exposed.groupBy("source").agg(
+        F.count("*").cast("long").alias("exposed_tokens")
+    )
+    base = (
+        toks.groupBy("source")
+        .agg(
+            F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+            (F.lit(4) * F.sum(F.size("toks"))).cast("long").alias("cap_tokens"),
+        )
+        .localCheckpoint()  # |sources| rows; totals/baseline/candidates reuse it
+    )
+    tot = base.agg(
+        F.sum("n_tokens").cast("long").alias("t_all"),
+        F.count("*").alias("n_all"),
+    )
+    # baseline water-fill level over the full mixture (mix9's algebra)
+    w0 = Window.partitionBy(F.lit(0)).orderBy("cap_tokens", "source")
+    branked = base.crossJoin(F.broadcast(tot)).select(  # singleton totals row
+        "source",
+        "cap_tokens",
+        "t_all",
+        "n_all",
+        F.row_number().over(w0).alias("i"),
+        F.sum("cap_tokens")
+        .over(w0.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+    )
+    bmarked = branked.withColumn(
+        "is_capped",
+        F.col("cap_tokens") * (F.col("n_all") - F.col("i") + 1)
+        <= F.expr("t_all div 2") - (F.col("prefix") - F.col("cap_tokens")),
+    )
+    blvl = bmarked.agg(
+        F.coalesce(F.sum(F.when(F.col("is_capped"), F.col("cap_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("b_p_k"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).cast("long").alias("b_k"),
+        F.max("t_all").cast("long").alias("t_all"),
+        F.max("n_all").cast("long").alias("n_all"),
+    )
+    # per-candidate post-drop water-fill: S×(S−1) rows, base broadcast —
+    # a taxonomy-bounded BNLJ (tens–hundreds of sources), never corpus data
+    cand = base.select(
+        F.col("source").alias("dropped"), F.col("n_tokens").alias("d_tokens")
+    )
+    remx = cand.join(F.broadcast(base), F.col("source") != F.col("dropped"))
+    wd = Window.partitionBy("dropped").orderBy("cap_tokens", "source")
+    rranked = remx.crossJoin(F.broadcast(tot)).select(
+        "dropped",
+        "d_tokens",
+        "source",
+        "cap_tokens",
+        "n_all",
+        F.expr("(t_all - d_tokens) div 2").cast("long").alias("b_after"),
+        F.row_number().over(wd).alias("i"),
+        F.sum("cap_tokens")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix"),
+    )
+    rmarked = rranked.withColumn(
+        "is_capped",
+        F.col("cap_tokens") * ((F.col("n_all") - 1) - F.col("i") + 1)
+        <= F.col("b_after") - (F.col("prefix") - F.col("cap_tokens")),
+    )
+    rlvl = rmarked.groupBy("dropped").agg(
+        F.max("b_after").cast("long").alias("budget_after"),
+        (F.max("n_all") - 1).cast("long").alias("n_rem"),
+        F.coalesce(F.sum(F.when(F.col("is_capped"), F.col("cap_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("p_k"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped_after"),
+    )
+    etok = F.coalesce("exposed_tokens", F.lit(0)).cast("long")
+    lvl_den = F.col("n_rem") - F.col("n_capped_after")
+    level_after = F.when(lvl_den == 0, F.lit(0.0)).otherwise(
+        (F.col("budget_after") - F.col("p_k")) / lvl_den
+    )
+    base_den = F.col("n_all") - F.col("b_k")
+    level_base = F.when(base_den == 0, F.lit(0.0)).otherwise(
+        (F.expr("t_all div 2") - F.col("b_p_k")) / base_den
+    )
+    return (
+        base.join(es, "source", "left")
+        .join(rlvl, F.col("source") == F.col("dropped"))
+        .crossJoin(F.broadcast(blvl))  # singleton baseline-level row
+        .select(
+            "source",
+            "n_tokens",
+            etok.alias("exposed_tokens"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    etok / F.col("n_tokens")
+                ),
+                6,
+            ).alias("exposure_frac"),
+            (F.col("n_tokens") - etok).cast("long").alias("unique_tokens"),
+            "budget_after",
+            "n_capped_after",
+            F.round(level_after, 6).alias("level_after"),
+            F.round(level_after - level_base, 6).alias("level_gain"),
+        )
+    )
+
+
 # --- DuckDB CTE-inlining guard over the heavy dedup oracles -------------------------
 # DuckDB 1.0 inlines every non-recursive CTE into each consumer, so an
 # oracle that references the shingle stream / full-Jaccard machinery

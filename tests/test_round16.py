@@ -164,3 +164,127 @@ def test_cur2_cur11_use_combinable_argmax_not_window(spark):
             final_plan = df._jdf.queryExecution().executedPlan().toString()
         for seg in [final_plan, *rec.plans]:
             assert "Window" not in seg, f"component window reappeared in {name}"
+
+
+# --- d28 compaction scrub: reconciliation + planted cross-arrival dup --------
+
+
+def test_d28_reconciles_with_st17_per_source(spark):
+    """The compaction ledger owes the stream an exact reconciliation:
+    d28's removed_vs_corpus must equal st17's tokens_removed per source
+    (same arrival universe, same corpus inventory, same shared span-scrub
+    operators) — the compaction only ADDS cross-arrival removals on top."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    d28 = {
+        r["source"]: (r["removed_vs_corpus"], r["tokens_before"], r["n_docs"])
+        for r in qs["d28_compaction_arrival_scrub"](spark, SF_DIR).collect()
+    }
+    st17 = {
+        r["source"]: (r["tokens_removed"], r["tokens_before"], r["n_docs"])
+        for r in qs["st17_stream_span_scrub"](spark, SF_DIR).collect()
+    }
+    assert d28 == st17
+    # and the compaction finds strictly new mass somewhere (the testdata
+    # plants cross-source duplicate docs that land on both arrival sides)
+    extra = sum(
+        r["removed_cross_arrival"]
+        for r in qs["d28_compaction_arrival_scrub"](spark, SF_DIR).collect()
+    )
+    assert extra > 0
+
+
+def test_d28_removes_planted_cross_arrival_dup_st17_keeps(spark, tmp_path):
+    """The exact scope-hole scenario st17's comment defers to 'the next
+    compaction': two ARRIVALS share an 8-token window the corpus lacks.
+    st17 must keep those tokens (corpus-only inventory); d28 must scrub
+    them from the non-keeper arrival (keep-first among arrivals)."""
+    import __spark_entry__ as entry_mod
+
+    # WORD-DISJOINT fillers: no 8-token window may accidentally recur
+    # across docs — the only planted duplicate is dup_win between the
+    # two arrivals (boundary windows differ because the fillers differ)
+    filler_c0 = "ca cb cc cd ce cf cg ch ci cj"
+    filler_c2 = "da db dc dd de df dg dh di dj"
+    filler_a1 = "ea eb ec ed ee ef eg eh ei ej"
+    filler_a3 = "fa fb fc fd fe ff fg fh fi fj"
+    dup_win = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # corpus (even ids): no dup_win anywhere, no window shared with arrivals
+        (0, "wiki", filler_c0),
+        (2, "wiki", filler_c2),
+        # arrivals (odd ids): doc 1 and doc 3 share dup_win; doc 3 is the
+        # non-keeper (keep-first = min doc_id = 1)
+        (1, "crawl", f"{filler_a1} {dup_win}"),
+        (3, "crawl", f"{filler_a3} {dup_win}"),
+    ]
+    # single-FILE parquet like /root/testdata (the stream source opens it
+    # with pyarrow for schema inference — a Spark directory write fails)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "sfplant")
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+
+    qs = entry_mod.queries()
+    st17 = {r["source"]: r for r in qs["st17_stream_span_scrub"](spark, sf_dir).collect()}
+    d28 = {r["source"]: r for r in qs["d28_compaction_arrival_scrub"](spark, sf_dir).collect()}
+    # corpus shares no window with the arrivals -> the stream removes 0
+    assert st17["crawl"]["tokens_removed"] == 0
+    # the compaction agrees on the corpus share (reconciliation) ...
+    assert d28["crawl"]["removed_vs_corpus"] == 0
+    # ... and scrubs the planted window from the non-keeper arrival only:
+    # 8 tokens (doc 3's dup_win positions), none from keeper doc 1
+    assert d28["crawl"]["removed_cross_arrival"] == 8
+    assert d28["crawl"]["tokens_removed"] == 8
+    assert d28["crawl"]["tokens_kept"] == st17["crawl"]["tokens_kept"] - 8
+
+
+# --- ep15 closure against d27 -------------------------------------------------
+
+
+def test_ep15_exposure_closes_against_d27(spark):
+    """ep15's evidence columns must BE d27's numbers (same position
+    stream, same multi-source-window inventory) — if the two reports
+    disagree about a source's exposure the decision table is junk."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    d27 = {
+        r["source"]: (r["n_tokens"], r["exposed_tokens"], r["exposure_frac"])
+        for r in qs["d27_cross_source_exposure"](spark, SF_DIR).collect()
+    }
+    ep15 = {
+        r["source"]: (r["n_tokens"], r["exposed_tokens"], r["exposure_frac"])
+        for r in qs["ep15_source_drop_impact"](spark, SF_DIR).collect()
+    }
+    assert ep15 == d27
+
+
+def test_ep15_waterfill_algebra(spark):
+    """Post-drop water-fill invariants: budget_after = (T - T_s) div 2,
+    capped allocation never exceeds the budget, and the uncapped level is
+    the exact remainder split."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+
+    qs = entry_mod.queries()
+    rows = qs["ep15_source_drop_impact"](spark, SF_DIR).collect()
+    assert rows
+    t_all = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["budget_after"] == (t_all - r["n_tokens"]) // 2
+        assert 0 <= r["n_capped_after"] <= len(rows) - 1
+        assert r["unique_tokens"] == r["n_tokens"] - r["exposed_tokens"]
+        if r["n_capped_after"] < len(rows) - 1:
+            assert r["level_after"] > 0
