@@ -288,3 +288,33 @@ def test_ep15_waterfill_algebra(spark):
         assert r["unique_tokens"] == r["n_tokens"] - r["exposed_tokens"]
         if r["n_capped_after"] < len(rows) - 1:
             assert r["level_after"] > 0
+
+
+# --- sf1 coverage ratchet -----------------------------------------------------
+
+
+def test_every_registry_name_has_an_sf1_artifact_stamp():
+    """VERDICT r15 #5: full sf1 coverage must be READABLE FROM ARTIFACTS,
+    not commit messages. Fold every SF1_PROBE_r*.json (oracle comparison)
+    and SF1_ROWSONLY_r*.json (execution probe for the no-oracle names):
+    every registered query must carry a stamp from round 15 or newer
+    (r15 ran the FULL oracle sweep; r16 topped up the r14 ad-hoc names
+    and the round's additions). The floor ratchets upward when a newer
+    full sweep lands; a new query registered without an sf1 stamp fails
+    here until its probe row is committed."""
+    import glob
+    import json as _json
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for pat in ("SF1_PROBE_r*.json", "SF1_ROWSONLY_r*.json"):
+        for f in glob.glob(os.path.join(repo, pat)):
+            rnd = int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+            for name in _json.load(open(f)).get("results", {}):
+                newest[name] = max(newest.get(name, 0), rnd)
+    FLOOR = 15
+    stale = {n: newest.get(n, 0) for n in entry_mod.queries() if newest.get(n, 0) < FLOOR}
+    assert not stale, f"registry names without an sf1 stamp >= r{FLOOR}: {stale}"
