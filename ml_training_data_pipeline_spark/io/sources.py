@@ -217,6 +217,64 @@ def scratch_dir(spark: SparkSession, label: str, sf_dir: str) -> str:
 
 
 @lru_cache(maxsize=256)
+def _scan_layout(path: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the parquet footer — driver-side,
+    cached. Parquet splits at ROW-GROUP granularity: maxPartitionBytes can
+    slice a file into byte ranges, but a range with no row-group midpoint
+    yields zero rows, so a single-row-group file is read by exactly one
+    task no matter the split config."""
+    md = pq.ParquetFile(path).metadata
+    return md.num_rows, md.num_row_groups
+
+
+# Floor on rows per task for the post-scan repartition: below this the
+# per-task setup cost outweighs the parallelism. Measured on this host
+# (sf0.1, 32 cores): every task pays a fixed ~45ms CPU floor (task
+# deserialization + per-task projection/codegen-source construction)
+# that grows with expression complexity, so 5000-row documents split 32
+# ways burned 12x the serial CPU for the same wall. 512 rows/task keeps
+# lineitem/events at full width while tiny doc/embedding tables get
+# single-digit task counts whose setup amortizes. Tiny dims like
+# nation/region stay single-partition and broadcast-join as before.
+_MIN_ROWS_PER_TASK = 512
+
+
+def _parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Input-skew mitigation (spark_optimization_guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The local testdata parquet files carry a SINGLE row group each, so
+    every scan — and with it the tokenize/md5/decimal-heavy first stage
+    of every query — ran as ONE task on a 32-core master (measured r16
+    baseline: suite wall 18.1s vs 34.4 CPU-s, wall/cpu ≈ 1-2.5 on 32
+    cores; x2 3.05s wall / 4.18 CPU-s is ~75% serial). A round-robin
+    repartition right after the read moves the raw bytes once (tiny:
+    the whole sf0.1 corpus is <20 MB) and parallelizes everything
+    downstream.
+
+    Scale-adaptive, not a local[32] constant: the gate compares the
+    file's actual row-group count against the cluster's default
+    parallelism — at 100 TB (≈800k row groups) the gate never fires and
+    the scan keeps its natural splits with zero added shuffle. Filters
+    and column pruning pass through a Repartition node
+    (PushDownPredicates/ColumnPruning), so PushedFilters/ReadSchema at
+    the scan are unchanged — pinned by tests/test_plan_shapes.py.
+    Result-safe by construction: no query derives values from physical
+    partitioning (no rand/sample-by-partition/monotonically_increasing_id
+    anywhere in the package). SPARK_GRAFT_SCAN_REPARTITION=0 disables."""
+    if os.environ.get("SPARK_GRAFT_SCAN_REPARTITION", "1") == "0":
+        return df
+    try:
+        rows, row_groups = _scan_layout(path)
+    except Exception:  # unreadable footer: leave the scan alone
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if row_groups >= par or rows < 2 * _MIN_ROWS_PER_TASK:
+        return df
+    return df.repartition(min(par, rows // _MIN_ROWS_PER_TASK))
+
+
+@lru_cache(maxsize=256)
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
     nanosecond longs under ``nanosAsLong``; we convert back to proper
@@ -250,7 +308,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div (not float: 1e18 ns exceeds double's 2^53 exactness)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     df = normalize_ntz(df)
-    return df
+    return _parallelize_scan(spark, df, path)
 
 
 def normalize_ntz(df: DataFrame) -> DataFrame:

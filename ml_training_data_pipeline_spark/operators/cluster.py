@@ -36,6 +36,16 @@ def fit_kmeans(
 ) -> ClusterResult:
     """M1 — apply_clustering(features, k=15) with seed 123
     (02_build_models.R:183-190)."""
+    # Persist the feature frame across the iterative fit AND the serving
+    # transform (guide §5: reuse + expensive recompute). Without this,
+    # MLlib caches its internal instances RDD for the Lloyd iterations
+    # but model.transform() re-executes the whole upstream plan (scan →
+    # vectorize — at 100 TB a second full corpus pass; measured r16 at
+    # sf0.1: m2 re-paid the scan+exchange twice). MLlib skips its own
+    # duplicate caching when the input's storageLevel is already set.
+    from pyspark import StorageLevel
+
+    features = features.persist(StorageLevel.MEMORY_AND_DISK)
     km = KMeans(k=k, seed=seed, featuresCol=features_col, predictionCol="cluster_id")
     model = km.fit(features)
     assigned = model.transform(features).select(id_col, "cluster_id")

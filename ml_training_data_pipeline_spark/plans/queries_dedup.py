@@ -379,13 +379,13 @@ def d8_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cur2_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import quality_score
+    from ..functions.analysis import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents")
     comp = connected_components(minhash_dedup(docs, threshold=0.5))
-    scored = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", quality_score(F.col("text")).alias("q")
-    )
+    scored = with_quality_score(
+        docs.where(F.col("text").isNotNull()).select("doc_id", "text"), "q"
+    ).select("doc_id", "q")
     membered = scored.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
@@ -1256,7 +1256,7 @@ def d18_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cur8_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.analysis import quality_score
+    from ..functions.analysis import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     comp = connected_components(minhash_dedup(docs, threshold=0.5))
@@ -1268,7 +1268,7 @@ def cur8_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFram
     # docs), so no forced broadcast: AQE picks broadcast when the
     # runtime size allows and falls back to a shuffle join when not
     labeled = (
-        docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+        with_quality_score(docs.select("doc_id", "text"), "q").select("doc_id", "q")
         .join(removed, "doc_id", "left")
         .select(
             F.when(F.col("rm").isNotNull(), "removed").otherwise("kept").alias(
@@ -3572,18 +3572,28 @@ def ep14_scrub_budget_roadmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.analysis import fingerprint_pair, quality_score
+    from ..functions import analysis
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     # stage 1: d23's exact groups, but each keeps its QUALITY-argmax
     # member (the fingerprint is token-normalized while punct_ratio reads
     # raw text, so a group can hold a noisy and a clean copy of the same
-    # token stream — min doc_id would keep whichever arrived first)
-    scored = docs.select(
+    # token stream — min doc_id would keep whichever arrived first).
+    # Staged shared-tokenize path: ONE tokenize feeds both the quality
+    # stats and the fingerprint (the inline forms carried ~7 copies; r16).
+    st = analysis.with_quality_ratios(
+        docs.select("doc_id", "source", "text"), keep_tokens=True
+    ).withColumn("_fp_hex", F.md5(F.array_join(F.col("_qs_toks"), " ")))
+    scored = st.select(
         "doc_id",
         "source",
-        quality_score(F.col("text")).alias("q"),
-        fingerprint_pair(F.col("text")).alias("fp"),
+        analysis.quality_score_from_ratios(
+            F.col("_qs_sw"), F.col("_qs_pr"), F.col("_qs_mwl")
+        ).alias("q"),
+        F.struct(
+            F.conv(F.substring("_fp_hex", 1, 15), 16, 10).cast("long").alias("h"),
+            F.conv(F.substring("_fp_hex", 16, 15), 16, 10).cast("long").alias("l"),
+        ).alias("fp"),
     ).localCheckpoint()  # 2 consumers: group build + per-doc classification
     # combinable argmax: lexicographic max of (q, -doc_id) ≡ the oracle's
     # ORDER BY q DESC, doc_id ASC — one map-side-combinable groupBy, no

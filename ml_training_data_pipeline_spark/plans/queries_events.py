@@ -74,7 +74,13 @@ def w1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # Window-immediate plan: establish the window's own partitioning at
+    # the scan (guide §2.4 — share one exchange). CollapseRepartition
+    # folds load_table's adaptive round-robin into this keyed exchange,
+    # and EnsureRequirements recognizes it for the user_id window, so the
+    # plan keeps exactly the serial-scan exchange count (a bare
+    # round-robin added a pure extra hop here: +0.35s at sf0.1, r16).
+    e = load_table(spark, sf_dir, "events").repartition(F.col("user_id"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ets = F.col("ts").cast("double")
     flagged = (

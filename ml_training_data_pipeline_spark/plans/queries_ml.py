@@ -340,14 +340,20 @@ def m6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import analysis
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.col("text")
-    feats = docs.select(
+    # staged shared-tokenize feature build (one tokenize for all 5 cols)
+    st = analysis.with_quality_ratios(docs.select("doc_id", "text"))
+    feats = st.select(
         "doc_id",
-        analysis.punct_ratio(t).alias("punct_ratio"),
-        analysis.stopword_ratio(t).alias("stopword_ratio"),
-        analysis.mean_word_length(t).alias("mean_word_len"),
-        analysis.token_count(t).cast("double").alias("n_tokens"),
-        (analysis.quality_score(t) >= 0.5).cast("double").alias("label"),
+        F.col("_qs_pr").alias("punct_ratio"),
+        F.col("_qs_sw").alias("stopword_ratio"),
+        F.col("_qs_mwl").alias("mean_word_len"),
+        F.col("_qs_n_toks").cast("double").alias("n_tokens"),
+        (
+            analysis.quality_score_from_ratios(
+                F.col("_qs_sw"), F.col("_qs_pr"), F.col("_qs_mwl")
+            )
+            >= 0.5
+        ).cast("double").alias("label"),
     )
     assembled = VectorAssembler(
         inputCols=["punct_ratio", "stopword_ratio", "mean_word_len", "n_tokens"],
@@ -496,12 +502,17 @@ def m9_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..functions import analysis
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.col("text")
-    feats = docs.select(
+    st = analysis.with_quality_ratios(docs.select("doc_id", "text"))
+    feats = st.select(
         "doc_id",
-        analysis.punct_ratio(t).alias("punct_ratio"),
-        analysis.token_count(t).cast("double").alias("n_tokens"),
-        (analysis.quality_score(t) >= 0.7).cast("double").alias("label"),
+        F.col("_qs_pr").alias("punct_ratio"),
+        F.col("_qs_n_toks").cast("double").alias("n_tokens"),
+        (
+            analysis.quality_score_from_ratios(
+                F.col("_qs_sw"), F.col("_qs_pr"), F.col("_qs_mwl")
+            )
+            >= 0.7
+        ).cast("double").alias("label"),
     )
     assembled = VectorAssembler(
         inputCols=["punct_ratio", "n_tokens"],

@@ -301,14 +301,19 @@ def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged shared-tokenize form (see analysis.with_quality_ratios): the
+    # single-select form evaluated tokenize 15x per row because lambda-
+    # bound subtrees defeat subexpression elimination — 4.7x CPU on the
+    # identical output (r16 measurement; bit-equality oracle-pinned).
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.col("text")
-    return docs.select(
+    scored = analysis.with_quality_ratios(docs.select("doc_id", "text"))
+    sw, pr, mwl = F.col("_qs_sw"), F.col("_qs_pr"), F.col("_qs_mwl")
+    return scored.select(
         "doc_id",
-        F.round(analysis.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(analysis.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(analysis.mean_word_length(t), 6).alias("mean_word_len"),
-        analysis.quality_score(t).alias("quality_score"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        analysis.quality_score_from_ratios(sw, pr, mwl).alias("quality_score"),
     )
 
 
@@ -335,8 +340,11 @@ def _langid_oracle() -> str:
 
 @query("x3_language_id", oracle=_langid_oracle())
 def x3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged: one tokenize shared by the 5 language-score passes (the
+    # single-column detect_language re-tokenizes per language)
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return docs.select("doc_id", analysis.detect_language(F.col("text")).alias("lang_detected"))
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("_qs_toks"))
+    return analysis.with_language(toked).select("doc_id", "lang_detected")
 
 
 # --- X4: document fingerprint ---------------------------------------------------
@@ -443,19 +451,32 @@ def _curation_oracle() -> str:
     )
 
 
+def _staged_curation_scored(docs: DataFrame, n_toks_name: str, extra_cols: tuple = ()) -> DataFrame:
+    """The cur1/ep4 scored frame `(doc_id, *extra, n_toks, quality_score,
+    lang_detected, fp)` via the staged shared-tokenize path: ONE tokenize
+    feeds the count, the quality stats, the 5 language scores and the
+    fingerprint (the single-select form carried ~12 copies; r16)."""
+    base = docs.select("doc_id", *extra_cols, "text")
+    st = analysis.with_quality_ratios(base, keep_tokens=True)
+    st = analysis.with_language(st)
+    return st.select(
+        "doc_id",
+        *extra_cols,
+        F.col("_qs_n_toks").cast("long").alias(n_toks_name),
+        analysis.quality_score_from_ratios(
+            F.col("_qs_sw"), F.col("_qs_pr"), F.col("_qs_mwl")
+        ).alias("quality_score"),
+        "lang_detected",
+        F.md5(F.array_join(F.col("_qs_toks"), " ")).alias("fp"),
+    )
+
+
 @query("cur1_corpus_curation", oracle=_curation_oracle())
 def cur1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        analysis.token_count(t).cast("long").alias("n_tokens"),
-        analysis.quality_score(t).alias("quality_score"),
-        analysis.detect_language(t).alias("lang_detected"),
-        analysis.fingerprint(t).alias("fp"),
-    )
+    scored = _staged_curation_scored(docs, "n_tokens")
     # dedup survivorship: min doc_id per fingerprint (partitioned window —
     # shuffles once on fp, the same key an exact-dedup groupBy would use)
     w = Window.partitionBy("fp")
@@ -1093,15 +1114,7 @@ def ep4_curation_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    t = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        "source",
-        analysis.token_count(t).cast("long").alias("n_toks"),
-        analysis.quality_score(t).alias("quality_score"),
-        analysis.detect_language(t).alias("lang_detected"),
-        analysis.fingerprint(t).alias("fp"),
-    )
+    scored = _staged_curation_scored(docs, "n_toks", extra_cols=("source",))
     surv = (
         scored.withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("fp")))
         .where(
@@ -1984,10 +1997,10 @@ def x22_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x23_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    pred = docs.select(
-        F.col("lang").alias("lang_true"),
-        analysis.detect_language(F.col("text")).alias("lang_detected"),
+    toked = docs.select(
+        F.col("lang").alias("lang_true"), tokenize(F.col("text")).alias("_qs_toks")
     )
+    pred = analysis.with_language(toked).select("lang_true", "lang_detected")
     cell = pred.groupBy("lang_true", "lang_detected").agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("lang_true")
     return cell.select(
