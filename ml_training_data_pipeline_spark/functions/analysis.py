@@ -209,6 +209,21 @@ def with_language(df, out_col: str = "lang_detected", toks_col: str = "_qs_toks"
     return df.drop(*[f"_ls_{lg}" for lg in sorted(LANG_MARKERS)])
 
 
+def with_fingerprint_pair(df, out_col: str, toks_col: str):
+    """Append ``out_col`` = fingerprint_pair over an existing token-array
+    column (share the tokenize with the site's other token consumers; the
+    md5 hex is materialized once so the two 60-bit halves don't re-hash)."""
+    df = df.withColumn("_fp_hex", F.md5(F.array_join(F.col(toks_col), " ")))
+    df = df.withColumn(
+        out_col,
+        F.struct(
+            F.conv(F.substring("_fp_hex", 1, 15), 16, 10).cast("long").alias("h"),
+            F.conv(F.substring("_fp_hex", 16, 15), 16, 10).cast("long").alias("l"),
+        ),
+    )
+    return df.drop("_fp_hex")
+
+
 def fingerprint(text: Column) -> Column:
     """Exact-dedup document fingerprint: md5 of the canonical token join —
     whitespace/punctuation/case-insensitive identity."""

@@ -3583,17 +3583,15 @@ def d25_cascade_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     # stats and the fingerprint (the inline forms carried ~7 copies; r16).
     st = analysis.with_quality_ratios(
         docs.select("doc_id", "source", "text"), keep_tokens=True
-    ).withColumn("_fp_hex", F.md5(F.array_join(F.col("_qs_toks"), " ")))
+    )
+    st = analysis.with_fingerprint_pair(st, "fp", "_qs_toks")
     scored = st.select(
         "doc_id",
         "source",
         analysis.quality_score_from_ratios(
             F.col("_qs_sw"), F.col("_qs_pr"), F.col("_qs_mwl")
         ).alias("q"),
-        F.struct(
-            F.conv(F.substring("_fp_hex", 1, 15), 16, 10).cast("long").alias("h"),
-            F.conv(F.substring("_fp_hex", 16, 15), 16, 10).cast("long").alias("l"),
-        ).alias("fp"),
+        "fp",
     ).localCheckpoint()  # 2 consumers: group build + per-doc classification
     # combinable argmax: lexicographic max of (q, -doc_id) ≡ the oracle's
     # ORDER BY q DESC, doc_id ASC — one map-side-combinable groupBy, no

@@ -1355,12 +1355,17 @@ def ep7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("chars").cast("double") / F.sum("c"), 6).alias("mean_doc_chars"),
         F.round(F.sum("short") / F.sum("c").cast("double"), 6).alias("short_doc_rate"),
     )
-    # scan 2: tokenize ONCE, token count + fingerprint from one projection
-    tokfp = docs.where(F.col("text").isNotNull()).select(
-        F.size(tokenize(F.col("text"))).alias("nt"),
-        # f feeds countDistinct only (never surfaced) — 120-bit long-pair
-        # key (oracle counts distinct full-hex md5; identical semantics)
-        fingerprint_pair(F.col("text")).alias("f"),
+    # scan 2: tokenize ONCE (as an attribute — the inline
+    # fingerprint_pair re-tokenized), token count + fingerprint from it
+    from ..functions.analysis import with_fingerprint_pair
+
+    toked = docs.where(F.col("text").isNotNull()).select(
+        tokenize(F.col("text")).alias("_toks")
+    )
+    # f feeds countDistinct only (never surfaced) — 120-bit long-pair
+    # key (oracle counts distinct full-hex md5; identical semantics)
+    tokfp = with_fingerprint_pair(toked, "f", "_toks").select(
+        F.size("_toks").alias("nt"), "f"
     )
     tok_stats = tokfp.agg(
         F.sum("nt").cast("double").alias("n_tokens"),
@@ -2192,11 +2197,16 @@ def ep12_data_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("short1") / F.sum("c1").cast("double"), 6).alias("short_doc_rate_v1"),
         F.round(F.sum("short2") / F.sum("c2").cast("double"), 6).alias("short_doc_rate_v2"),
     )
-    # scan 2: tokenize ONCE; token mass + dup fingerprints for BOTH versions
-    tokfp = docs.where(F.col("text").isNotNull()).select(
-        F.size(tokenize(F.col("text"))).alias("nt"),
-        fingerprint_pair(F.col("text")).alias("f"),
-        in_v2.alias("in_v2"),
+    # scan 2: tokenize ONCE (as an attribute — the inline
+    # fingerprint_pair re-tokenized); token mass + dup fingerprints for
+    # BOTH versions from it
+    from ..functions.analysis import with_fingerprint_pair
+
+    toked = docs.where(F.col("text").isNotNull()).select(
+        tokenize(F.col("text")).alias("_toks"), in_v2.alias("in_v2")
+    )
+    tokfp = with_fingerprint_pair(toked, "f", "_toks").select(
+        F.size("_toks").alias("nt"), "f", "in_v2"
     )
     tok = tokfp.agg(
         F.sum("nt").cast("double").alias("n_tokens_v1"),

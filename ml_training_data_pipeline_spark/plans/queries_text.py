@@ -200,11 +200,13 @@ def v6_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f6_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return docs.where(F.col("text").isNotNull()).select(
+    toked = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    return toked.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(remove_stopwords(toks, ALL_STOPWORDS)).cast("long").alias("n_content_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(remove_stopwords(F.col("toks"), ALL_STOPWORDS)).cast("long").alias("n_content_tokens"),
     )
 
 
@@ -1347,19 +1349,20 @@ def x17_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x18_word_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged: tokenize once as an attribute (the inline form carried 4
+    # copies — lens, the giants filter twice, the size guard)
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    lens = F.transform(toks, lambda x: F.length(x))
-    giants = F.size(F.filter(toks, lambda x: F.length(x) > 15))
-    return (
-        docs.where(F.col("text").isNotNull())
-        .where(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            F.array_max(lens).cast("long").alias("max_word_len"),
-            giants.cast("long").alias("n_giant_words"),
-            (giants > 0).alias("has_giant_word"),
-        )
+    toked = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    sized = toked.where(F.size("toks") > 0).withColumn(
+        "giants", F.size(F.filter("toks", lambda x: F.length(x) > 15))
+    )
+    return sized.select(
+        "doc_id",
+        F.array_max(F.transform("toks", lambda x: F.length(x))).cast("long").alias("max_word_len"),
+        F.col("giants").cast("long").alias("n_giant_words"),
+        (F.col("giants") > 0).alias("has_giant_word"),
     )
 
 
@@ -1911,10 +1914,11 @@ def x21_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    sized = docs.select(
+    toked = docs.select("source", tokenize(F.col("text")).alias("toks"))
+    sized = toked.select(
         "source",
-        F.size(tokenize(F.col("text"))).alias("n_toks"),
-        F.size(F.array_distinct(tokenize(F.col("text")))).alias("n_distinct"),
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
     ).where(F.col("n_toks") >= 5)
     ln_v = F.log(F.col("n_distinct").cast("double"))
     ln_n = F.log(F.col("n_toks").cast("double"))
