@@ -127,9 +127,9 @@ def _gibbs_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndar
     Token-level topic assignments are resampled from the collapsed
     conditional p(z=t) ∝ (n_dk+α)(n_kw+β)/(n_k+βW) with α=0.1, β=0.01
     (the sklearn priors); theta/phi are the smoothed count estimates
-    after ``iters`` sweeps. Deterministic per seed — the last-resort
-    fallback when sklearn is absent (it is present in the target
-    image)."""
+    after ``iters`` sweeps. Deterministic per seed — the fallback when
+    sklearn is absent (true of the current image, so this IS the hot
+    path for every local split fit)."""
     rng = np.random.default_rng(seed)
     n, d = X.shape
     alpha, beta = 0.1, 0.01
@@ -140,29 +140,52 @@ def _gibbs_topics(X: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndar
     tok_term = np.repeat(terms_idx, reps)
     n_tok = len(tok_doc)
     z = rng.integers(0, k, size=n_tok)
-    ndk = np.zeros((n, k))
-    nkw = np.zeros((k, d))
-    nk = np.zeros(k)
-    np.add.at(ndk, (tok_doc, z), 1)
-    np.add.at(nkw, (z, tok_term), 1)
-    np.add.at(nk, z, 1)
+    # The sampler's inner loop runs n_tok*iters times over k-sized count
+    # slices; on arrays of width k<=6 every numpy call is dispatch
+    # overhead (~25us/token measured), so the counts live as plain
+    # Python floats and the conditional is scalar arithmetic
+    # (~2us/token). Bit-identical to the former numpy form: same IEEE
+    # doubles, same operation order ((n_dk+a)*(n_kw+b)/(n_k+b*d)
+    # elementwise, sequential cumsum, searchsorted-left), and the rng
+    # stream is consumed by the same draws in the same order.
+    ndk = [[0.0] * k for _ in range(n)]
+    nkw = [[0.0] * d for _ in range(k)]
+    nk = [0.0] * k
+    tok_doc_l = tok_doc.tolist()
+    tok_term_l = tok_term.tolist()
+    z_l = z.tolist()
+    for t in range(n_tok):
+        ndk[tok_doc_l[t]][z_l[t]] += 1.0
+        nkw[z_l[t]][tok_term_l[t]] += 1.0
+        nk[z_l[t]] += 1.0
+    beta_d = beta * d
+    k_range = range(k)
     for _ in range(max(1, iters)):
-        u = rng.random(n_tok)
+        u = rng.random(n_tok).tolist()
         for t in range(n_tok):
-            di, w, zt = tok_doc[t], tok_term[t], z[t]
-            ndk[di, zt] -= 1
-            nkw[zt, w] -= 1
-            nk[zt] -= 1
-            p = (ndk[di] + alpha) * (nkw[:, w] + beta) / (nk + beta * d)
-            cp = np.cumsum(p)
-            zt = int(np.searchsorted(cp, u[t] * cp[-1]))
-            z[t] = zt
-            ndk[di, zt] += 1
-            nkw[zt, w] += 1
-            nk[zt] += 1
-    theta = ndk + alpha
+            di, w, zt = tok_doc_l[t], tok_term_l[t], z_l[t]
+            row = ndk[di]
+            row[zt] -= 1.0
+            nkw[zt][w] -= 1.0
+            nk[zt] -= 1.0
+            cum = 0.0
+            cp = []
+            for j in k_range:
+                cum += (row[j] + alpha) * (nkw[j][w] + beta) / (nk[j] + beta_d)
+                cp.append(cum)
+            v = u[t] * cum
+            for zt in k_range:  # first j with cp[j] >= v (searchsorted-left)
+                if cp[zt] >= v:
+                    break
+            z_l[t] = zt
+            row[zt] += 1.0
+            nkw[zt][w] += 1.0
+            nk[zt] += 1.0
+    ndk_np = np.array(ndk, dtype=np.float64).reshape(n, k)
+    nkw_np = np.array(nkw, dtype=np.float64).reshape(k, d)
+    theta = ndk_np + alpha
     theta /= theta.sum(axis=1, keepdims=True)
-    phi = nkw + beta
+    phi = nkw_np + beta
     phi /= phi.sum(axis=1, keepdims=True)
     return theta, phi
 
@@ -267,6 +290,8 @@ def split_low_coherence_clusters(
     assignments: DataFrame,
     n_docs: int,
     cfg: RefineConfig,
+    binary: DataFrame | None = None,
+    coherence: DataFrame | None = None,
 ) -> tuple[DataFrame, list[int]]:
     """M6 — split_clusters_with_lda_adaptive (02_build_models.R:487-564):
     candidate clusters (coherence < threshold, ≥ min_docs — the refiner's
@@ -284,9 +309,22 @@ def split_low_coherence_clusters(
     back to distributed MLlib LDA jobs submitted CONCURRENTLY from a
     driver thread pool (``cfg.big_fit_parallelism``, FAIR pools). One
     anti-join ∪ union applies all minted assignments at once. Returns (new_assignments,
-    split_cluster_ids) — ids whose docs actually moved."""
-    binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
-    coh = cluster_coherence(tfidf, assignments, n_docs, cfg.top_m, binary=binary)
+    split_cluster_ids) — ids whose docs actually moved.
+
+    ``binary``/``coherence``: caller-supplied precomputed frames (the
+    binarized DFM, and this exact assignments' cluster coherence) so the
+    phase-1 gate and the split share one computation instead of
+    re-running the DFM distinct + coherence joins (a full extra DFM pass
+    each at 100 TB). A caller-supplied binary is left persisted (caller
+    owns its lifecycle)."""
+    own_binary = binary is None
+    if binary is None:
+        binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
+    coh = (
+        coherence
+        if coherence is not None
+        else cluster_coherence(tfidf, assignments, n_docs, cfg.top_m, binary=binary)
+    )
     sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
     cand_df = (
         coh.join(sizes, "cluster_id")
@@ -300,7 +338,8 @@ def split_low_coherence_clusters(
     # list drives job structure, not data movement.
     cand_sizes = {int(r["cluster_id"]): int(r["size"]) for r in cand_df.collect()}
     if not cand_sizes:
-        binary.unpersist()
+        if own_binary:
+            binary.unpersist()
         return assignments, []
     assignments = assignments.select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
@@ -407,7 +446,8 @@ def split_low_coherence_clusters(
         .distinct()
     )
     split_ids = sorted(int(r["cluster_id"]) for r in changed.collect())
-    binary.unpersist()
+    if own_binary:
+        binary.unpersist()
     return out, split_ids
 
 
@@ -446,19 +486,33 @@ def refine(
     tfidf: DataFrame,
     assignments: DataFrame,
     cfg: RefineConfig | None = None,
+    *,
+    binary: DataFrame | None = None,
+    coherence: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """M11 — optimize_clusters_with_coherence (02_opt:831-911):
     split low-coherence clusters → renumber → merge similar → renumber.
     Each round checkpoints lineage via localCheckpoint (the reference's
     eager materialization, kept deliberately: iterative loops otherwise
-    accumulate unbounded plan depth)."""
+    accumulate unbounded plan depth).
+
+    ``binary``/``coherence``/``n_docs``: optional precomputed inputs
+    (see split_low_coherence_clusters) so a caller that already ran the
+    phase-1 coherence gate (phase1_summary) shares those frames instead
+    of re-deriving them. ``coherence`` must be the INPUT assignments'
+    coherence — it is only used for the first round's split."""
     cfg = cfg or RefineConfig()
     tfidf = tfidf.cache()
     tf_vectors = tf_vectors.cache()
-    n_docs = tfidf.select("doc_id").distinct().count()
+    if n_docs is None:
+        n_docs = tfidf.select("doc_id").distinct().count()
     out = assignments
-    for _ in range(cfg.max_rounds):
-        out, split_ids = split_low_coherence_clusters(tf_vectors, tfidf, out, n_docs, cfg)
+    for rnd in range(cfg.max_rounds):
+        out, split_ids = split_low_coherence_clusters(
+            tf_vectors, tfidf, out, n_docs, cfg,
+            binary=binary, coherence=coherence if rnd == 0 else None,
+        )
         # checkpoint BEFORE merge: the split output carries LDA-transform
         # lineage that merge's aggregations would otherwise re-execute per
         # downstream job.

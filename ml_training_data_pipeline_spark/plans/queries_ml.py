@@ -189,6 +189,7 @@ def phase1_summary(
     label) summary (summarise_cluster_coherence, 02_build_models.R:842-851).
     Shared by ep3 (persisted-state inputs) and its in-memory parity test."""
     from ..functions.llm import label_prompt, llm_complete
+    from ..operators.coherence import binary_doc_term, prob_coherence
     from ..operators.refine import cluster_coherence, renumber_clusters
     from ..operators.tfidf import cluster_term_scores
 
@@ -197,20 +198,33 @@ def phase1_summary(
     # the scan/tokenize lineage per consumer
     tfidf = tfidf.cache()
     n_docs = tfidf.select("doc_id").distinct().count()
+    # ONE binarized DFM for the gate, the refine loop's split scoring and
+    # the final coherence (each used to re-derive it: a full extra DFM
+    # distinct+shuffle per consumer at 100 TB).
+    binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
     # the reference refines only when any cluster is below threshold AND
-    # break_clusters is set (04_cluster_refiner.R:741-752)
-    n_low = (
-        cluster_coherence(tfidf, assignments, n_docs, cfg.top_m)
-        .where(F.col("coherence") < cfg.coherence_threshold)
-        .count()
-    )
+    # break_clusters is set (04_cluster_refiner.R:741-752). Checkpoint the
+    # k-row coherence frame so the split's candidate selection reuses the
+    # gate's computation instead of re-running it.
+    coh0 = cluster_coherence(
+        tfidf, assignments, n_docs, cfg.top_m, binary=binary
+    ).localCheckpoint(eager=True)
+    n_low = coh0.where(F.col("coherence") < cfg.coherence_threshold).count()
     refined = (
-        refine(tf_vectors, tfidf, assignments, cfg)
+        refine(tf_vectors, tfidf, assignments, cfg,
+               binary=binary, coherence=coh0, n_docs=n_docs)
         if n_low > 0
         else renumber_clusters(assignments)
     )
-    coh = cluster_coherence(tfidf, refined, n_docs, cfg.top_m)
-    topterms = cluster_term_scores(tfidf, refined, top_n=5)
+    # final coherence and keyword extraction share ONE ranked top-terms
+    # frame when their term counts coincide (they do for _phase1_cfg:
+    # cluster_coherence's internal ranking is this exact top_n=5 call).
+    topterms = cluster_term_scores(tfidf, refined, top_n=5).localCheckpoint(eager=True)
+    coh = (
+        prob_coherence(binary, topterms.select("cluster_id", "term", "rank"), n_docs)
+        if cfg.top_m == 5
+        else cluster_coherence(tfidf, refined, n_docs, cfg.top_m, binary=binary)
+    )
     kw = topterms.groupBy("cluster_id").agg(
         F.array_join(
             F.transform(
