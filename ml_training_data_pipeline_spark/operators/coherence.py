@@ -25,9 +25,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def binary_doc_term(tokens_long: DataFrame) -> DataFrame:
-    """Binarized DFM: distinct (doc_id, term) — presence, not counts."""
-    return tokens_long.select("doc_id", "term").distinct()
+def binary_doc_term(tokens_long: DataFrame, *, assume_unique: bool = False) -> DataFrame:
+    """Binarized DFM: distinct (doc_id, term) — presence, not counts.
+
+    ``assume_unique=True`` skips the distinct when the caller's frame is
+    already one row per (doc_id, term) — true of the long TF-IDF DFM
+    (term_counts groups on exactly that key), where the distinct was a
+    full extra shuffle of the doc-term stream for a no-op. Raw token
+    streams (c6/c7) must keep the default."""
+    out = tokens_long.select("doc_id", "term")
+    return out if assume_unique else out.distinct()
 
 
 def term_doc_freq(binary: DataFrame) -> DataFrame:

@@ -93,7 +93,9 @@ def cluster_coherence(
         "cluster_id", "term", "rank"
     )
     if binary is None:
-        binary = binary_doc_term(tfidf.select("doc_id", "term"))
+        # the long DFM is unique per (doc_id, term) by construction
+        # (term_counts groups on that key) — skip the distinct shuffle
+        binary = binary_doc_term(tfidf.select("doc_id", "term"), assume_unique=True)
     return prob_coherence(binary, topterms, n_docs)
 
 
@@ -319,24 +321,37 @@ def split_low_coherence_clusters(
     owns its lifecycle)."""
     own_binary = binary is None
     if binary is None:
-        binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
+        binary = binary_doc_term(
+            tfidf.select("doc_id", "term"), assume_unique=True
+        ).cache()
     coh = (
         coherence
         if coherence is not None
         else cluster_coherence(tfidf, assignments, n_docs, cfg.top_m, binary=binary)
     )
     sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
-    cand_df = (
-        coh.join(sizes, "cluster_id")
-        .where((F.col("coherence") < cfg.coherence_threshold) & (F.col("size") >= cfg.min_docs))
-        .orderBy(F.asc("coherence"), F.asc("cluster_id"))
-        .select("cluster_id", "size")
+    # cluster-count-sized collect (documented exception): the candidate
+    # list drives job structure, not data movement. ONE collect of the
+    # k-row (cluster, size, coherence) frame yields both the candidate
+    # list and max_id — the old separate assignments.agg(max) job was a
+    # second full pass over the assignment table per split round. LEFT
+    # join from sizes: a cluster with a single top term produces no
+    # coherence pair (hence no coh row) and is correctly no candidate,
+    # but its id must still bound the minted-id block.
+    all_rows = sizes.join(coh, "cluster_id", "left").collect()
+    max_id = max(int(r["cluster_id"]) for r in all_rows)
+    cands = sorted(
+        (
+            (float(r["coherence"]), int(r["cluster_id"]), int(r["size"]))
+            for r in all_rows
+            if r["coherence"] is not None
+            and r["coherence"] < cfg.coherence_threshold
+            and r["size"] >= cfg.min_docs
+        ),
     )
     if cfg.max_split_clusters is not None:
-        cand_df = cand_df.limit(cfg.max_split_clusters)
-    # cluster-count-sized collect (documented exception): the candidate
-    # list drives job structure, not data movement.
-    cand_sizes = {int(r["cluster_id"]): int(r["size"]) for r in cand_df.collect()}
+        cands = cands[: cfg.max_split_clusters]
+    cand_sizes = {c: s for _, c, s in cands}
     if not cand_sizes:
         if own_binary:
             binary.unpersist()
@@ -344,7 +359,6 @@ def split_low_coherence_clusters(
     assignments = assignments.select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
     )
-    max_id = int(assignments.agg(F.max("cluster_id")).first()[0])
     max_k = max(cfg.k_range)
     small = sorted(c for c, s in cand_sizes.items() if s <= cfg.local_fit_max_docs)
     big = sorted(c for c in cand_sizes if c not in set(small))

@@ -201,7 +201,11 @@ def phase1_summary(
     # ONE binarized DFM for the gate, the refine loop's split scoring and
     # the final coherence (each used to re-derive it: a full extra DFM
     # distinct+shuffle per consumer at 100 TB).
-    binary = binary_doc_term(tfidf.select("doc_id", "term")).cache()
+    # assume_unique: the long DFM is one row per (doc_id, term) already —
+    # the distinct was a full extra shuffle for a no-op
+    binary = binary_doc_term(
+        tfidf.select("doc_id", "term"), assume_unique=True
+    ).cache()
     # the reference refines only when any cluster is below threshold AND
     # break_clusters is set (04_cluster_refiner.R:741-752). Checkpoint the
     # k-row coherence frame so the split's candidate selection reuses the

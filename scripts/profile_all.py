@@ -43,6 +43,11 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument(
+        "--reps", type=int, default=1,
+        help="executions per query; rep walls recorded separately so a "
+             "warm rep (no codegen/JIT) is distinguishable from the cold one",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -55,25 +60,43 @@ def main() -> int:
     registry._load_all()
     names = args.names or [n for n in registry.QUERIES if n not in set(args.skip)]
 
+    def clear_state() -> None:
+        # cache-cold reps, same discipline as bench.one_rep: clearCache
+        # only drops SQL-catalog entries; localCheckpoint'd RDD blocks
+        # stay persisted and skew later reps unless unpersisted.
+        spark.catalog.clearCache()
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(True)
+        except Exception:  # noqa: BLE001
+            pass
+
     out: dict[str, dict] = {}
     for i, name in enumerate(names):
         fn = registry.QUERIES[name]
         spark.sparkContext.setJobDescription(f"profile:{name}")
-        t0, c0, j0 = time.monotonic(), cpu_now(), jvm_cpu(spark)
-        try:
-            df = fn(spark, args.sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            err = None
-        except Exception as e:  # noqa: BLE001
-            err = f"{type(e).__name__}: {e}"[:200]
-        wall = time.monotonic() - t0
-        cpu = (cpu_now() - c0) + (jvm_cpu(spark) - j0)
-        out[name] = {"wall": round(wall, 3), "cpu": round(cpu, 2)}
+        walls: list[float] = []
+        cpus_l: list[float] = []
+        err = None
+        for _ in range(max(1, args.reps)):
+            clear_state()
+            t0, c0, j0 = time.monotonic(), cpu_now(), jvm_cpu(spark)
+            try:
+                df = fn(spark, args.sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                err = f"{type(e).__name__}: {e}"[:200]
+            walls.append(round(time.monotonic() - t0, 3))
+            cpus_l.append(round((cpu_now() - c0) + (jvm_cpu(spark) - j0), 2))
+            if err:
+                break
+        out[name] = {"wall": walls[-1], "cpu": cpus_l[-1],
+                     "walls": walls, "cpus": cpus_l}
         if err:
             out[name]["err"] = err
-        print(f"[{i+1}/{len(names)}] {name}: {wall:.2f}s wall / {cpu:.1f} cpu"
+        print(f"[{i+1}/{len(names)}] {name}: {walls} wall / {cpus_l} cpu"
               + (f" ERR {err}" if err else ""), flush=True)
-        spark.catalog.clearCache()
+        clear_state()
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print("wrote", args.out)
