@@ -373,7 +373,17 @@ def minhash_dedup(
     # persist-to-disk / eager-parquet via SPARK_GRAFT_MATERIALIZE
     # (operators/materialize.py) instead of editing this operator.
     sh = materialize(doc_shingles(docs, k=k))
-    cands = lsh_candidate_pairs(lsh_bands_from_wide(minhash_wide(sh, num_hashes), rows_per_band))
+    # The candidate pair list has THREE plan references downstream
+    # (jaccard_pairs uses it in both legs of the cand_docs union and in
+    # the pair semi-join), and each reference re-derives the whole
+    # minhash→bands→self-join subtree from the shingle checkpoint —
+    # d4's initial plan carried 56 Exchanges / 136 HashAggregates from
+    # the copies. Materialize once: the pair list is LSH-bounded (the
+    # whole point of banding), and the single build replaces three
+    # executions of the banding scan at any scale.
+    cands = materialize(
+        lsh_candidate_pairs(lsh_bands_from_wide(minhash_wide(sh, num_hashes), rows_per_band))
+    )
     # candidate-scoped verification: LSH prunes the quadratic shingle
     # self-join, not just the final result (see jaccard_pairs docstring).
     # Measured alternative (rejected): join candidate pairs to per-doc
