@@ -14,11 +14,106 @@ swap in Kafka sources without touching operator code.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
+
+
+def _ephemeral_checkpoint_dir() -> str | None:
+    """Checkpoint location for the BOUNDED stream harnesses below — runs
+    driven to completion with ``processAllAvailable`` whose checkpoints
+    are discarded by design (Spark itself force-deletes the auto temp
+    checkpoint it would otherwise create in ``java.io.tmpdir``).
+
+    Why it exists: every micro-batch pays a WAL commit plus one state
+    store commit per (operator x partition) — each a small-file create,
+    checksum, and rename on whatever filesystem holds the checkpoint.
+    Measured on the st6 stream-stream join at sf0.1 (warm JVM): default
+    tmpdir 4.9 s wall vs RAM-backed checkpoint 3.0 s, pure I/O placement,
+    byte-identical results. So the bounded harness puts its ephemeral
+    checkpoint on a RAM-backed fs when one exists.
+
+    ``SPARK_GRAFT_STREAM_CKPT_DIR`` overrides the base (a RESTARTABLE
+    production query must instead pass a durable dfs location through its
+    own ``checkpointLocation`` — this helper is only wired into the
+    bounded drive-to-completion wrappers, never a long-running sink).
+    Returns None when no RAM-backed base is available, which falls back
+    to Spark's own temp-checkpoint behavior."""
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if base is None and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm/spark_graft_stream_ckpt"
+    if base is None:
+        return None
+    path = os.path.join(base, uuid.uuid4().hex)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _drain(writer, ckpt: str | None):
+    """start() -> processAllAvailable() -> stop(), removing the ephemeral
+    checkpoint afterwards (with an explicit checkpointLocation Spark
+    would otherwise leave it behind — on a RAM fs that leaks memory
+    across a long sweep).
+
+    Two checkpoint-I/O overrides apply while the bounded query runs (set
+    at query start, restored after, so a durable restartable deployment
+    keeps the session defaults) — measured on the st6 stream-stream join
+    at sf0.1, 32 state partitions, warm JVM; byte-identical results:
+
+    - Checkpoint-file checksums (Spark 4.1's ChecksumCheckpointFileManager,
+      on by default) exist to detect corruption when a RESTARTED query
+      re-reads its checkpoint. A drive-to-completion run discards the
+      checkpoint on stop — no reader ever verifies those checksums —
+      while paying double file-create traffic plus a spawned thread per
+      checkpoint file on every state-store commit: 5.1 s wall / 82 CPU-s
+      with checksums vs 3.2 s / 35 CPU-s without. Disabled for every
+      bounded run.
+    - The default FileContext-based checkpoint manager routes local-fs
+      metadata calls through Hadoop Shell (a fork+exec of readlink/stat
+      per file operation when the native Hadoop library is absent —
+      thread dumps showed 46/55 RUNNABLE executor samples inside
+      ProcessImpl.forkAndExec). The FileSystemBasedCheckpointFileManager
+      uses java.io rename, which IS atomic on the posix fs the ephemeral
+      checkpoint lives on: 3.9 s / 37 CPU-s -> 2.2 s / 10 CPU-s. Applied
+      only when the checkpoint is OURS (a local/RAM path) — an operator-
+      supplied dfs checkpoint keeps the rename-safety default."""
+    _CK = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    _FM = "spark.sql.streaming.checkpointFileManagerClass"
+    _FM_POSIX = (
+        "org.apache.spark.sql.execution.streaming.checkpointing."
+        "FileSystemBasedCheckpointFileManager"
+    )
+    if ckpt is not None:
+        writer = writer.option("checkpointLocation", ckpt)
+    spark = SparkSession.getActiveSession()
+    prev_ck = spark.conf.get(_CK) if spark is not None else None  # effective value
+    try:  # optional conf: absent unless an operator pinned a manager
+        prev_fm = spark.conf.get(_FM) if spark is not None else None
+    except Exception:
+        prev_fm = None
+    if spark is not None:
+        spark.conf.set(_CK, "false")
+        if ckpt is not None:
+            spark.conf.set(_FM, _FM_POSIX)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if spark is not None:
+            spark.conf.set(_CK, prev_ck)
+            if ckpt is not None:
+                if prev_fm is None:
+                    spark.conf.unset(_FM)
+                else:
+                    spark.conf.set(_FM, prev_fm)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return q
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -94,11 +189,10 @@ def enrich_stream_to_parquet(docs_stream: DataFrame, out_dir: str) -> None:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         enrich_documents(batch_df).write.mode("append").parquet(out_dir)
 
-    q = docs_stream.writeStream.foreachBatch(write_batch).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain(
+        docs_stream.writeStream.foreachBatch(write_batch).outputMode("append"),
+        _ephemeral_checkpoint_dir(),
+    )
 
 
 def run_bounded_foreach(stream_df: DataFrame, batch_fn) -> None:
@@ -108,11 +202,10 @@ def run_bounded_foreach(stream_df: DataFrame, batch_fn) -> None:
     that in-plan streaming operators would have to hold as state. The
     batch function owns its side effects; nothing is stateful across
     batches."""
-    q = stream_df.writeStream.foreachBatch(batch_fn).outputMode("update").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain(
+        stream_df.writeStream.foreachBatch(batch_fn).outputMode("update"),
+        _ephemeral_checkpoint_dir(),
+    )
 
 
 def streaming_user_stats(events_stream: DataFrame, ttl_minutes: int = 60) -> DataFrame:
@@ -216,14 +309,10 @@ def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str) -> Data
     _RUN_SEQ += 1
     query_name = f"{query_name}_{_RUN_SEQ}"
     spark = stream_df.sparkSession
-    q = (
+    _drain(
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
-        .queryName(query_name)
-        .start()
+        .queryName(query_name),
+        _ephemeral_checkpoint_dir(),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.table(query_name)
