@@ -102,7 +102,11 @@ HEADLINE_PLAN_SHAPE = {
     "v1_tfidf_ngram": (1, 1, 0, 0),
     "v4_vocab_top2000": (2, 0, 0, 1),
     "c1_cluster_term_scores": (3, 2, 0, 1),
-    "d4_minhash_dedup": (28, 12, 0, 0),  # checkpointed index: scans upstream
+    # d4 changed in round 16: the LSH candidate-pair list is materialized
+    # once (operators/dedup.minhash_dedup), so the three downstream plan
+    # references no longer re-derive the minhash→bands→self-join subtree
+    # (was (28, 12, 0, 0); checkpointed index/pairs: scans upstream)
+    "d4_minhash_dedup": (10, 3, 0, 0),
     "n1_ann_brute_topk": (1, 1, 1, 2),  # the bnlj is the broadcast probe batch
     "w2_sessionization": (1, 0, 0, 1),
     "x2_quality_scores": (0, 0, 0, 1),
