@@ -3,10 +3,21 @@ extensions): brute-force cosine top-k as the exact baseline, an
 LSH-bucketed variant as the sub-quadratic scale path, and embedding
 near-duplicate detection.
 
-Everything is built-in column algebra — ``zip_with``/``aggregate`` dot
-products on double-cast arrays (JVM-side, no Python). Element order of the
-fold is index order, which DuckDB's ``list_inner_product`` matches, so
-cosine values are cross-engine exact (then rounded to 6).
+Pair scoring (dot/norm/cosine/sqdist) is built-in column algebra —
+``zip_with``/``aggregate`` folds on double-cast arrays (JVM-side, no
+Python). Element order of the fold is index order, which DuckDB's
+``list_inner_product`` matches, so cosine values are cross-engine exact
+(then rounded to 6). SRP bucket hashing is the one Arrow-vectorized
+kernel (``srp_bucket_array``): its projection is corpus × T·P plane
+dots — Catalyst higher-order functions never codegen (each lambda binds
+fresh LambdaVariables and runs interpreted), and that projection was
+the measured CPU wall of the ANN family (n13's 16-table corpus hashing:
+6.7 s warm at sf0.1 as a column fold vs 0.45 s batched — guide §4.2).
+An A/B that moved the PAIR scorers to Arrow kernels too was reverted:
+candidate-bounded frames across many small stages pay more in Python
+round-trips than the interpreted fold costs (n15 5.9→11.3 s,
+n19 8.9→10.8 s, n1 0.70→1.08 s), so the boundary crossing is reserved
+for the corpus-scale hashing projection where it wins 15×.
 
 Scale path: brute-force top-k is O(Q·N) — right when Q is small (a probe
 batch) or N fits a broadcast. The signed-random-projection LSH variant
@@ -15,16 +26,46 @@ buckets vectors by sign pattern; queries only join their own bucket.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def _mat(s: pd.Series) -> "np.ndarray":
+    """(n, d) float64 matrix from an Arrow list column batch. float32 →
+    float64 widening is exact, so values equal the JVM's cast("double")."""
+    if len(s) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)², double math, index-order fold (cross-engine exact).
+
+    Kept as the JVM higher-order fold, NOT an Arrow kernel: the pair/
+    probe frames it scores are candidate-bounded (IVF probes, PQ encode
+    groups, sweep branches), and an A/B at sf0.1 measured the Arrow twin
+    SLOWER on every consumer (n15 5.9→11.3 s, n19 8.9→10.8 s) — the
+    per-stage Python round-trips outweigh the interpreted-fold cost at
+    those volumes. The corpus-scale projection that DID win (SRP bucket
+    hashing) lives in srp_bucket_array below."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ, double math, index-order fold (cross-engine exact)."""
+    """Σ aᵢ·bᵢ, double math, index-order fold (cross-engine exact).
+    JVM fold on purpose — see sqdist's note (measured: the Arrow twin
+    regressed every candidate-bounded scorer; n1 0.70→1.08 s)."""
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -38,6 +79,36 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def srp_bucket_array(vec: Column, plane_tables: list[list[list[float]]]) -> Column:
+    """array<long> of SRP bucket ids, one per hash table: bit i of table
+    t is sign(⟨v, plane_tables[t][i]⟩ > 0). All T×P plane dots run in one
+    Arrow batch kernel (planes baked into the closure as a (d, T·P)
+    matrix — never shipped per row); the per-dimension accumulation is
+    sequential, so every sign — and hence every bucket — is bit-identical
+    to the per-plane column fold and to the oracle's list_inner_product."""
+    flat = [p for planes in plane_tables for p in planes]
+    P = np.array(flat, dtype=np.float64).T  # (dims, total_planes)
+    sizes = [len(planes) for planes in plane_tables]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_arr(vecs: pd.Series) -> pd.Series:
+        V = _mat(vecs)
+        n = V.shape[0]
+        S = np.zeros((n, P.shape[1]), dtype=np.float64)
+        for i in range(P.shape[0]):  # sequential over dims: IEEE fold order
+            S += V[:, i : i + 1] * P[i : i + 1, :]
+        bits = S > 0
+        out = np.zeros((n, len(sizes)), dtype=np.int64)
+        off = 0
+        for t, sz in enumerate(sizes):
+            for i in range(sz):
+                out[:, t] += bits[:, off + i].astype(np.int64) << i
+            off += sz
+        return pd.Series(list(out))
+
+    return bucket_arr(vec)
 
 
 def with_norm(vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -71,12 +142,7 @@ def brute_force_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                F.aggregate(
-                    F.zip_with(_as_double(F.col("vec")), _as_double(F.col("qvec")), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nrm") * F.col("qnrm")),
+                dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -92,15 +158,12 @@ def srp_buckets(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Signed-random-projection bucket id per vector: bit i = sign of
-    ⟨v, plane_i⟩. ``planes`` are fixed (seeded) hyperplanes shipped as
-    literals — deterministic, broadcast-free."""
+    ⟨v, plane_i⟩. ``planes`` are fixed (seeded) hyperplanes baked into
+    the batch kernel — deterministic, broadcast-free."""
     out = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(F.col("vec"), plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, i)
-    return out.withColumn("bucket", bucket)
+    return out.withColumn(
+        "bucket", F.element_at(srp_bucket_array(F.col("vec"), [planes]), 1)
+    )
 
 
 def lsh_topk(
@@ -129,12 +192,7 @@ def lsh_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                F.aggregate(
-                    F.zip_with(_as_double(F.col("vec")), _as_double(F.col("qvec")), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nrm") * F.col("qnrm")),
+                dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -236,11 +294,7 @@ def _query_cell_ranks(
     )
     qd = q.crossJoin(F.broadcast(centers_df)).select(
         "query_id", "qvec", "qnrm", "cell",
-        F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("center"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("dist2"),
+        sqdist(F.col("qvec"), F.col("center")).alias("dist2"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
     return qd.withColumn("p", F.row_number().over(wq)).select(
@@ -313,12 +367,7 @@ def embedding_near_dups(
             "vec_a",
             "vec_b",
             F.round(
-                F.aggregate(
-                    F.zip_with(_as_double(F.col("va")), _as_double(F.col("vb")), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("na") * F.col("nb")),
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos_sim"),
         )
@@ -392,24 +441,18 @@ def multi_table_candidates_long(
     candidate set is exactly ``.where(tbl < T).distinct()``, so a
     table-count sweep (n13) hashes the corpus ONCE for all tables
     instead of once per config. Layout: buckets go LONG-format
-    (vec_id, tbl, bucket) via one posexplode projection, the candidate
-    join key is (tbl, bucket) — still an equi-join, T× the postings,
-    nothing quadratic."""
+    (vec_id, tbl, bucket) via one posexplode over the batch kernel's
+    per-table bucket array; the candidate join key is (tbl, bucket) —
+    still an equi-join, T× the postings, nothing quadratic."""
 
     def buckets_long(df: DataFrame, out_id: str) -> DataFrame:
         base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("vec"))
-        per_table = []
-        for planes in plane_tables:
-            b = F.lit(0).cast("long")
-            for i, p in enumerate(planes):
-                plane = F.array(*[F.lit(float(x)) for x in p])
-                bit = F.when(dot(F.col("vec"), plane) > 0, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                b = b + F.shiftleft(bit, i)
-            per_table.append(b)
         return base.select(
-            out_id, "vec", F.posexplode(F.array(*per_table)).alias("tbl", "bucket")
+            out_id,
+            "vec",
+            F.posexplode(srp_bucket_array(F.col("vec"), plane_tables)).alias(
+                "tbl", "bucket"
+            ),
         )
 
     vb = buckets_long(vectors, "neighbor_id").select("neighbor_id", "tbl", "bucket")
@@ -465,14 +508,7 @@ def score_pairs(
             "query_id",
             "neighbor_id",
             F.round(
-                F.aggregate(
-                    F.zip_with(
-                        _as_double(F.col("nvec")), _as_double(F.col("qvec")), lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nrm") * F.col("qnrm")),
+                dot(F.col("nvec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -620,11 +656,7 @@ def pq_codebooks(
     for r in rows:
         by_j.setdefault(r.j, {})[r.code] = list(r.cvec)
     books = [[by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)]
-    sq = F.aggregate(
-        F.zip_with(F.col("s"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = sqdist(F.col("s"), F.col("cvec"))
     encoded = (
         slices.join(F.broadcast(book_df), "j")
         .select("vec_id", "j", "code", sq.alias("dist"))

@@ -318,3 +318,50 @@ def test_every_registry_name_has_an_sf1_artifact_stamp():
     FLOOR = 15
     stale = {n: newest.get(n, 0) for n in entry_mod.queries() if newest.get(n, 0) < FLOOR}
     assert not stale, f"registry names without an sf1 stamp >= r{FLOOR}: {stale}"
+
+
+# --- SRP bucket kernel (optimization round 16) ---------------------------------
+
+
+def test_srp_bucket_kernel_matches_column_fold(spark):
+    """The Arrow-batched SRP hashing kernel (srp_bucket_array) must be
+    bit-identical to the per-plane zip_with/aggregate column fold it
+    replaced: same sequential per-dimension IEEE accumulation, so every
+    sign — and hence every bucket over every table — agrees exactly.
+    Checked on the real embeddings fixture over the n13 sweep's full
+    16-table plane list (the widest production config)."""
+    from pyspark.sql import functions as F
+
+    from ml_training_data_pipeline_spark.io.sources import load_table
+    from ml_training_data_pipeline_spark.operators.similarity import (
+        dot,
+        srp_bucket_array,
+    )
+    from ml_training_data_pipeline_spark.plans.queries_similarity import (
+        SWEEP_PLANE_TABLES,
+    )
+
+    emb = load_table(spark, os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"), "embeddings")
+    base = emb.select("vec_id", F.col("embedding").alias("vec"))
+
+    per_table = []
+    for planes in SWEEP_PLANE_TABLES:
+        b = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = (
+                F.when(dot(F.col("vec"), plane) > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            b = b + F.shiftleft(bit, i)
+        per_table.append(b)
+    fold = base.select("vec_id", F.posexplode(F.array(*per_table)).alias("tbl", "bucket"))
+    kernel = base.select(
+        "vec_id",
+        F.posexplode(srp_bucket_array(F.col("vec"), SWEEP_PLANE_TABLES)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    assert fold.exceptAll(kernel).count() == 0
+    assert kernel.exceptAll(fold).count() == 0
+    assert kernel.count() == base.count() * len(SWEEP_PLANE_TABLES)
