@@ -511,17 +511,40 @@ def connected_components(
     fixpoint raises rather than silently returning split components
     (multiple survivors per true dup group, with no error signal).
     ``localCheckpoint`` per round truncates the iterative lineage (the
-    driver-loop analogue of the reference's in-memory igraph step)."""
+    driver-loop analogue of the reference's in-memory igraph step).
+
+    Two per-round shuffles removed (r16, guide §2.4): (1) the symmetric
+    edge table is hash-partitioned on ``node`` ONCE before
+    materialization, so every round's edge⋈labels join reuses that
+    partitioning instead of re-exchanging the (static) edge table
+    (localCheckpoint preserves outputPartitioning; the parquet
+    materialize backend loses it and just pays the old exchange);
+    (2) convergence is checked by comparing Σ labels across rounds —
+    under min-label propagation plus pointer doubling every node's label
+    is monotonically non-increasing (label(x) ≤ x always, each update
+    takes a min), so the sum is unchanged iff NO label moved — which
+    replaces the old labels⋈new_labels shuffle join + count with one
+    combinable aggregate over the just-checkpointed round output. The
+    sum accumulates in decimal(38,0): exact for any label domain
+    (n × 2⁶³ ≪ 10³⁸), so equality is never a float coincidence."""
     sym = materialize(
         edges.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
         .unionByName(
             edges.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr"))
         )
         .distinct()
+        .repartition("node")
     )
     labels = materialize(
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
     )
+
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_iter):
         nbr_labels = (
@@ -543,15 +566,12 @@ def connected_components(
             )
             .select("node", F.col("_ll").alias("label"))
         )
-        changed = (
-            labels.join(new_labels.withColumnRenamed("label", "new_label"), "node")
-            .where(F.col("label") != F.col("new_label"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

@@ -262,12 +262,20 @@ def phase1_summary(
 # EP2=this, EP3=ep3.
 @query("ep2_build_models")
 def ep2_build_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import materialize
     from ..operators.pos_keywords import extract_pos_keywords
     from ..operators.tfidf import reduce_to_vocabulary, top_vocabulary
 
     docs = load_table(spark, sf_dir, "documents")
-    # V5: the reference feeds the POS-keyword text into the DFM build
-    kw = extract_pos_keywords(docs)
+    # V5: the reference feeds the POS-keyword text into the DFM build.
+    # Materialize the keyword frame ONCE: tfidf_long traverses its input
+    # twice (the doc-term-count checkpoint and corpus_size's N count),
+    # and each traversal of a lazy kw lineage is a full mapInPandas POS
+    # pass over the corpus — the most expensive primitive in this build
+    # (measured sf0.1: ~5.4 s per pass; at 100 TB the model-inference
+    # pass dominates everything else here). The checkpoint stores only
+    # (doc_id, keywords) — compact — and both consumers read it.
+    kw = materialize(extract_pos_keywords(docs))
     tfidf = tfidf_long(kw, text_col="keywords", ngram_max=3)
     vocab = top_vocabulary(tfidf, top_n=2000)
     reduced = reduce_to_vocabulary(tfidf, vocab)
