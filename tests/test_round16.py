@@ -83,7 +83,15 @@ def test_bench_r16_artifact_if_present_carries_canary():
     path = os.path.join(os.path.dirname(__file__), "..", "BENCH_r16.json")
     if not os.path.exists(path):
         return  # driver writes it at round end; local trees may predate it
-    art = json.loads(open(path).read().strip().splitlines()[-1])
+    raw = open(path).read().strip()
+    try:
+        # driver-written artifact: whole-file JSON wrapper with the bench
+        # line under "parsed" (the file did not exist when this test was
+        # written; the wrapper landed with the round-16 grading run)
+        art = json.loads(raw)
+        art = art.get("parsed", art)
+    except json.JSONDecodeError:
+        art = json.loads(raw.splitlines()[-1])  # raw one-line bench output
     assert art["canary_s"] > 0
     assert art["value_per_canary"] > 0
     # no CPU column may rest on a single clean rep on a quiet host run
