@@ -380,6 +380,13 @@ def split_low_coherence_clusters(
         grouped = member_counts.groupBy("cluster_id").applyInPandas(
             _make_group_splitter(cfg), schema="doc_id long, cluster_id long"
         )
+        # materialize ONCE (guide §5): grouped feeds both the anti-join and
+        # the union leg below. Left lazy, each consumer re-executes the
+        # whole FlatMapGroupsInPandas — i.e. every candidate's probe +
+        # final LDA fit ran TWICE per split round (ReuseExchange only
+        # dedupes the shuffle BELOW the Python node, not the node itself;
+        # measured r17 at sf0.1: m5's split stage 4.5 s → 2.9 s).
+        grouped = grouped.localCheckpoint(eager=True)
         out = out.join(grouped.select("doc_id"), "doc_id", "left_anti").unionByName(grouped)
 
     def fit_big_candidate(cid: int, base_id: int) -> DataFrame | None:
@@ -450,16 +457,19 @@ def split_low_coherence_clusters(
             out = out.join(all_minted.select("doc_id"), "doc_id", "left_anti").unionByName(all_minted)
 
     # materialize once (refine() re-checkpoints after renumber), then
-    # derive which candidates actually split from the assignment diff.
+    # derive which candidates actually split from the minted-id blocks:
+    # a candidate's docs either ALL keep their original id or ALL land in
+    # its deterministic block [max_id+1+i*max_k, +max_k), so "docs moved"
+    # ⟺ "an id from the block is present". ONE distinct over the k-ish
+    # cluster ids replaces the old full-width old⋈new join + distinct
+    # (guide §2.4 — the join was a per-round shuffle of the whole
+    # assignment table at 100 TB).
     out = out.localCheckpoint(eager=True)
-    changed = (
-        assignments.alias("old")
-        .join(out.alias("new"), "doc_id")
-        .where(F.col("old.cluster_id") != F.col("new.cluster_id"))
-        .select(F.col("old.cluster_id").alias("cluster_id"))
-        .distinct()
+    block_owner = list(small) + list(big)  # block i ↔ candidate order
+    new_ids = [int(r["cluster_id"]) for r in out.select("cluster_id").distinct().collect()]
+    split_ids = sorted(
+        {block_owner[(x - max_id - 1) // max_k] for x in new_ids if x > max_id}
     )
-    split_ids = sorted(int(r["cluster_id"]) for r in changed.collect())
     if own_binary:
         binary.unpersist()
     return out, split_ids
@@ -483,6 +493,12 @@ def merge_similar_clusters(
         sums.join(sizes.select(F.col("cluster_id").alias("grp"), "n"), "grp")
         .select("grp", "idx", (F.col("s") / F.col("n")).alias("centroid"))
     )
+    # materialize once (guide §5): cents is referenced three+ times
+    # downstream (both legs of the cosine self-join, the norms aggregate,
+    # and merge_components' group-universe collect) — left lazy, each
+    # reference re-runs the full tfidf⋈assignments aggregation (a full
+    # corpus pass per reference at 100 TB). The frame is k×vocab rows.
+    cents = cents.localCheckpoint(eager=True)
     pairs = centroid_cosine_pairs(cents)
     mapping = merge_components(pairs, threshold, groups=cents)
     return (

@@ -73,7 +73,8 @@ def vectorize_dfm(
     vectors — the reference's dfm_match keeps such rows, and dropping
     them would silently remove docs from the KMeans/phase-1 state. When
     omitted, only docs present in ``dfm_long`` are vectorized. Returns
-    (fitted PipelineModel — the V7 serving contract — and the vectors)."""
+    (fitted PipelineModel — the V7 serving contract — and the
+    (doc_id, tf, features) vectors)."""
     cvm = CountVectorizerModel.from_vocabulary(list(terms), inputCol="tokens", outputCol="tf")
     toks = dfm_long.groupBy("doc_id").agg(
         F.flatten(
@@ -86,7 +87,18 @@ def vectorize_dfm(
             .join(toks, "doc_id", "left")
             .withColumn("tokens", F.coalesce("tokens", F.array().cast("array<string>")))
         )
-    tf = cvm.transform(toks)
+    # Cache the sparse-tf frame ONCE, projected to (doc_id, tf): the IDF
+    # fit and every downstream consumer of the returned vectors (KMeans
+    # persist, phase-1 tf_vectors) otherwise each re-execute the
+    # token-reconstruction groupBy + CountVectorizer transform — two to
+    # three full corpus passes for one (guide §5), and the reconstructed
+    # token-array column (the widest in the frame) rode along into every
+    # one of them (guide §2.3: project before materializing). cache(), not
+    # localCheckpoint: the cache is populated by the IDF fit's own
+    # execution of the unchanged plan, preserving the partition layout
+    # KMeans' seeded init samples from (a checkpoint re-plans the subtree
+    # in isolation and measurably changed ep2's clustering).
+    tf = cvm.transform(toks).select("doc_id", "tf").cache()
     idf = IDF(inputCol="tf", outputCol="features").fit(tf)
     return PipelineModel([cvm, idf]), idf.transform(tf)
 

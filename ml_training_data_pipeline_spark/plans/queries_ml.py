@@ -149,12 +149,31 @@ def s5_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthetic corpus, merge 0.9, renumbered output summary.
 @query("m5_refine_pipeline")
 def m5_refine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import InheritableThread
+
     docs = load_table(spark, sf_dir, "documents")
     tokens = tokens_frame(docs)
+    # tfidf_long eagerly materializes the doc-term counts at construction
+    # and refine's n_docs count materializes the tfidf cache — both
+    # independent of the vectorizer/kmeans fits below, so they run on a
+    # side thread and back-fill the executors the fits leave idle (guide
+    # §2.6). The thread touches NOTHING in the kmeans features lineage
+    # (tfidf_long is its own scan + checkpoint), so the seeded fit sees
+    # byte-identical input partitioning.
+    side: dict = {}
+
+    def _build_tfidf() -> None:
+        t = tfidf_long(docs).cache()
+        side["tfidf"] = t
+        side["n_docs"] = t.select("doc_id").distinct().count()
+
+    th = InheritableThread(target=_build_tfidf, session=spark)
+    th.start()
     vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
     vecs = vectorize(tokens, vec_model)
     res = fit_kmeans(vecs, k=6, seed=123)
-    tfidf = tfidf_long(docs)
+    th.join()
+    tfidf, n_docs = side["tfidf"], side["n_docs"]
     cfg = RefineConfig(
         coherence_threshold=0.05,
         k_range=(2,),
@@ -164,7 +183,9 @@ def m5_refine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lda_final_iter=10,
         max_split_clusters=2,
     )
-    refined = refine(vecs.select("doc_id", "tf"), tfidf, res.assignments, cfg)
+    refined = refine(
+        vecs.select("doc_id", "tf"), tfidf, res.assignments, cfg, n_docs=n_docs
+    )
     return refined.groupBy("cluster_id").agg(F.count("*").alias("size"))
 
 
@@ -190,7 +211,7 @@ def phase1_summary(
     Shared by ep3 (persisted-state inputs) and its in-memory parity test."""
     from ..functions.llm import label_prompt, llm_complete
     from ..operators.coherence import binary_doc_term, prob_coherence
-    from ..operators.refine import cluster_coherence, renumber_clusters
+    from ..operators.refine import cluster_coherence
     from ..operators.tfidf import cluster_term_scores
 
     # the long DFM feeds the gate coherence, the refine loop, the final
@@ -209,26 +230,53 @@ def phase1_summary(
     # the reference refines only when any cluster is below threshold AND
     # break_clusters is set (04_cluster_refiner.R:741-752). Checkpoint the
     # k-row coherence frame so the split's candidate selection reuses the
-    # gate's computation instead of re-running it.
-    coh0 = cluster_coherence(
-        tfidf, assignments, n_docs, cfg.top_m, binary=binary
-    ).localCheckpoint(eager=True)
+    # gate's computation instead of re-running it. The gate's ranked
+    # top-terms frame is checkpointed too (cluster_coherence inlined):
+    # when no cluster refines it IS the final ranking up to a relabel.
+    topterms0 = (
+        cluster_term_scores(tfidf, assignments, top_n=cfg.top_m)
+        .select("cluster_id", "term", "rank")
+        .localCheckpoint(eager=True)
+    )
+    coh0 = prob_coherence(binary, topterms0, n_docs).localCheckpoint(eager=True)
     n_low = coh0.where(F.col("coherence") < cfg.coherence_threshold).count()
-    refined = (
-        refine(tf_vectors, tfidf, assignments, cfg,
-               binary=binary, coherence=coh0, n_docs=n_docs)
-        if n_low > 0
-        else renumber_clusters(assignments)
-    )
-    # final coherence and keyword extraction share ONE ranked top-terms
-    # frame when their term counts coincide (they do for _phase1_cfg:
-    # cluster_coherence's internal ranking is this exact top_n=5 call).
-    topterms = cluster_term_scores(tfidf, refined, top_n=5).localCheckpoint(eager=True)
-    coh = (
-        prob_coherence(binary, topterms.select("cluster_id", "term", "rank"), n_docs)
-        if cfg.top_m == 5
-        else cluster_coherence(tfidf, refined, n_docs, cfg.top_m, binary=binary)
-    )
+    if n_low > 0:
+        refined = refine(tf_vectors, tfidf, assignments, cfg,
+                         binary=binary, coherence=coh0, n_docs=n_docs)
+        # final coherence and keyword extraction share ONE ranked
+        # top-terms frame when their term counts coincide (they do for
+        # _phase1_cfg: coherence's ranking is this exact top_n=5 call).
+        topterms = cluster_term_scores(tfidf, refined, top_n=5).localCheckpoint(eager=True)
+        coh = (
+            prob_coherence(binary, topterms.select("cluster_id", "term", "rank"), n_docs)
+            if cfg.top_m == 5
+            else cluster_coherence(tfidf, refined, n_docs, cfg.top_m, binary=binary)
+        )
+    else:
+        # renumber-only path (guide §2.4/§5): dense-rank renumbering is an
+        # order-preserving bijection on cluster ids, and per-cluster term
+        # scores, ranks and coherence are relabel-invariant — so the final
+        # frames are the GATE's frames relabeled, bit-identical to
+        # recomputing them against renumber_clusters(assignments) (which
+        # re-ran a full DFM join + the coherence self-join per summary).
+        from pyspark.sql import Window
+
+        w = Window.orderBy("cluster_id")
+        ids = assignments.select("cluster_id").distinct().select(
+            "cluster_id", F.dense_rank().over(w).alias("new_id")
+        )
+        refined = assignments.join(F.broadcast(ids), "cluster_id").select(
+            "doc_id", F.col("new_id").alias("cluster_id")
+        )
+        topterms = (
+            topterms0.join(F.broadcast(ids), "cluster_id")
+            .select(F.col("new_id").alias("cluster_id"), "term", "rank")
+            if cfg.top_m == 5
+            else cluster_term_scores(tfidf, refined, top_n=5).localCheckpoint(eager=True)
+        )
+        coh = coh0.join(F.broadcast(ids), "cluster_id").select(
+            F.col("new_id").alias("cluster_id"), "coherence"
+        )
     kw = topterms.groupBy("cluster_id").agg(
         F.array_join(
             F.transform(
@@ -312,19 +360,41 @@ def ep3_phase1_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io.sources import write_parquet
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import InheritableThread, inheritable_thread_target
+
     docs = load_table(spark, sf_dir, "documents")
     tokens = tokens_frame(docs)
+    base = scratch_dir(spark, "phase1", sf_dir)
+    # tfidf_long eagerly materializes the doc-term counts at construction;
+    # it shares nothing with the vectorizer/kmeans lineage, so build AND
+    # persist it on a side thread while the fits run (guide §2.6 — the
+    # fits leave executor tails idle that the counts shuffle back-fills).
+    def _build_and_write_tfidf() -> None:
+        write_parquet(tfidf_long(docs), os.path.join(base, "tfidf"))
+
+    th = InheritableThread(target=_build_and_write_tfidf, session=spark)
+    th.start()
     vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
     vecs = vectorize(tokens, vec_model)
     res = fit_kmeans(vecs, k=6, seed=123)
-    tfidf = tfidf_long(docs)
 
-    # persist the phase-0 artifacts (the saveRDS step, 02:770-772)
-    base = scratch_dir(spark, "phase1", sf_dir)
-    res.model.write().overwrite().save(os.path.join(base, "kmeans"))
-    vec_model.write().overwrite().save(os.path.join(base, "vectorizer"))
-    write_parquet(res.assignments, os.path.join(base, "assignments"))
-    write_parquet(tfidf, os.path.join(base, "tfidf"))
+    # persist the phase-0 artifacts (the saveRDS step, 02:770-772) — the
+    # three remaining persists are independent of each other, so they run
+    # as concurrent jobs instead of serial driver calls (guide §2.6).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                inheritable_thread_target(spark)(lambda fn: fn()),
+                [
+                    lambda: res.model.write().overwrite().save(os.path.join(base, "kmeans")),
+                    lambda: vec_model.write().overwrite().save(os.path.join(base, "vectorizer")),
+                    lambda: write_parquet(res.assignments, os.path.join(base, "assignments")),
+                ],
+            )
+        )
+    th.join()
 
     # fresh lineage off persisted state ONLY (04:729-731): reload models +
     # tables; re-read the documents table like the reference re-reads the CSV
