@@ -29,6 +29,18 @@ HEADLINE = [
     "w2_sessionization",
     "x2_quality_scores",
     "m2_kmeans_cluster_sizes",
+    # ADDED r17 (never removed/renamed an existing entry): a core-bound
+    # scaling probe. PERF_r16's scaling block flagged suspect_cpus_ignored
+    # because at sf0.1 every small-table query is row-floored to
+    # single-digit task counts and per-stage fixed costs dominate, so the
+    # 8-vs-32-core ratios read ~1. h25 is core-bound by construction
+    # (256-step integer fold per lineitem row, oracle-checked), so one
+    # headline row tracks the core ratio and the driver can tell
+    # "not core-bound at this SF" from "env var ignored". It adds ~1.4 s
+    # (32 cores) to the suite total — exclude it when comparing totals
+    # against rounds <= 16 (the r16 10-query subtotal stays comparable via
+    # the per-query entries).
+    "h25_cpu_scaling_probe",
 ]
 
 
@@ -449,6 +461,12 @@ def main() -> None:
                 "total_cpu_s": total_cpu,
                 "total_cpu_median_s": total_cpu_med,
                 "sf": sf,
+                # echo the effective parallelism contract (r16 VERDICT):
+                # the scaling ratios at tiny SFs read ~1 for queries that
+                # are not core-bound there, and without these fields the
+                # artifact cannot prove $SPARK_GRAFT_CPUS was honored
+                "cpus": int(cpus),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "host_load": round(load1, 3),
                 "steal_pct": steal,
                 # host-speed canary (see host_canary_s): raw seconds for a

@@ -1479,3 +1479,51 @@ def h24_dominant_seasonal_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("s_name", "n_name")
         .agg(F.count("*").alias("n_parts_dominated"))
     )
+
+
+# --- H25: CPU-scaling probe (bench scaling evidence, round 17) -------------
+# PERF_r16 flagged `suspect_cpus_ignored`: at sf0.1 every small-table
+# headline query is floored to single-digit task counts and dominated by
+# fixed per-stage cost, so the driver's 8-core-vs-32-core ratios read ≈1
+# and the bench could not prove it honors $SPARK_GRAFT_CPUS. This query
+# is core-bound BY CONSTRUCTION: a 256-step integer fold per lineitem row
+# (~154M interpreted fold steps at sf0.1) over the scan whose task count
+# scales with defaultParallelism, so its low-core/high-core wall ratio
+# tracks the core ratio (measured sf0.1: ~1.4 s at 32 cores, ~3.0 s at 8
+# — ratio ≈ 2.2 where the small-table queries sit at ≈ 1). The fold is
+# exact BIGINT modular arithmetic, bit-identical in DuckDB's list_reduce
+# (no float accumulation, no hash ordering), so the probe is fully
+# oracle-checked like any other query.
+@query(
+    "h25_cpu_scaling_probe",
+    oracle="""
+    WITH h AS (
+      SELECT list_reduce(
+               list_prepend(0::BIGINT, range(1::BIGINT, 257::BIGINT)),
+               (acc, x) -> (acc * 31
+                            + x * ((l_orderkey * 7 + l_linenumber) % 1000003))
+                           % 1000000007
+             ) AS h
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS h_sum,
+           CAST(min(h) AS BIGINT) AS h_min,
+           CAST(max(h) AS BIGINT) AS h_max
+    FROM h
+    """,
+)
+def h25_cpu_scaling_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    key = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 1000003
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(256)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x * key) % 1000000007,
+    )
+    return l.select(fold.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("h_sum"),
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+    )

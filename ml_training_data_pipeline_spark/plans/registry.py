@@ -69,6 +69,11 @@ PRIORITY: tuple[str, ...] = (
     # registry stamp predates r11. Everything pushed past this round's
     # cut was hash-green at its newest stamp and stays in the local
     # two-scale full-registry sweeps.
+    # ROUND-17: h25 is NEW this round (the bench CPU-scaling probe,
+    # oracle-verified at sf0.001/0.01/0.1 before registration) — it leads
+    # the prefix so the driver stamps it; the r16-prefix names below keep
+    # their freshly-stamped rotation.
+    "h25_cpu_scaling_probe",
     "d28_compaction_arrival_scrub", "ep15_source_drop_impact",
     "m11_lloyd_elbow_exact", "cur2_component_survivors",
     "cur11_semantic_survivors", "cur7_length_survivorship",
