@@ -238,7 +238,18 @@ def jaccard_pairs(
             .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = sh.join(cand_docs, "doc_id", "left_semi")
+        # Materialize the candidate-scoped posting table ONCE (guide §5):
+        # it feeds the per-doc sizes aggregate AND both legs of the
+        # intersection self-join — three plan references that each
+        # re-ran the semi-join over the full shingle table (ReuseExchange
+        # only covers the identical a/b legs, not the sizes shape). The
+        # scoped table is LSH-candidate-bounded, so the checkpoint is
+        # small at any corpus size while the scans it replaces grow with
+        # the corpus. localCheckpoint (not cache) keeps true size stats
+        # visible to AQE — see minhash_dedup's 18×-regression note.
+        from .materialize import materialize
+
+        sh = materialize(sh.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -308,6 +319,8 @@ def lsh_admission_rejects(
         )
         .distinct()
     )
+    from .materialize import materialize
+
     cand = (
         delta_bands.join(corpus_bands, ["band", "band_sig"])
         .where(F.col("delta_doc") != F.col("corpus_doc"))
@@ -318,6 +331,11 @@ def lsh_admission_rejects(
         )
         .distinct()
     )
+    # materialize ONCE (guide §5): cand feeds jaccard_pairs' candidate
+    # scoping (two cand_docs union legs + the pair semi-join) AND the
+    # verified-pair back-join — left lazy, every reference re-ran the
+    # delta×corpus band join + distinct. The frame is LSH-bounded.
+    cand = materialize(cand)
     ver = jaccard_pairs(
         shingles, threshold=threshold, candidates=cand.select("doc_a", "doc_b")
     )

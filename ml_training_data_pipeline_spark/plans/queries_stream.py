@@ -1024,26 +1024,46 @@ def st16_stream_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)
     )
     # standing indexes, built ONCE before the stream starts: the cheap
-    # stage-A fingerprint set and the stage-B shingle/band tables
-    corpus_fp = (
-        corpus.select(fingerprint_pair(F.col("text")).alias("fp"))
-        .distinct()
-        .withColumn("known", F.lit(True))
-        .localCheckpoint()
-    )
+    # stage-A fingerprint set and the stage-B shingle/band tables. The
+    # fingerprint set is independent of the shingle→band chain, so it
+    # builds on a side thread while the chain materializes (guide §2.6).
+    from pyspark import InheritableThread
+
+    side: dict = {}
+
+    def _build_fp() -> None:
+        side["fp"] = (
+            corpus.select(fingerprint_pair(F.col("text")).alias("fp"))
+            .distinct()
+            .withColumn("known", F.lit(True))
+            .localCheckpoint()
+        )
+
+    th = InheritableThread(target=_build_fp, session=spark)
+    th.start()
     corpus_sh = doc_shingles(corpus, k=3).localCheckpoint()
     corpus_bands = (
         lsh_bands_from_wide(minhash_wide(corpus_sh, num_hashes=8), rows_per_band=2)
         .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
         .localCheckpoint()
     )
+    th.join()
+    corpus_fp = side["fp"]
 
     results: list[tuple] = []
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        flagged = batch_df.select(
-            "doc_id", "source", "text", fingerprint_pair(F.col("text")).alias("fp")
-        ).join(corpus_fp, "fp", "left")
+        # checkpoint per batch: flagged feeds the exact-count aggregate
+        # AND the novel remainder — left lazy, the batch fingerprint
+        # compute + corpus_fp join ran twice per micro-batch (guide §5;
+        # the frame is micro-batch-sized, so the checkpoint is cheap).
+        flagged = (
+            batch_df.select(
+                "doc_id", "source", "text", fingerprint_pair(F.col("text")).alias("fp")
+            )
+            .join(corpus_fp, "fp", "left")
+            .localCheckpoint()
+        )
         base = flagged.groupBy("source").agg(
             F.count("*").alias("n_new"),
             F.sum(F.when(F.col("known"), 1).otherwise(0)).cast("long").alias("n_exact"),
