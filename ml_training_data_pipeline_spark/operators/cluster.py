@@ -155,6 +155,27 @@ def scatter_row_num(q_col: str, s_col: str, n_col: str):
     )
 
 
+def quantize_vectors(
+    vectors: DataFrame,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (vec_id, q, d) quantized-corpus frame the Lloyd determinism
+    recipe runs on, materialized ONCE — the third return slot of
+    ``lloyd_quantized`` and the ``prequantized`` input a k-sweep (m11)
+    shares across every k (and across concurrently-submitted fits)."""
+    from .materialize import materialize
+
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
+        ).alias("q"),
+    ).withColumn("d", F.transform("q", lambda x: x.cast("double")))
+    return materialize(q)  # consumed by every iteration's assign + sums pass
+
+
 def lloyd_quantized(
     vectors: DataFrame,
     k: int,
@@ -196,18 +217,10 @@ def lloyd_quantized(
     and shares it across every k, matching the oracle's one shared qd/qe
     input shape (r15 ADVICE); when given, ``vectors`` is ignored.
     """
-    from .materialize import materialize
-
     if prequantized is not None:
         q = prequantized
     else:
-        q = vectors.select(
-            F.col(id_col).alias("vec_id"),
-            F.transform(
-                F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
-            ).alias("q"),
-        ).withColumn("d", F.transform("q", lambda x: x.cast("double")))
-        q = materialize(q)  # consumed by every iteration's assign + sums pass
+        q = quantize_vectors(vectors, quant, id_col, vec_col)
 
     if iters < 1:
         raise ValueError(f"lloyd_deterministic: iters={iters}, need >= 1")

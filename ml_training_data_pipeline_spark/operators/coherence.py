@@ -31,8 +31,10 @@ def binary_doc_term(tokens_long: DataFrame, *, assume_unique: bool = False) -> D
     ``assume_unique=True`` skips the distinct when the caller's frame is
     already one row per (doc_id, term) — true of the long TF-IDF DFM
     (term_counts groups on exactly that key), where the distinct was a
-    full extra shuffle of the doc-term stream for a no-op. Raw token
-    streams (c6/c7) must keep the default."""
+    full extra shuffle of the doc-term stream for a no-op. A raw
+    exploded token stream (one row per token OCCURRENCE, e.g. a
+    tokens_long frame straight out of posexplode) must keep the
+    default distinct."""
     out = tokens_long.select("doc_id", "term")
     return out if assume_unique else out.distinct()
 

@@ -524,10 +524,11 @@ def connected_components(
     component must not own the job). Labels are always node ids of the
     same component (min over a set of member ids), so the shortcut join
     is a self-join on the label table — one extra shuffle per round for
-    exponentially fewer rounds. Convergence is checked by an exact
-    per-round change count; exhausting ``max_iter`` without reaching the
-    fixpoint raises rather than silently returning split components
-    (multiple survivors per true dup group, with no error signal).
+    exponentially fewer rounds. Convergence is checked by the exact
+    label-sum comparison described below; exhausting ``max_iter`` without
+    reaching the fixpoint raises rather than silently returning split
+    components (multiple survivors per true dup group, with no error
+    signal).
     ``localCheckpoint`` per round truncates the iterative lineage (the
     driver-loop analogue of the reference's in-memory igraph step).
 

@@ -94,6 +94,13 @@ def srp_bucket_array(vec: Column, plane_tables: list[list[list[float]]]) -> Colu
 
     @F.pandas_udf(ArrayType(LongType()))
     def bucket_arr(vecs: pd.Series) -> pd.Series:
+        # empty-batch early return: _mat's (0, 0) fallback would break the
+        # (n, d) × (d, T·P) broadcast below when total_planes > 1 (r16
+        # ADVICE). Non-empty batches require non-null fixed-width vectors —
+        # np.stack raises on a null, which is the contract (every caller
+        # hashes a corpus embedding column that is non-null by schema).
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         V = _mat(vecs)
         n = V.shape[0]
         S = np.zeros((n, P.shape[1]), dtype=np.float64)

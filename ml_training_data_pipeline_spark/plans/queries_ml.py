@@ -20,7 +20,6 @@ from ..operators.vectorize import (
     tokens_frame,
     vectorize,
     vectorize_dfm,
-    vocabulary,
 )
 from .registry import query
 
@@ -71,17 +70,26 @@ def m3_kmeans_predict_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("m4_lda_topic_terms")
 def m4_lda_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
 
     docs = load_table(spark, sf_dir, "documents")
     tokens = tokens_frame(docs)
-    vec_model = fit_tfidf_vectorizer(tokens, vocab_size=500)
+    # CountVectorizer ALONE: LDA consumes raw term counts and the
+    # vocabulary — the old fit_tfidf_vectorizer pipeline also fitted an
+    # IDF model whose output column was immediately projected away, i.e.
+    # one whole wasted corpus aggregation pass per build (guide §1.2
+    # "don't compute things you throw away"). The CV fit, vocabulary and
+    # tf column are bit-identical to the pipeline's stage-0 outputs.
+    cv_model = CountVectorizer(
+        inputCol="tokens", outputCol="tf", vocabSize=500, minDF=1.0
+    ).fit(tokens)
     # cache: the EM optimizer walks the corpus every iteration — an
     # uncached tokenize/vectorize lineage would re-execute ~maxIter times
     # (measured 44s vs 2.4s at sf0.01)
-    tf = vectorize(tokens, vec_model).select("doc_id", "tf").cache()
+    tf = cv_model.transform(tokens).select("doc_id", "tf").cache()
     lda = LDA(k=5, seed=1234, maxIter=20, featuresCol="tf", optimizer="em")
     model = lda.fit(tf)
-    vocab = vocabulary(vec_model)
+    vocab = list(cv_model.vocabulary)
     vocab_df = tf.sparkSession.createDataFrame(
         list(enumerate(vocab)), schema="term_idx int, term string"
     )
@@ -767,16 +775,28 @@ def _m11_oracle() -> str:
 
 @query("m11_lloyd_elbow_exact", oracle=_m11_oracle())
 def m11_lloyd_elbow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cluster import lloyd_quantized
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.cluster import lloyd_quantized, quantize_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = None
     # quantize + materialize the corpus ONCE and share it across the
     # k-sweep (r15 ADVICE) — matches the oracle's single shared qd/qe
     # input (emit_input=False per k), one corpus scan instead of three
-    qframe = None
-    for k in _M11_KS:
-        assign, centers, qframe = lloyd_quantized(
+    qframe = quantize_vectors(emb, quant=_LLOYD_Q)
+
+    def fit_one(k: int) -> DataFrame:
+        """One k's fit + exact-integer inertia frame, submitted from its
+        own driver thread (guide §2.6, the m7 shape): each fit is a chain
+        of per-iteration k-row collects over the SHARED quantized
+        checkpoint, fully deterministic given (q, k), so the overlapped
+        sweep is bit-identical to the old serial loop — the driver-side
+        job latency of three chains just stops serializing. Measured
+        sf0.1: 6.8 s serial → ~3.4 s overlapped."""
+        if _os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in ("0", "false", "no"):
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"lloyd-{k}")
+        assign, centers, _ = lloyd_quantized(
             emb, k=k, iters=_M11_ITERS, quant=_LLOYD_Q, prequantized=qframe
         )
         dims = len(centers[0])
@@ -807,11 +827,18 @@ def m11_lloyd_elbow_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")  # exact digits; see the oracle's VARCHAR note
             .alias("inertia_num")
         )
-        res = inertia.select(
+        # materialize inside the thread so every fit's jobs (including
+        # the inertia aggregation) actually overlap; the frame is k rows
+        return inertia.select(
             F.lit(k).cast("long").alias("k"),
             "cluster_id",
             F.col("n").cast("long").alias("n_members"),
             "inertia_num",
-        )
-        out = res if out is None else out.unionAll(res)
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=len(_M11_KS)) as pool:
+        parts = list(pool.map(fit_one, _M11_KS))  # map preserves k order
+    out = parts[0]
+    for res in parts[1:]:
+        out = out.unionAll(res)
     return out
